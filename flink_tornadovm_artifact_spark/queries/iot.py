@@ -1,0 +1,124 @@
+"""IoT analytics queries Q17-Q19 (SURVEY.md §2.J).
+
+Mirrors the reference's flagship IoT use case — global min/max/sum/avg
+reduce and per-(device, window) grouped aggregation + outlier detection
+(reference ``IoT.java:59-155``, ``SparkWorks.java:158-192``) — on the
+``events`` table (user_id plays device_id, ts the window timestamp).
+
+The reference implements AVG as a weighted pairwise (sum,count) combine
+(``IoT.java:117-123``); Spark's partial/final aggregation is the same
+decomposition, done by Catalyst automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ._util import davg, davg_sql, dsum, dsum_sql
+
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Q17 — global reduce min/max/sum/avg (IoT.java:62-80 reducers)
+# ---------------------------------------------------------------------------
+def q17_iot_global_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dsum("value").alias("sum_value"),
+        davg("value").alias("avg_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+ORACLE["q17_iot_global_reduce"] = f"""
+SELECT MIN(value) AS min_value, MAX(value) AS max_value,
+       {dsum_sql('value')} AS sum_value, {davg_sql('value')} AS avg_value,
+       COUNT(*) AS cnt
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — grouped window aggregate (SparkWorks.java:158-192, groupBy(0,2))
+# 5-minute tumbling bucket per device; the flagship entry() query.
+# ---------------------------------------------------------------------------
+def q18_iot_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "user_id",
+            "min_value",
+            "max_value",
+            "sum_value",
+            "avg_value",
+            "cnt",
+        )
+    )
+
+
+ORACLE["q18_iot_window_agg"] = f"""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, user_id,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       {dsum_sql('value')} AS sum_value, {davg_sql('value')} AS avg_value,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY win_start, user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — outlier detection: values outside mean ± 2σ per (device, window)
+# (IoT.java:125-155 reduceGroup). Expressed with analytic windows so Spark
+# computes it in one pass — no self-join, no group materialization.
+# ---------------------------------------------------------------------------
+def q19_iot_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "win_start", F.window("ts", "1 hour")["start"]
+    )
+    w = W.partitionBy("user_id", "win_start")
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "win_start",
+        "value",
+        F.avg("value").over(w).alias("mean_v"),
+        F.stddev_samp("value").over(w).alias("sd_v"),
+    )
+    return stats.filter(
+        F.abs(F.col("value") - F.col("mean_v")) > 2 * F.col("sd_v")
+    ).select("event_id", "user_id", "win_start", "value")
+
+
+ORACLE["q19_iot_outliers"] = """
+SELECT event_id, user_id, win_start, value
+FROM (
+  SELECT event_id, user_id,
+         time_bucket(INTERVAL '1 hour', ts) AS win_start, value,
+         AVG(value) OVER w AS mean_v,
+         STDDEV_SAMP(value) OVER w AS sd_v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts))
+)
+WHERE ABS(value - mean_v) > 2 * sd_v
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and callable(fn)
+}

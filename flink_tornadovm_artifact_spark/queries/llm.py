@@ -1,0 +1,576 @@
+"""LLM-training-data pipeline operators (beyond the reference surface).
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), text analysis
+(language-ID, quality scoring, token counting, fingerprinting) and
+multimodal binary-column plumbing — all over the ``documents`` /
+``embeddings`` testdata tables.
+
+Design rules for 100 TB:
+- everything is expression-level (JVM, whole-stage codegen): ``split`` /
+  ``transform`` / ``filter`` / ``aggregate`` higher-order functions, no
+  Python UDFs in any hot path;
+- hashes are md5-based so Spark and DuckDB agree bit-for-bit (both emit
+  lowercase hex) — this is what makes MinHash/SimHash fully oracle-checkable;
+- candidate generation is always band/bucket-join shaped (shuffle on a
+  small join key), never all-pairs; the demo all-pairs variants bound one
+  side with a modulo sample and say so.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+ORACLE: dict[str, str] = {}
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _register(fn: Callable, sql: str | None) -> Callable:
+    QUERIES[fn.__name__] = fn
+    if sql is not None:
+        ORACLE[fn.__name__] = sql
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication: hash-groupBy on content digest.
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    by_hash = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+    return by_hash.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("copies").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+    )
+
+
+_register(
+    dedup_exact,
+    """
+SELECT COUNT(*) AS n_distinct,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+FROM (SELECT md5(text) AS h, COUNT(*) AS copies FROM documents GROUP BY 1)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup.
+# tokens → word 3-shingles → k=8 md5 minhashes → 4 bands × 2 rows →
+# band-bucket equi-join for candidate pairs. The join key (band_id,
+# band_key) is the only shuffle — this is the scale path (no all-pairs).
+# ---------------------------------------------------------------------------
+_MINHASH_K = 8
+_BANDS = 4  # rows per band = _MINHASH_K // _BANDS = 2
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    df = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    shingle = lambda i: F.concat_ws(
+        " ", F.get("toks", i), F.get("toks", i + 1), F.get("toks", i + 2)
+    )
+    return df.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), F.size("toks") - 3), shingle).alias(
+            "shingles"
+        ),
+    )
+
+
+def _salted_md5(j: int):
+    # NB: the lambda must take exactly one argument — PySpark passes the
+    # array index as a second argument to 2-ary higher-order-function
+    # lambdas, so closing over j via a default parameter would break.
+    salt = F.lit(f"#{j}")
+    return lambda s: F.md5(F.concat(s, salt))
+
+
+def _minhash_sig(df: DataFrame) -> DataFrame:
+    mh = [
+        F.array_min(F.transform("shingles", _salted_md5(j))).alias(f"mh{j}")
+        for j in range(_MINHASH_K)
+    ]
+    return df.select("doc_id", *mh)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig(_shingled(spark, sf_dir))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(f"mh{2 * b}", f"mh{2 * b + 1}").alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+_mh_sql = ",\n         ".join(
+    f"list_min(list_transform(shingles, s -> md5(s || '#{j}'))) AS mh{j}"
+    for j in range(_MINHASH_K)
+)
+_band_sql = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band_id, mh{2 * b} || mh{2 * b + 1} AS band_key FROM sig"
+    for b in range(_BANDS)
+)
+
+_register(
+    dedup_minhash_lsh,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled AS (
+  SELECT doc_id,
+         list_transform(range(0, len(t) - 2),
+                        i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {_mh_sql}
+  FROM shingled
+), bands AS (
+{_band_sql}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (16-bit, md5-per-bit): per-doc bit = majority vote of
+# token hash bits. Near-dup candidates share fingerprints.
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    df = docs.select("doc_id", F.split("text", " ").alias("toks"))
+
+    def _bit_pred(k: int):
+        salt = F.lit(f"#{k}")
+        return lambda t: F.substring(F.md5(F.concat(t, salt)), 1, 1) >= "8"
+
+    bit = lambda k: F.when(
+        2 * F.size(F.filter("toks", _bit_pred(k))) - F.size("toks") >= 0, "1"
+    ).otherwise("0")
+    return df.select(
+        "doc_id",
+        F.concat(*[bit(k) for k in range(_SIMHASH_BITS)]).alias("simhash"),
+    )
+
+
+_bit_sql = " ||\n       ".join(
+    "CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t || '#%d'), 1, 1) >= '8'))"
+    " - len(toks) >= 0 THEN '1' ELSE '0' END" % k
+    for k in range(_SIMHASH_BITS)
+)
+
+_register(
+    dedup_simhash,
+    f"""
+SELECT doc_id,
+       {_bit_sql} AS simhash
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup scoring. Demo bounds the left side with a modulo
+# sample (doc_id % 97 = 0); the production path is minhash-LSH candidates →
+# exact Jaccard verify on candidates only.
+# ---------------------------------------------------------------------------
+_JACCARD_THRESHOLD = 0.1
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sset")
+    )
+    a = sh.filter(F.col("doc_id") % 97 == 0).alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    union = F.size(F.col("a.sset")) + F.size(F.col("b.sset")) - inter
+    jac = inter / union
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+_register(
+    dedup_ngram_jaccard,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(t) - 2),
+                       i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS sset
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.sset, b.sset))
+         / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+FROM sh a CROSS JOIN sh b
+WHERE a.doc_id % 97 = 0 AND a.doc_id != b.doc_id
+  AND len(list_intersect(a.sset, b.sset))
+        / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+      >= {_JACCARD_THRESHOLD}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup + brute-force ANN top-k.
+# Dot products in double precision via zip_with/aggregate (sequential fold,
+# bit-identical to DuckDB's list_dot_product over DOUBLE[]).
+# ---------------------------------------------------------------------------
+def _cos(a: Column, b: Column) -> Column:
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.filter(F.col("vec_id") % 50 == 0).alias("a")
+    b = emb.alias("b")
+    sim = _cos(F.col("a.v"), F.col("b.v"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+_cos_sql = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " / sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+)
+
+_register(
+    dedup_embedding_cosine,
+    f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos_sql} AS cosine
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id AND {_cos_sql} >= 0.9
+""",
+)
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).alias("q")
+    c = emb.alias("c")
+    sim = _cos(F.col("q.v"), F.col("c.v"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+_register(
+    similarity_topk,
+    f"""
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_cos_sql} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_cos_sql} DESC, b.vec_id ASC) AS rn
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
+)
+WHERE rn <= 5
+""",
+)
+
+
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing, then exact cosine
+    only within buckets (the 100 TB strategy — candidates shrink by the
+    bucket factor; the shuffle key is the bucket signature).
+
+    Hyperplanes are derived from md5 bits of the dimension index, so the
+    bucketing is deterministic but not SQL-oracle friendly — the driver
+    applies its rows-only check (no ORACLE entry, by design).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # 8 hyperplanes; plane j has components +1/-1 by md5 bit of (j, dim).
+    def plane_sign(j: int) -> Column:
+        signed = F.expr(
+            "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, d) ->"
+            f" if(substr(md5(concat('p{j}#', d)), 1, 1) >= '8', x, -x)),"
+            " 0.0d, (acc, x) -> acc + x)"
+        )
+        return F.when(signed >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        F.concat(*[plane_sign(j) for j in range(8)]).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = _cos(F.col("a.v"), F.col("b.v"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+_register(similarity_lsh_bucketed, None)  # rows-only check (by design)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        # BPE-ish subword estimate: ~1 token per 4 chars, at least one per word
+        F.greatest(
+            F.size(toks).cast("bigint"),
+            F.ceil(F.length("text") / 4).cast("bigint"),
+        ).alias("n_subwords_est"),
+    )
+
+
+_register(
+    text_token_count,
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST(GREATEST(len(string_split(text, ' ')),
+                     CAST(CEIL(length(text) / 4) AS BIGINT)) AS BIGINT) AS n_subwords_est
+FROM documents
+""",
+)
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length(
+        "text"
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n_tok
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (0.5 * alpha_ratio + 0.5 * stop_ratio).alias("quality"),
+    )
+
+
+_stop_in = ", ".join(f"'{s}'" for s in _STOPWORDS)
+_register(
+    text_quality_score,
+    f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+       len(list_filter(string_split(text, ' '), t -> t IN ({_stop_in})))
+         / len(string_split(text, ' ')) AS stop_ratio,
+       0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text))
+       + 0.5 * (len(list_filter(string_split(text, ' '), t -> t IN ({_stop_in})))
+                  / len(string_split(text, ' '))) AS quality
+FROM documents
+""",
+)
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "y", "los"),
+}
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def _marker_pred(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    score = {
+        lang: F.size(F.filter(toks, _marker_pred(m)))
+        for lang, m in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (score["en"] >= score["de"])
+            & (score["en"] >= score["fr"])
+            & (score["en"] >= score["es"])
+            & (score["en"] > 0),
+            "en",
+        )
+        .when(
+            (score["de"] >= score["fr"]) & (score["de"] >= score["es"]) & (score["de"] > 0),
+            "de",
+        )
+        .when((score["fr"] >= score["es"]) & (score["fr"] > 0), "fr")
+        .when(score["es"] > 0, "es")
+        .otherwise("und")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def _lang_score_sql(m: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in m)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({in_list})))"
+
+
+_s = {lang: _lang_score_sql(m) for lang, m in _LANG_MARKERS.items()}
+_register(
+    text_lang_id,
+    f"""
+SELECT doc_id,
+       CASE WHEN {_s['en']} >= {_s['de']} AND {_s['en']} >= {_s['fr']}
+                 AND {_s['en']} >= {_s['es']} AND {_s['en']} > 0 THEN 'en'
+            WHEN {_s['de']} >= {_s['fr']} AND {_s['de']} >= {_s['es']}
+                 AND {_s['de']} > 0 THEN 'de'
+            WHEN {_s['fr']} >= {_s['es']} AND {_s['fr']} > 0 THEN 'fr'
+            WHEN {_s['es']} > 0 THEN 'es'
+            ELSE 'und' END AS pred_lang
+FROM documents
+""",
+)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (the hash-sketch analog of a rolling-hash fingerprint)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_register(
+    text_fingerprint,
+    """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary column + typed metadata plumbing. The decode /
+# feature-extract kernels live in operators/multimodal.py (mapInPandas with
+# a deterministic fake decoder — image/audio libs are not in this
+# container); this query verifies the schema/bytes plumbing itself.
+# ---------------------------------------------------------------------------
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(blob).cast("bigint").alias("n_bytes"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("header_hex"),
+    )
+
+
+_register(
+    multimodal_binary_meta,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       hex(encode(substring(text, 1, 8))) AS header_hex
+FROM documents
+""",
+)

@@ -1,0 +1,489 @@
+"""Declared relational queries Q01-Q16 (SURVEY.md §2.J).
+
+Each query exercises one row of the reference's operator inventory
+(SURVEY.md §2.B-§2.E, §2.H — the Flink DataSet / Table surface, e.g.
+``DataSet.java`` map/filter/join/aggregate/distinct/minBy and the Blink SQL
+planner's window/rollup rules) re-expressed as idiomatic Spark DataFrame
+plans. Every function takes ``(spark, sf_dir)`` and returns a DataFrame;
+``ORACLE`` holds the DuckDB-equivalent SQL with identical column aliases.
+
+Scale notes (100 TB discipline):
+- dimension joins (region/nation/supplier/customer) are broadcast;
+- fact-fact joins shuffle on their equi-keys and rely on AQE for skew;
+- aggregates are expressed declaratively so Catalyst plans partial
+  (map-side) aggregation before the shuffle;
+- window functions partition on high-cardinality keys (custkey), never on
+  a constant, so no single-partition bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ._util import DEC, davg, davg_sql, dsum, dsum_sql
+
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Q01 — scan + filter + project (DataSet.filter/project; TPCHQuery3.java:108)
+# ---------------------------------------------------------------------------
+def q01_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushed down into the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_extendedprice")
+
+
+ORACLE["q01_filter_project"] = """
+SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_quantity > 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q02 — global aggregate (DataSet.aggregate SUM/MIN/MAX, DataSet.java:361)
+# ---------------------------------------------------------------------------
+def q02_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+ORACLE["q02_global_agg"] = f"""
+SELECT {dsum_sql('l_extendedprice')} AS sum_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       COUNT(*) AS cnt
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q03 — grouped aggregate, TPC-H Q1 shape (UnsortedGrouping.reduce/aggregate)
+# ---------------------------------------------------------------------------
+def q03_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    charge = disc_price * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE["q03_tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
+            AS DOUBLE) AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q04 — 3-way equi-join + group agg, TPC-H Q3 shape (TPCHQuery3.java:142-165)
+# ---------------------------------------------------------------------------
+def q04_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner"
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+ORACLE["q04_tpch_q3"] = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q05 — outer joins (DataSet.fullOuterJoin, DataSet.java:983)
+# ---------------------------------------------------------------------------
+def q05_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_customer_side"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_order_side"),
+    )
+
+
+ORACLE["q05_outer_join"] = """
+SELECT COUNT(*) AS total_rows,
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_customer_side,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_order_side
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q06 — broadcast-hint join chain (joinWithTiny, DataSet.java:832)
+# ---------------------------------------------------------------------------
+def q06_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+ORACLE["q06_broadcast_join"] = f"""
+SELECT r_name, COUNT(*) AS n_suppliers, {dsum_sql('s_acctbal')} AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q07 — semi / anti join (SQL IN/EXISTS rewrites; FlinkBatchRuleSets.scala:37)
+# ---------------------------------------------------------------------------
+def q07_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return with_orders.crossJoin(without_orders)
+
+
+ORACLE["q07_semi_anti"] = """
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+  (SELECT COUNT(*) FROM customer
+   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q08 — coGroup as full-outer join of grouped aggregates (CoGroupDriver.java)
+# ---------------------------------------------------------------------------
+def q08_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_g = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    ord_g = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust_g.join(ord_g, cust_g.c_custkey == ord_g.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+ORACLE["q08_cogroup"] = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM (SELECT c_custkey, COUNT(*) AS n_cust FROM customer GROUP BY c_custkey) c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+ON c.c_custkey = o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q09 — cross join (DataSet.cross, CrossDriver.java)
+# ---------------------------------------------------------------------------
+def q09_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return region.crossJoin(nation).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("r_regionkey") * F.col("n_nationkey"))
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+ORACLE["q09_cross"] = """
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(r_regionkey * n_nationkey) AS BIGINT) AS checksum
+FROM region CROSS JOIN nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — distinct (DataSet.distinct, DataSet.java:631)
+# ---------------------------------------------------------------------------
+def q10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+ORACLE["q10_distinct"] = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — minBy/maxBy: whole-row arg-max per key (UnsortedGrouping.maxBy)
+# Deterministic tie-break on o_orderkey, mirroring Flink's
+# first-encountered semantics pinned to a stable order (SURVEY §7 risk note).
+# ---------------------------------------------------------------------------
+def q11_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.col("o_totalprice").alias("best_totalprice"),
+        )
+    )
+
+
+ORACLE["q11_maxby"] = """
+SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_totalprice
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — top-k: global sort+limit and per-group first-n (DataSet.first(n))
+# ---------------------------------------------------------------------------
+def q12_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE["q12_topk_global"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q12_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+ORACLE["q12_topk_per_group"] = """
+SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — union + distinct (DataSet.union, DataSet.java:1276)
+# ---------------------------------------------------------------------------
+def q13_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    low = orders.filter(F.col("o_orderkey") < 1000)  # overlaps with `even`
+    u = even.union(low).distinct()
+    return u.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+
+
+ORACLE["q13_union_distinct"] = """
+SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+      UNION
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 1000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — rollup / grouping sets (Blink planner SQL surface, SURVEY §2.H)
+# ---------------------------------------------------------------------------
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+ORACLE["q14_rollup"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — SQL over-windows: rank/row_number/lag/lead (SURVEY §2.H windows)
+# ---------------------------------------------------------------------------
+def q15_over_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    wprice = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.rank().over(wprice).cast("bigint").alias("price_rank"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+ORACLE["q15_over_windows"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       CAST(RANK() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank,
+       LAG(o_totalprice, 1) OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — scalar function surface: string/date/math (BuiltInFunctionDefinitions)
+# ---------------------------------------------------------------------------
+def q16_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 10)).alias("prio_word"),
+        F.length("o_orderstatus").cast("bigint").alias("status_len"),
+        F.when(F.col("o_orderpriority").like("%URGENT%"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_urgent"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        # decimal arithmetic: double*0.1 rounded at the half-cent boundary
+        # diverges between engines (shortest-repr HALF_UP vs true-value)
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("0.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("tithe"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("cust_tag"),
+    )
+
+
+ORACLE["q16_scalar_functions"] = """
+SELECT o_orderkey,
+       UPPER(SUBSTR(o_orderpriority, 3, 10)) AS prio_word,
+       CAST(LENGTH(o_orderstatus) AS BIGINT) AS status_len,
+       CAST(CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1 ELSE 0 END AS BIGINT) AS is_urgent,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS tithe,
+       CONCAT('C', CAST(o_custkey AS VARCHAR)) AS cust_tag
+FROM orders
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and callable(fn)
+}

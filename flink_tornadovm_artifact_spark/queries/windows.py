@@ -1,0 +1,146 @@
+"""Windowing + interval-join declared queries Q21-Q22 (SURVEY.md §2.G/§2.J).
+
+Batch-checkable mirrors of the DataStream window surface (tumbling /
+sliding / session assigners, ``TumblingEventTimeWindows.java`` etc., and
+``KeyedStream.intervalJoin`` at ``KeyedStream.java:425``). The streaming
+(readStream/writeStream) forms of the same operators live in
+``flink_tornadovm_artifact_spark.streaming``; here they run on the batch
+``events`` table so the DuckDB oracle can verify the window semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ._util import dsum, dsum_sql
+
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Q21a — tumbling event-time window per event_type
+# ---------------------------------------------------------------------------
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+ORACLE["q21_tumbling_window"] = f"""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+       COUNT(*) AS cnt, {dsum_sql('value')} AS sum_value
+FROM events GROUP BY win_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21b — sliding window (size 10 min, slide 5 min): each event lands in two
+# windows. Oracle expands the assignment explicitly via UNION ALL.
+# ---------------------------------------------------------------------------
+def q21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "cnt", "sum_value")
+    )
+
+
+ORACLE["q21_sliding_window"] = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS win_start, value
+  FROM events
+)
+SELECT win_start, COUNT(*) AS cnt, {dsum_sql('value')} AS sum_value
+FROM assigned GROUP BY win_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21c — session window (30-minute gap) per user. Spark's session_window
+# merges events whose windows [ts, ts+gap) overlap, i.e. a new session
+# starts when the gap to the previous event is >= the gap duration.
+# ---------------------------------------------------------------------------
+def q21_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("sess_start"),
+            "user_id",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+ORACLE["q21_session_window"] = f"""
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT MIN(ts) AS sess_start, user_id,
+       COUNT(*) AS cnt, {dsum_sql('value')} AS sum_value
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — interval join (KeyedStream.intervalJoin, KeyedStream.java:425-553):
+# pairs of events of the same user within ±5 minutes. The equi-key
+# (user_id) makes this a sort-merge join with a range filter — at 100 TB
+# the join shuffles only on user_id and AQE splits skewed users.
+# ---------------------------------------------------------------------------
+def q22_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    return (
+        a.join(b, cond, "inner")
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+ORACLE["q22_interval_join"] = """
+SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL '5 minutes' AND a.ts + INTERVAL '5 minutes'
+ AND a.event_id < b.event_id
+GROUP BY a.user_id
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and callable(fn)
+}

@@ -1,0 +1,61 @@
+"""Loaders for the driver-generated testdata tables.
+
+Tables (one parquet file each, see TESTDATA.md): region nation customer
+supplier part orders lineitem events documents embeddings.
+
+Parquet scans get predicate pushdown + column pruning from Catalyst for
+free; at 100 TB the same loaders work against a partitioned table directory
+(spark.read.parquet on a directory of files) with partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins.
+SMALL_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects by default. We read it as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
+    TimestampType — the same truncation DuckDB applies, so oracle
+    comparisons agree.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division: nanos exceed 2^53, a double round-trip
+            # would lose sub-microsecond precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register temp views so spark.sql() queries can reference tables by name."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,42 @@
+"""Differential-oracle test: every declared query vs DuckDB at sf0.01.
+
+This mirrors the driver's CORRECTNESS gate so failures surface locally
+before a round ends.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_tornadovm_artifact_spark.queries import ORACLE, QUERIES
+
+from .conftest import SF_ORACLE
+from .oracle import compare, duckdb_con
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF_ORACLE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, spark, con):
+    df = QUERIES[name](spark, SF_ORACLE)
+    ok, msg = compare(df, con, ORACLE[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_ORACLE)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
