@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Timing uses the noop sink so every query's full plan executes (count()
+would let Catalyst prune the aggregates away). The headline set mirrors
+BASELINE.md's rebuild benchmark set: the IoT reduces (Q17-Q19), the KMeans
+assignment step (Q20), the TPC-H join/agg shapes (Q03/Q04), the interval
+join (Q22), plus the LLM-pipeline scale paths (minhash LSH dedup, ANN
+top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "q03_tpch_q1",
+    "q04_tpch_q3",
+    "q17_iot_global_reduce",
+    "q18_iot_window_agg",
+    "q19_iot_outliers",
+    "q20_kmeans_assign",
+    "q21_sliding_window",
+    "q22_interval_join",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from flink_tornadovm_artifact_spark.queries import QUERIES
+    from flink_tornadovm_artifact_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footer caches so timings measure the queries
+    QUERIES["q17_iot_global_reduce"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": f"headline_query_seconds_sf{sf}",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -90,20 +90,25 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _salted_md5(j: int):
-    # NB: the lambda must take exactly one argument — PySpark passes the
-    # array index as a second argument to 2-ary higher-order-function
-    # lambdas, so closing over j via a default parameter would break.
-    salt = F.lit(f"#{j}")
-    return lambda s: F.md5(F.concat(s, salt))
+def _chunk(j: int):
+    # NB: higher-order-function lambdas must take exactly one argument —
+    # PySpark passes the array index to 2-ary lambdas, so closing over j
+    # via a default parameter would silently break.
+    return lambda h: F.substring(h, 4 * j + 1, 4)
 
 
 def _minhash_sig(df: DataFrame) -> DataFrame:
+    """k=8 minhash rows from ONE md5 per shingle: the 128-bit digest is
+    split into 8 16-bit hex chunks and each chunk min-ed independently —
+    8× less hashing than salted md5 per row, identical LSH semantics."""
+    hashed = df.select(
+        "doc_id", F.transform("shingles", lambda s: F.md5(s)).alias("hs")
+    )
     mh = [
-        F.array_min(F.transform("shingles", _salted_md5(j))).alias(f"mh{j}")
+        F.array_min(F.transform("hs", _chunk(j))).alias(f"mh{j}")
         for j in range(_MINHASH_K)
     ]
-    return df.select("doc_id", *mh)
+    return hashed.select("doc_id", *mh)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +146,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _mh_sql = ",\n         ".join(
-    f"list_min(list_transform(shingles, s -> md5(s || '#{j}'))) AS mh{j}"
+    f"list_min(list_transform(hs, h -> substr(h, {4 * j + 1}, 4))) AS mh{j}"
     for j in range(_MINHASH_K)
 )
 _band_sql = "\n    UNION ALL\n".join(
@@ -160,10 +165,12 @@ WITH toks AS (
          list_transform(range(0, len(t) - 2),
                         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS shingles
   FROM toks
+), hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM shingled
 ), sig AS (
   SELECT doc_id,
          {_mh_sql}
-  FROM shingled
+  FROM hashed
 ), bands AS (
 {_band_sql}
 )
