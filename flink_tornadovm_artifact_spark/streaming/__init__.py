@@ -1,0 +1,25 @@
+"""Structured Streaming mirrors of the reference's DataStream surface
+(SURVEY.md §2.G)."""
+
+from .core import (
+    deduplicate_stream,
+    interval_join_streams,
+    keyed_count_trigger,
+    keyed_running_agg,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from .sources import events_file_stream, memory_sink_run
+
+__all__ = [
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "keyed_running_agg",
+    "keyed_count_trigger",
+    "interval_join_streams",
+    "deduplicate_stream",
+    "events_file_stream",
+    "memory_sink_run",
+]

@@ -1,0 +1,182 @@
+"""Streaming operators (SURVEY.md §2.G → Structured Streaming).
+
+Mapping from the reference's DataStream surface:
+
+- tumbling/sliding event-time windows (TumblingEventTimeWindows.java,
+  SlidingEventTimeWindows.java)  → ``window(ts, size[, slide])``
+- session windows (EventTimeSessionWindows.java) → ``session_window``
+- watermarks / allowedLateness (BoundedOutOfOrdernessWatermarks.java,
+  WindowedStream.allowedLateness:158) → ``withWatermark(ts, delay)``
+  (late rows beyond the watermark are dropped; a side-output channel is
+  a second query filtering the raw stream)
+- keyed running aggregates (KeyedStream.reduce/sum/min/max:701-997)
+  → ``groupBy(key).agg(...)`` in update mode
+- count-trigger firing (triggers/CountTrigger.java) — no Spark trigger
+  DSL; emulated with ``applyInPandasWithState`` keyed state, the
+  sanctioned escape hatch (SURVEY §4.1 note)
+- intervalJoin (KeyedStream.java:425) → stream-stream join with
+  watermarks + time-range condition
+- deduplication on a key within the watermark → ``dropDuplicates``
+
+Every operator here takes and returns *streaming* DataFrames; batch
+verification of identical semantics lives in queries/windows.py (Q21/Q22),
+where the DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    size: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Keyed tumbling event-time window with min/max/sum/avg/count —
+    the streaming form of Q18 (SparkWorks.java:158-192)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, size).alias("win"), key_col)
+        .agg(
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(F.col("win.start").alias("win_start"), key_col, "min_value",
+                "max_value", "sum_value", "avg_value", "cnt")
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, size, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(value_col).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "cnt", "sum_value")
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(value_col).alias("sum_value"))
+        .select(F.col("win.start").alias("sess_start"), key_col, "cnt", "sum_value")
+    )
+
+
+def keyed_running_agg(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Running per-key aggregate (update output mode) — the analog of
+    KeyedStream.reduce/sum/min/max."""
+    return events.groupBy(key_col).agg(
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.sum(value_col).alias("sum_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def keyed_count_trigger(
+    events: DataFrame,
+    n: int,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """CountTrigger emulation via applyInPandasWithState: per key, emit one
+    aggregate row for every complete block of ``n`` events; the remainder
+    rides in keyed state across micro-batches (the reference's trigger +
+    window-state pattern, triggers/CountTrigger.java)."""
+
+    def fire(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (buf_count, buf_sum) = state.get if state.exists else (0, 0.0)
+        fired_cnt, fired_sum = [], []
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                buf_count += 1
+                buf_sum += float(v)
+                if buf_count == n:
+                    fired_cnt.append(buf_count)
+                    fired_sum.append(buf_sum)
+                    buf_count, buf_sum = 0, 0.0
+        state.update((buf_count, buf_sum))
+        if fired_cnt:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(fired_cnt),
+                    "cnt": fired_cnt,
+                    "sum_value": fired_sum,
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fire,
+        outputStructType=f"{key_col} long, cnt long, sum_value double",
+        stateStructType="cnt long, sum_value double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    bound: str = "5 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keyed stream-stream join within ±bound (KeyedStream.intervalJoin):
+    both sides watermarked so Spark can expire join state."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") >= F.expr(f"l.{ts_col} - INTERVAL {bound}"))
+        & (F.col(f"r.{ts_col}") <= F.expr(f"l.{ts_col} + INTERVAL {bound}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col(f"l.{ts_col}").alias("ts_left"),
+        F.col(f"r.{ts_col}").alias("ts_right"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+    )
+
+
+def deduplicate_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key emission within the watermark horizon."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        key_cols + [ts_col]
+    )

@@ -1,0 +1,62 @@
+"""Streaming sources/sinks (SURVEY.md §2.A streaming rows).
+
+The reference's DataStream sources (socket, file-monitor, collection,
+Kafka — StreamExecutionEnvironment) map to ``spark.readStream.format(...)``;
+this module provides the file-monitor source over the testdata events
+schema plus a synchronous memory-sink runner for tests (a batch of files
+drives the streaming query to completion deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-monitor source over a directory of events parquet files.
+    The nanos timestamp rides as long and is converted exactly like the
+    batch loader (tables.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Built-in rate source (smoke-testing unbounded pipelines)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def memory_sink_run(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming query to completion against currently-available
+    input (processAllAvailable), return the materialized result. Test-only:
+    the memory sink collects to the driver."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

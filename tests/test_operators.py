@@ -1,0 +1,190 @@
+"""Operator-facade tests: DataSet-style semantics against plain DataFrame
+equivalents on the testdata tables (SURVEY.md §2.B-§2.E coverage)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_tornadovm_artifact_spark.operators import Dataset
+from flink_tornadovm_artifact_spark.tables import load
+
+from .conftest import SF_SMOKE
+
+
+def _orders(spark):
+    return Dataset(load(spark, SF_SMOKE, "orders"))
+
+
+def _lineitem(spark):
+    return Dataset(load(spark, SF_SMOKE, "lineitem"))
+
+
+def test_map_filter_project(spark):
+    ds = _lineitem(spark)
+    out = (
+        ds.filter(F.col("l_quantity") > 30)
+        .project("l_orderkey", "l_extendedprice")
+        .map(F.col("l_orderkey"), (F.col("l_extendedprice") * 2).alias("dbl"))
+    )
+    expected = (
+        load(spark, SF_SMOKE, "lineitem")
+        .filter("l_quantity > 30")
+        .selectExpr("l_orderkey", "l_extendedprice * 2 AS dbl")
+    )
+    assert out.df.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(out.df).isEmpty()
+
+
+def test_flat_map(spark):
+    ds = Dataset(spark.createDataFrame([("a b c",), ("d e",)], "s string"))
+    out = ds.flat_map(F.split("s", " "), "tok")
+    assert sorted(r.tok for r in out.collect()) == ["a", "b", "c", "d", "e"]
+
+
+def test_map_partition_pandas(spark):
+    ds = _orders(spark)
+
+    def double_price(pdfs):
+        for pdf in pdfs:
+            yield pd.DataFrame(
+                {"o_orderkey": pdf.o_orderkey, "p2": pdf.o_totalprice * 2}
+            )
+
+    out = ds.map_partition(double_price, "o_orderkey long, p2 double")
+    assert out.count() == ds.count()
+
+
+def test_grouped_aggregate_and_reduce(spark):
+    ds = _lineitem(spark)
+    agg = ds.group_by("l_returnflag").aggregate(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    exp = (
+        load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_reduce_group_sorted(spark):
+    ds = _orders(spark)
+
+    def span(key, pdf):
+        return pd.DataFrame(
+            {
+                "o_custkey": [key[0]],
+                "first_key": [pdf.o_orderkey.iloc[0]],
+                "n": [len(pdf)],
+            }
+        )
+
+    def span_kv(pdf):
+        pdf = pdf.sort_values("o_orderkey")
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf.o_custkey.iloc[0]],
+                "first_key": [pdf.o_orderkey.iloc[0]],
+                "n": [len(pdf)],
+            }
+        )
+
+    out = ds.group_by("o_custkey").reduce_group(
+        span_kv, "o_custkey long, first_key long, n long"
+    )
+    exp = (
+        load(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("first_key"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_min_by_max_by_grouped(spark):
+    ds = _orders(spark)
+    best = ds.group_by("o_custkey").max_by(["o_totalprice", F.lit(0) - F.col("o_orderkey")])
+    # deterministic: max price, then min orderkey
+    exp = (
+        load(spark, SF_SMOKE, "orders")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("o_custkey").orderBy(
+                    F.desc("o_totalprice"), F.asc("o_orderkey")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert sorted(map(tuple, best.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_joins_semi_anti_cross_union(spark):
+    cust = Dataset(load(spark, SF_SMOKE, "customer"))
+    orders = _orders(spark)
+    on = cust.df.c_custkey == orders.df.o_custkey
+    n_semi = cust.semi_join(orders, on).count()
+    n_anti = cust.anti_join(orders, on).count()
+    assert n_semi + n_anti == cust.count()
+    region = Dataset(load(spark, SF_SMOKE, "region"))
+    nation = Dataset(load(spark, SF_SMOKE, "nation"))
+    assert region.cross(nation).count() == region.count() * nation.count()
+    assert region.union(region).count() == 2 * region.count()
+    assert region.intersect(region).count() == region.count()
+    assert region.except_all(region).count() == 0
+
+
+def test_cogroup(spark):
+    cust = Dataset(load(spark, SF_SMOKE, "customer"))
+    orders = _orders(spark)
+
+    def pair(key, left, right):
+        return pd.DataFrame(
+            {"custkey": [key[0]], "n_cust": [len(left)], "n_orders": [len(right)]}
+        )
+
+    out = cust.co_group(
+        orders, ["c_custkey"], ["o_custkey"], pair, "custkey long, n_cust long, n_orders long"
+    )
+    total_orders = out.df.agg(F.sum("n_orders")).collect()[0][0]
+    assert total_orders == orders.count()
+
+
+def test_partitioning_ops(spark):
+    ds = _orders(spark)
+    assert ds.partition_by_hash("o_custkey", n=4).df.rdd.getNumPartitions() == 4
+    assert ds.rebalance(3).df.rdd.getNumPartitions() == 3
+    rng = ds.partition_by_range("o_orderkey", n=4)
+    assert rng.df.rdd.getNumPartitions() <= 4
+    custom = ds.partition_custom(F.col("o_orderkey") % 2, 2)
+    assert custom.count() == ds.count()
+    sp = ds.sort_partition(F.asc("o_orderkey"))
+    assert sp.count() == ds.count()
+
+
+def test_first_and_topk(spark):
+    ds = _orders(spark)
+    assert ds.first(7).count() == 7
+    top = ds.group_by("o_orderpriority").first(2, ["o_totalprice"])
+    counts = top.df.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_bulk_iteration(spark):
+    start = Dataset(spark.createDataFrame([(0,)], "v long"))
+    out = start.iterate(5, lambda df, i: df.select((F.col("v") + 1).alias("v")))
+    assert out.collect()[0].v == 5
+
+
+def test_delta_iteration_terminates_early(spark):
+    sol = Dataset(spark.createDataFrame([(1, 10)], "k long, val long"))
+    ws = Dataset(spark.createDataFrame([(1,)], "k long"))
+
+    def step(solution, workset, i):
+        # one round of work, then empty workset
+        return solution, workset.filter(F.lit(False))
+
+    out = sol.iterate_delta(ws, 100, step)
+    assert out.count() == 1

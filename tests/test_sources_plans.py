@@ -1,0 +1,85 @@
+"""Source/sink surface tests + physical-plan assertions (pushdown,
+pruning, broadcast) — the 'is this the plan you'd want at 100 TB' gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tornadovm_artifact_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from flink_tornadovm_artifact_spark.queries.relational import (
+    q01_filter_project,
+    q04_tpch_q3,
+    q06_broadcast_join,
+)
+from flink_tornadovm_artifact_spark.sources import (
+    from_collection,
+    generate_sequence,
+    read_csv_file,
+    read_text_file,
+    write_as_csv,
+    write_as_formatted_text,
+    write_as_text,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_csv_roundtrip_with_include_fields(spark, tmp_path):
+    df = from_collection(
+        spark,
+        [(1, "a", 1.5), (2, "b", 2.5)],
+        "id long, name string, score double",
+    )
+    p = str(tmp_path / "csv")
+    write_as_csv(df, p, mode="overwrite", field_delimiter="|")
+    # full-schema read with a projection mask keeping fields 0 and 2
+    back = read_csv_file(
+        spark, p, "id long, name string, score double",
+        include_fields="101", field_delimiter="|",
+    )
+    assert back.columns == ["id", "score"]
+    assert sorted(map(tuple, back.collect())) == [(1, 1.5), (2, 2.5)]
+
+
+def test_text_sinks_and_sources(spark, tmp_path):
+    df = from_collection(spark, [(1, "x"), (2, "y")], "k long, v string")
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    write_as_text(df, p1)
+    write_as_formatted_text(df, p2, "k=%d v=%s")
+    lines1 = sorted(r.value for r in read_text_file(spark, p1).collect())
+    lines2 = sorted(r.value for r in read_text_file(spark, p2).collect())
+    assert lines1 == ["1,x", "2,y"]
+    assert lines2 == ["k=1 v=x", "k=2 v=y"]
+
+
+def test_generate_sequence(spark):
+    df = generate_sequence(spark, 1, 100, partitions=4)
+    assert df.count() == 100
+    assert df.agg(F.sum("id")).collect()[0][0] == 5050
+
+
+def test_q01_pushdown_and_pruning(spark):
+    df = q01_filter_project(spark, SF_ORACLE)
+    filters = pushed_filters(df)
+    assert any("l_quantity" in f for f in filters), filters
+    cols = read_schema_columns(df)
+    # scan must read only the 3 referenced columns, not all 11
+    assert cols and set(cols[0]) == {"l_orderkey", "l_extendedprice", "l_quantity"}
+
+
+def test_q04_broadcasts_dimensions(spark):
+    df = q04_tpch_q3(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    # date filters pushed into the scans
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q06_broadcast_and_codegen(spark):
+    df = q06_broadcast_join(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert wholestage_codegen_spans(df) >= 1

@@ -1,0 +1,115 @@
+"""Streaming tests: file-source micro-batch runs verified against the
+equivalent batch computation on the same rows (the reference's dual-mode
+comparison idea, applied stream-vs-batch)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_tornadovm_artifact_spark.streaming import (
+    events_file_stream,
+    keyed_count_trigger,
+    keyed_running_agg,
+    memory_sink_run,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from flink_tornadovm_artifact_spark.tables import load
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load(spark, SF_SMOKE, "events")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_dir, batch_events):
+    stream = events_file_stream(spark, events_dir)
+    got = memory_sink_run(tumbling_window_agg(stream), "t_tumble", "update")
+    want = (
+        batch_events.groupBy(F.window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(F.col("win.start").alias("win_start"), "user_id", "min_value",
+                "max_value", "sum_value", "avg_value", "cnt")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_sliding_window_stream_matches_batch(spark, events_dir, batch_events):
+    stream = events_file_stream(spark, events_dir)
+    got = memory_sink_run(sliding_window_agg(stream), "t_slide", "update")
+    want = (
+        batch_events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "cnt", "sum_value")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_session_window_stream_matches_batch(spark, events_dir, batch_events):
+    stream = events_file_stream(spark, events_dir)
+    # session windows support only append/complete output; complete emits
+    # the full final state for a single micro-batch
+    got = memory_sink_run(session_window_agg(stream), "t_sess", "complete")
+    want = (
+        batch_events.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("sess_start"), "user_id", "cnt", "sum_value")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_keyed_running_agg_update_mode(spark, events_dir, batch_events):
+    stream = events_file_stream(spark, events_dir)
+    got = memory_sink_run(keyed_running_agg(stream), "t_running", "update")
+    # update mode emits the latest row per key; with one micro-batch the
+    # final state equals the batch aggregate
+    want = batch_events.groupBy("user_id").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("value").alias("sum_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_keyed_count_trigger_state(spark, events_dir, batch_events):
+    stream = events_file_stream(spark, events_dir)
+    got = memory_sink_run(keyed_count_trigger(stream, n=10), "t_trigger")
+    rows = got.collect()
+    assert all(r.cnt == 10 for r in rows)
+    # per key: floor(total/10) fired blocks
+    want = (
+        batch_events.groupBy("user_id")
+        .agg(F.floor(F.count(F.lit(1)) / 10).alias("blocks"))
+        .collect()
+    )
+    want_blocks = {r.user_id: r.blocks for r in want}
+    got_blocks: dict[int, int] = {}
+    for r in rows:
+        got_blocks[r.user_id] = got_blocks.get(r.user_id, 0) + 1
+    assert got_blocks == {k: v for k, v in want_blocks.items() if v > 0}
