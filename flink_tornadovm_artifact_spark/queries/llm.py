@@ -279,20 +279,37 @@ WHERE a.doc_id % 97 = 0 AND a.doc_id != b.doc_id
 # Dot products in double precision via zip_with/aggregate (sequential fold,
 # bit-identical to DuckDB's list_dot_product over DOUBLE[]).
 # ---------------------------------------------------------------------------
-def _cos(a: Column, b: Column) -> Column:
-    dot = lambda x, y: F.aggregate(
+def _dot(x: Column | str, y: Column | str) -> Column:
+    return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
     )
-    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_with_norm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the self-dot precomputed ONCE per row. Pairwise
+    cosine then needs a single fold per pair (dot / sqrt(n2_a) / sqrt(n2_b)
+    — identical op order to the inline form, so oracle floats bit-match)
+    instead of three; at N² pair counts the two self-dots dominate."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    return emb.withColumn("n2", _dot("v", "v"))
+
+
+def _cos_pre(a: str, b: str) -> Column:
+    """Cosine between pre-normed sides (aliases a/b from _emb_with_norm2)."""
+    return (
+        _dot(F.col(f"{a}.v"), F.col(f"{b}.v"))
+        / F.sqrt(F.col(f"{a}.n2"))
+        / F.sqrt(F.col(f"{b}.n2"))
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_norm2(spark, sf_dir)
     a = emb.filter(F.col("vec_id") % 50 == 0).alias("a")
     b = emb.alias("b")
-    sim = _cos(F.col("a.v"), F.col("b.v"))
+    sim = _cos_pre("a", "b")
     return (
         a.crossJoin(b)
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
@@ -323,12 +340,10 @@ WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id AND {_cos_sql} >= 0.9
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 5."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _emb_with_norm2(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5).alias("q")
     c = emb.alias("c")
-    sim = _cos(F.col("q.v"), F.col("c.v"))
+    sim = _cos_pre("q", "c")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
@@ -370,9 +385,7 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing is deterministic but not SQL-oracle friendly — the driver
     applies its rows-only check (no ORACLE entry, by design).
     """
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _emb_with_norm2(spark, sf_dir)
     # 8 hyperplanes; plane j has components +1/-1 by md5 bit of (j, dim).
     def plane_sign(j: int) -> Column:
         signed = F.expr(
@@ -385,10 +398,11 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id",
         "v",
+        "n2",
         F.concat(*[plane_sign(j) for j in range(8)]).alias("bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = _cos(F.col("a.v"), F.col("b.v"))
+    sim = _cos_pre("a", "b")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         a.join(b, "bucket")
