@@ -32,6 +32,13 @@ HEADLINE = [
     "q22_interval_join",
     "dedup_minhash_lsh",
     "similarity_topk",
+    # procedural pipelines (BASELINE.md rebuild benchmark set)
+    "vector_add_kernel",
+    "matmul_rows_kernel",
+    "dft_events",
+    "pi_estimation_weyl",
+    "kmeans_pipeline",
+    "logreg_pipeline",
 ]
 
 

@@ -24,19 +24,30 @@ from pyspark.sql import functions as F
 from .backend import get_backend, to_numpy
 
 
-def vector_add(df: DataFrame, a: str = "a", b: str = "b", out: str = "s") -> DataFrame:
-    """Element-wise add of two columns via an Arrow batch kernel."""
+def vector_add(
+    df: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    out: str = "s",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Element-wise add of two columns via an Arrow batch kernel.
+    ``keep`` columns pass through unchanged (e.g. a row id)."""
 
     def kernel(batches):
         xp = get_backend()
         for batch in batches:
             x = xp.asarray(batch.column(a).to_numpy(zero_copy_only=False))
             y = xp.asarray(batch.column(b).to_numpy(zero_copy_only=False))
+            cols = [batch.column(k) for k in keep]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(to_numpy(x + y))], names=[out]
+                cols + [pa.array(to_numpy(x + y))], names=[*keep, out]
             )
 
-    return df.mapInArrow(kernel, f"{out} double")
+    kept = "".join(
+        f"{k} {dict(df.dtypes)[k]}, " for k in keep
+    )
+    return df.mapInArrow(kernel, f"{kept}{out} double")
 
 
 def matmul_rows(

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import iot, llm, ml, relational, windows
+from . import iot, llm, ml, procedural, relational, windows
 
-_MODULES = (relational, iot, ml, windows, llm)
+_MODULES = (relational, iot, ml, windows, llm, procedural)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

@@ -482,6 +482,140 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# Q23 — TPC-H Q10 shape (reference ships TPCHQuery10.java as an example):
+# returned-item revenue per customer, top 20. Dims (customer, nation)
+# broadcast; lineitem and orders shuffle on the join keys.
+# ---------------------------------------------------------------------------
+def q23_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE["q23_tpch_q10"] = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, nation
+WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q24 — promo revenue ratio, TPC-H Q14 shape (exercises the `part` dim):
+# conditional aggregation over a broadcast fact-dim join.
+# ---------------------------------------------------------------------------
+def q24_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+ORACLE["q24_promo_revenue"] = """
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q25 — intersect / except (SQL INTERSECT/EXCEPT, SURVEY §2.D: present in
+# the reference's SQL planner, free in Spark as df.intersect/exceptAll).
+# ---------------------------------------------------------------------------
+def q25_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    both = even.intersect(urgent).agg(F.count(F.lit(1)).alias("n_intersect"))
+    only_even = even.distinct().exceptAll(urgent.distinct()).agg(
+        F.count(F.lit(1)).alias("n_except")
+    )
+    return both.crossJoin(only_even)
+
+
+ORACLE["q25_intersect_except"] = """
+SELECT
+  (SELECT COUNT(*) FROM
+    (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')) AS n_intersect,
+  (SELECT COUNT(*) FROM
+    (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+     EXCEPT
+     SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')) AS n_except
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q26 — count distinct, global and grouped (distinct aggregation planning:
+# Spark expands to a two-phase distinct aggregate; SURVEY §2.C).
+# ---------------------------------------------------------------------------
+def q26_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+ORACLE["q26_count_distinct"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS nd_parts,
+       COUNT(DISTINCT l_suppkey) AS nd_supps,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
