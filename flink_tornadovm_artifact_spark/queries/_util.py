@@ -17,6 +17,13 @@ from pyspark.sql import functions as F
 
 # Wide enough for any testdata magnitude; scale 4 covers 2-decimal money
 # columns and 4-decimal rates losslessly.
+#
+# Why DECIMAL and not a ×10000 scaled-BIGINT sum (which benches ~1.6×
+# faster locally): at 100 TB lineitem is ~6e11 rows; a scaled-long sum
+# reaches ~6e20 and silently wraps past the int64 max (9.2e18) with ANSI
+# off, while Spark's decimal sum auto-widens the result type
+# (decimal(18,4) → decimal(28,4), max 1e24) and stays exact. The decimal
+# overhead is the price of overflow-correctness at scale.
 DEC = "decimal(18,4)"
 
 

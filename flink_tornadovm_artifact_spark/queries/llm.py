@@ -595,3 +595,20 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: blob column → JVM-side metadata →
+    Arrow-batched decode+feature kernel (operators/multimodal.py, stubbed
+    codec). Rows-only check: the fake-decode math is Python-side; its
+    exact values are pinned by tests/test_multimodal.py instead."""
+    from ..operators.multimodal import decode_image_features, with_metadata
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    blobs = with_metadata(docs, "content").filter(F.col("meta.n_bytes") > 0)
+    return decode_image_features(blobs, id_col="doc_id")
+
+
+_register(multimodal_feature_extract, None)  # rows-only (Python kernel)

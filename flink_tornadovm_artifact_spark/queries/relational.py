@@ -18,6 +18,7 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -613,6 +614,66 @@ SELECT l_returnflag,
        COUNT(DISTINCT l_suppkey) AS nd_supps,
        COUNT(*) AS cnt
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q27 — SQL entry point (SURVEY §3.3): the same engine consumed through
+# spark.sql() over registered views, proving Table/SQL-API parity
+# (the reference ships the full Flink SQL stack; Spark SQL is the analog).
+# ---------------------------------------------------------------------------
+def q27_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+ORACLE["q27_sql_api"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q28 — pandas UDAF (grouped-agg pandas_udf): the reference's custom
+# AggregateFunction surface (SURVEY §2.K) on the Arrow-vectorized path.
+# NumPy's pairwise mean differs from DuckDB's sequential AVG by ~1e-11 —
+# far inside the oracle's 4-dp rounding.
+# ---------------------------------------------------------------------------
+def q28_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    @F.pandas_udf("long")
+    def pcount(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg
+        return int(len(v))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        pmean("value").alias("mean_value"),
+        pcount("value").alias("cnt"),
+    )
+
+
+ORACLE["q28_pandas_udaf"] = """
+SELECT event_type, AVG(value) AS mean_value, COUNT(*) AS cnt
+FROM events GROUP BY event_type
 """
 
 
