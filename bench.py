@@ -51,10 +51,18 @@ def main() -> None:
     from flink_tornadovm_artifact_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    # warm the JVM + parquet footer caches so timings measure the queries
-    QUERIES["q17_iot_global_reduce"](spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm each query's whole-stage-codegen + JVM JIT at the smallest sf
+    # so the sf timings measure steady-state execution, not first-compile
+    # cost — the same averaged-over-repeats protocol as the reference
+    # (Evaluation/Speedups.java calculateAVG over repeated job runs).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces errors
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -2,12 +2,15 @@
 (SURVEY.md §2.G)."""
 
 from .core import (
+    allowed_lateness_side_output,
+    connect_with_control,
     deduplicate_stream,
     interval_join_streams,
     keyed_count_trigger,
     keyed_running_agg,
     session_window_agg,
     sliding_window_agg,
+    split_stream,
     tumbling_window_agg,
 )
 from .sources import events_file_stream, memory_sink_run
@@ -20,6 +23,9 @@ __all__ = [
     "keyed_count_trigger",
     "interval_join_streams",
     "deduplicate_stream",
+    "split_stream",
+    "connect_with_control",
+    "allowed_lateness_side_output",
     "events_file_stream",
     "memory_sink_run",
 ]

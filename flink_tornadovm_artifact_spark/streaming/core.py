@@ -180,3 +180,44 @@ def deduplicate_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates(
         key_cols + [ts_col]
     )
+
+
+def split_stream(
+    events: DataFrame, predicate: "F.Column"
+) -> tuple[DataFrame, DataFrame]:
+    """Side outputs / DataStream.split (DataStream.java:244,
+    SingleOutputStreamOperator.getSideOutput): demultiplex one stream
+    into (matching, non-matching). Spark-first shape: two filtered
+    queries over the SAME source DataFrame — each writeStream gets its
+    own sink; the source is read once per trigger by each query."""
+    return events.filter(predicate), events.filter(~predicate)
+
+
+def connect_with_control(
+    events: DataFrame,
+    control: DataFrame,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Broadcast-state / connect pattern (DataStream.connect:258,
+    BroadcastStream): enrich a stream against a slowly-changing control
+    table via a stream-static broadcast join. The static side is re-read
+    per micro-batch, which is exactly Flink's broadcast-state refresh
+    semantics approximated at trigger granularity."""
+    return events.join(F.broadcast(control), key_col, "left")
+
+
+def allowed_lateness_side_output(
+    events: DataFrame,
+    watermark: str,
+    ts_col: str = "ts",
+) -> tuple[DataFrame, DataFrame]:
+    """allowedLateness + sideOutputLateData (WindowedStream.java:158,177):
+    the main channel is the watermarked stream (late rows dropped by the
+    engine); the side channel tags rows older than the allowed lateness
+    relative to the observed max — approximated per micro-batch with a
+    processing-time reference, since SS exposes no per-row 'is late' flag."""
+    main = events.withWatermark(ts_col, watermark)
+    late_tagged = events.filter(
+        F.col(ts_col) < F.current_timestamp() - F.expr(f"INTERVAL {watermark}")
+    )
+    return main, late_tagged

@@ -113,3 +113,64 @@ def test_keyed_count_trigger_state(spark, events_dir, batch_events):
     for r in rows:
         got_blocks[r.user_id] = got_blocks.get(r.user_id, 0) + 1
     assert got_blocks == {k: v for k, v in want_blocks.items() if v > 0}
+
+
+def test_split_stream_side_outputs(spark, events_dir, batch_events):
+    from flink_tornadovm_artifact_spark.streaming import split_stream
+
+    stream = events_file_stream(spark, events_dir)
+    hot, cold = split_stream(stream, F.col("value") > 0)
+    got_hot = memory_sink_run(hot, "t_split_hot")
+    got_cold = memory_sink_run(cold, "t_split_cold")
+    n_hot = batch_events.filter(F.col("value") > 0).count()
+    assert got_hot.count() == n_hot
+    assert got_cold.count() == batch_events.count() - n_hot
+
+
+def test_connect_with_control_broadcast_join(spark, events_dir, batch_events):
+    from flink_tornadovm_artifact_spark.streaming import connect_with_control
+
+    control = spark.createDataFrame(
+        [("click", 2.0), ("view", 0.5)], "event_type string, weight double"
+    )
+    stream = events_file_stream(spark, events_dir)
+    got = memory_sink_run(connect_with_control(stream, control), "t_connect")
+    want = batch_events.join(F.broadcast(control), "event_type", "left")
+    assert got.count() == batch_events.count()
+    assert (
+        got.filter(F.col("weight").isNull()).count()
+        == want.filter(F.col("weight").isNull()).count()
+    )
+
+
+def test_interval_join_streams_matches_batch_q22_shape(
+    spark, events_dir, batch_events
+):
+    from flink_tornadovm_artifact_spark.streaming import interval_join_streams
+
+    stream = events_file_stream(spark, events_dir)
+    got = memory_sink_run(
+        interval_join_streams(stream, stream, bound="5 minutes"),
+        "t_ivl",
+    ).filter(F.col("left_id") < F.col("right_id"))
+    ev = batch_events.select("event_id", "user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    want = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    )
+    assert got.count() == want.count()
+
+
+def test_deduplicate_stream(spark, events_dir, batch_events):
+    from flink_tornadovm_artifact_spark.streaming import deduplicate_stream
+
+    stream = events_file_stream(spark, events_dir)
+    got = memory_sink_run(
+        deduplicate_stream(stream, ["user_id"]), "t_dedup"
+    )
+    want = batch_events.dropDuplicates(["user_id", "ts"])
+    assert got.count() == want.count()
