@@ -1,0 +1,158 @@
+"""Property-based differential tests (hypothesis): engine operators vs
+brute-force Python oracles on adversarial random inputs.
+
+The reference has no property tests (SURVEY §5); these go beyond its
+strategy to pin the invariants that are easiest to get subtly wrong:
+bucketized interval-join coverage at exact ±bound boundaries, salted-agg
+equivalence under heavy key skew, and arg-min/max tie-breaking.
+
+Example counts are small (Spark round-trip per example ~0.5 s), but
+hypothesis shrinks failures to minimal cases, which a fixed fixture
+never does.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_tornadovm_artifact_spark.operators.scale import salted_agg
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic across driver runs
+)
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+# timestamps with microsecond jitter around ±300 s grid boundaries — the
+# adversarial region for the q22 bucketization
+_ts = st.integers(min_value=0, max_value=3 * 3600 * 1_000_000).map(
+    lambda us: _EPOCH + dt.timedelta(microseconds=us)
+)
+_events = st.lists(
+    st.tuples(st.integers(0, 5), _ts),  # (user_id, ts)
+    min_size=0,
+    max_size=40,
+    unique=True,
+)
+
+
+@given(_events)
+@settings(**SETTINGS)
+def test_interval_join_grid_equals_bruteforce(spark, rows):
+    data = [(i, u, t) for i, (u, t) in enumerate(rows)]
+    bound_us = 300 * 1_000_000
+    expected = {}
+    for i, u, t in data:
+        for j, v, s in data:
+            if u == v and i < j and abs((t - s).total_seconds() * 1e6) <= bound_us:
+                expected[u] = expected.get(u, 0) + 1
+
+    if not data:
+        return
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    g = (F.unix_timestamp("ts") / 300).cast("bigint")
+    ev = df.withColumn("g", g)
+    a = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(F.col("g") - 1, F.col("g"), F.col("g") + 1)).alias("g"),
+    ).alias("a")
+    b = ev.alias("b")
+    pairs = a.join(b, ["user_id", "g"]).filter(
+        (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    got = {
+        r["user_id"]: r["n"]
+        for r in pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_salted_agg_equals_bruteforce(spark, rows):
+    # key 0 is deliberately hot in many draws (range only 0..2)
+    expected: dict[int, list[int]] = {}
+    for k, v in rows:
+        expected.setdefault(k, []).append(v)
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r
+        for r in salted_agg(
+            df, ["k"], {"s": ("sum", "v"), "n": ("count", "v"),
+                        "lo": ("min", "v"), "hi": ("max", "v")},
+            n_salts=4,
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, vs in expected.items():
+        assert got[k]["s"] == sum(vs)
+        assert got[k]["n"] == len(vs)
+        assert got[k]["lo"] == min(vs)
+        assert got[k]["hi"] == max(vs)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 5)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_grouped_maxby_tiebreak_matches_bruteforce(spark, rows):
+    # (key, score, id): arg-max on score, ties broken by ascending id —
+    # the pinned-determinism contract from SURVEY §7's risk register
+    data = [(k, s, i) for i, (k, s, _) in enumerate(rows)]
+    expected = {}
+    for k, s, i in data:
+        cur = expected.get(k)
+        if cur is None or (s, -i) > (cur[0], -cur[1]):
+            expected[k] = (s, i)
+    df = spark.createDataFrame(data, "k long, score long, id long")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy(F.desc("score"), F.asc("id"))
+    got = {
+        r["k"]: (r["score"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(st.integers(0, 30), max_size=40),
+    st.lists(st.integers(0, 30), max_size=40),
+)
+@settings(**SETTINGS)
+def test_set_ops_match_python_semantics(spark, xs, ys):
+    if not xs or not ys:
+        return
+    a = spark.createDataFrame([(x,) for x in xs], "v long")
+    b = spark.createDataFrame([(y,) for y in ys], "v long")
+    assert {r["v"] for r in a.intersect(b).collect()} == set(xs) & set(ys)
+    # exceptAll: multiset difference
+    from collections import Counter
+
+    diff = Counter(xs) - Counter(ys)
+    got = Counter(r["v"] for r in a.exceptAll(b).collect())
+    assert got == diff
+    assert {r["v"] for r in a.union(b).distinct().collect()} == set(xs) | set(ys)
