@@ -129,20 +129,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Group docs per (band_id, band_key) bucket and emit i<j pairs from
+    # each bucket array — ONE pass over the signatures (a band self-join
+    # would compute the md5 pipeline twice; Catalyst does not reuse the
+    # subtree across self-join sides) and one shuffle on the band key.
+    # Bucket arrays are bounded by the LSH collision rate; a degenerate
+    # all-identical corpus degrades quadratically in either formulation.
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # NB: the outer transform lambda is deliberately 2-ary — PySpark
+    # passes the element index as the second argument.
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return pairs
 
 
 _mh_sql = ",\n         ".join(
