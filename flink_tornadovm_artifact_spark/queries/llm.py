@@ -408,21 +408,47 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(signed >= 0, F.lit("1")).otherwise(F.lit("0"))
 
+    # Signatures once: bucket ids only, emit in-bucket candidate id pairs
+    # from the grouped array (same shape as dedup_minhash_lsh), then join
+    # the vectors back by id for the exact-cosine rerank. At scale this is
+    # the materialize-candidates-then-fetch-vectors pipeline; the heavy
+    # hyperplane folds never run twice.
     bucketed = emb.select(
         "vec_id",
-        "v",
-        "n2",
         F.concat(*[plane_sign(j) for j in range(8)]).alias("bucket"),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    buckets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            # 2-ary lambda: PySpark passes the element index second
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("qid"), y.alias("nid")),
+            ),
+        )
+    )
+    cand = buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.qid", "p.nid"
+    )
+    # in-bucket pairs are emitted once with qid<nid; top-k needs both
+    # directions, so mirror before the rerank
+    cand = cand.union(
+        cand.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
     sim = _cos_pre("a", "b")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        cand.join(a, cand.qid == F.col("a.vec_id"))
+        .join(b, cand.nid == F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
             sim.alias("cosine"),
         )
         .withColumn("rn", F.row_number().over(w))

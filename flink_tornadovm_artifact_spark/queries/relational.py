@@ -649,6 +649,43 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# Q29 — reduceGroup as applyInPandas (UnsortedGrouping.reduceGroup:174,
+# GroupReduceDriver): the full group materializes as one pandas frame —
+# the documented scale caveat — and the UDF may be non-associative.
+# Integer-only math keeps the oracle exact.
+# ---------------------------------------------------------------------------
+def q29_reduce_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deliberately order-dependent formulation (sorted first/last)
+        # to exercise true full-group semantics, not a combinable fold
+        s = pdf.sort_values("l_orderkey")
+        return pd.DataFrame(
+            {
+                "l_returnflag": [s["l_returnflag"].iloc[0]],
+                "n": [len(s)],
+                "first_key": [int(s["l_orderkey"].iloc[0])],
+                "last_key": [int(s["l_orderkey"].iloc[-1])],
+                "key_checksum": [int(s["l_orderkey"].astype("int64").sum())],
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    return li.groupBy("l_returnflag").applyInPandas(
+        summarize,
+        "l_returnflag string, n long, first_key long, last_key long, "
+        "key_checksum long",
+    )
+
+
+ORACLE["q29_reduce_group"] = """
+SELECT l_returnflag, COUNT(*) AS n,
+       MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q28 — pandas UDAF (grouped-agg pandas_udf): the reference's custom
 # AggregateFunction surface (SURVEY §2.K) on the Arrow-vectorized path.
 # NumPy's pairwise mean differs from DuckDB's sequential AVG by ~1e-11 —
