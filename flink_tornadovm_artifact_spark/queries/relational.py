@@ -714,6 +714,102 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q30 — TPC-H Q5 shape: 5-way join through region→nation→(customer,
+# supplier)→orders→lineitem with the same-nation condition. Dims broadcast;
+# facts shuffle on join keys only.
+# ---------------------------------------------------------------------------
+def q30_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+ORACLE["q30_tpch_q5"] = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue
+FROM lineitem, orders, supplier, customer, nation, region
+WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q31 — TPC-H Q18 shape: large-quantity orders via HAVING on a grouped
+# sum, then semi-joined back to orders (aggregate→filter→join pipeline).
+# ---------------------------------------------------------------------------
+def q31_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+    )
+
+
+ORACLE["q31_tpch_q18"] = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {dsum_sql('l_quantity')} > 150) big
+  ON o_orderkey = big.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q32 — correlated aggregate subquery (Catalyst decorrelation; the
+# reference's Blink planner lists the same rewrite, SURVEY §4.1):
+# customers with above-nation-average account balance.
+# ---------------------------------------------------------------------------
+def q32_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, tables=("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+ORACLE["q32_correlated_subquery"] = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_nationkey = c.c_nationkey)
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
