@@ -810,6 +810,63 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# Q33 — window FRAMES: running decimal sum + first/last value over
+# ROWS UNBOUNDED PRECEDING (the OVER-window frame surface of §2.H that
+# q15's rank/lag/lead does not touch).
+# ---------------------------------------------------------------------------
+def q33_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.count(F.lit(1)).over(w).alias("orders_so_far"),
+    )
+
+
+ORACLE["q33_window_frames"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_total,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       COUNT(*) OVER w AS orders_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q34 — explode / lateral view (flatMap as a declared query, the
+# UDTF-shaped surface of §2.K): token frequencies of order priorities.
+# ---------------------------------------------------------------------------
+def q34_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.explode(F.split("o_orderpriority", "-")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE["q34_explode_tokens"] = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS token FROM orders)
+GROUP BY token
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -83,3 +83,46 @@ def test_q06_broadcast_and_codegen(spark):
     df = q06_broadcast_join(spark, SF_ORACLE)
     assert has_broadcast_join(df)
     assert wholestage_codegen_spans(df) >= 1
+
+
+def test_q22_no_cartesian_no_range_nested_loop(spark):
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.windows import q22_interval_join
+
+    plan = explain_str(q22_interval_join(spark, SF_ORACLE))
+    # the bucketized interval join must stay an equi-join — a nested-loop
+    # formulation would be quadratic per user at scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q23_q30_broadcast_dims(spark):
+    from flink_tornadovm_artifact_spark.queries.relational import (
+        q23_tpch_q10,
+        q30_tpch_q5,
+    )
+
+    assert has_broadcast_join(q23_tpch_q10(spark, SF_ORACLE))
+    assert has_broadcast_join(q30_tpch_q5(spark, SF_ORACLE))
+
+
+def test_q31_partial_aggregation_before_join(spark):
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.relational import q31_tpch_q18
+
+    plan = explain_str(q31_tpch_q18(spark, SF_ORACLE))
+    # grouped-sum side aggregates before the join (two HashAggregate
+    # phases), and the HAVING filter applies to the aggregate, pre-join
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_single_signature_scan(spark):
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.llm import dedup_minhash_lsh
+
+    # simple mode: one "FileScan" marker per scan (formatted mode prints
+    # each scan twice — tree row + detail block)
+    plan = explain_str(dedup_minhash_lsh(spark, SF_ORACLE), "simple")
+    # bucket-array pair generation reads documents ONCE (the old
+    # self-join formulation scanned and hashed it twice)
+    assert plan.count("FileScan") == 1
