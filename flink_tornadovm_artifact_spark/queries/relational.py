@@ -867,6 +867,30 @@ GROUP BY token
 """
 
 
+# ---------------------------------------------------------------------------
+# Q35 — exact percentiles (ordered-set aggregate surface; Spark
+# `percentile` ≡ DuckDB `quantile_cont`, both linear-interpolating).
+# approx_percentile/approx_count_distinct exist in both engines but use
+# different sketches, so only the exact form is oracle-checkable.
+# ---------------------------------------------------------------------------
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+ORACLE["q35_percentiles"] = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       COUNT(*) AS cnt
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
