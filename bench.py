@@ -24,6 +24,8 @@ import time
 HEADLINE = [
     "q03_tpch_q1",
     "q04_tpch_q3",
+    "q23_tpch_q10",
+    "q30_tpch_q5",
     "q17_iot_global_reduce",
     "q18_iot_window_agg",
     "q19_iot_outliers",
