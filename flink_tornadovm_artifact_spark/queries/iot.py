@@ -117,6 +117,37 @@ WHERE ABS(value - mean_v) > 2 * sd_v
 """
 
 
+# ---------------------------------------------------------------------------
+# Q36 — JSON extraction (§2.H: Spark's JSON surface is a superset of
+# Flink 1.11's): pull the numeric payload out of events.props and
+# aggregate it per event type.
+# ---------------------------------------------------------------------------
+def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_big"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+ORACLE["q36_json_extract"] = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       COUNT(*) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -68,8 +68,9 @@ FROM (SELECT md5(text) AS h, COUNT(*) AS copies FROM documents GROUP BY 1)
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup.
 # tokens → word 3-shingles → k=8 md5 minhashes → 4 bands × 2 rows →
-# band-bucket equi-join for candidate pairs. The join key (band_id,
-# band_key) is the only shuffle — this is the scale path (no all-pairs).
+# group doc ids per band bucket → emit i<j pairs from each bucket array.
+# The band key is the only shuffle and the signature pipeline runs once
+# — this is the scale path (no all-pairs, no self-join double-compute).
 # ---------------------------------------------------------------------------
 _MINHASH_K = 8
 _BANDS = 4  # rows per band = _MINHASH_K // _BANDS = 2
