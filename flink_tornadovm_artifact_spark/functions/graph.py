@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sizing import sized_shuffle as _sized_shuffle
+
 
 def pagerank(
     edges: DataFrame,
@@ -22,37 +24,43 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over an edge list (src long, dst long). Returns
     (vertex, rank). Dangling vertices keep the teleport mass."""
-    vertices = (
-        edges.select(F.col("src").alias("vertex"))
-        .union(edges.select(F.col("dst").alias("vertex")))
-        .distinct()
-        .persist()
-    )
-    n = vertices.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.vertex)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("vertex")
-            .agg(F.sum("c").alias("inflow"))
+    with _sized_shuffle(edges):
+        vertices = (
+            edges.select(F.col("src").alias("vertex"))
+            .union(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .persist()
         )
-        ranks = (
-            vertices.join(contribs, "vertex", "left")
-            .select(
-                "vertex",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
+        n = vertices.count()
+        out_deg = (
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+        )
+        ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(iterations):
+            contribs = (
+                edges.join(ranks, edges.src == ranks.vertex)
+                .join(out_deg, "src")
+                .select(
+                    F.col("dst").alias("vertex"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("vertex")
+                .agg(F.sum("c").alias("inflow"))
             )
-            .localCheckpoint(eager=True)
-        )
-    vertices.unpersist()
-    out_deg.unpersist()
-    return ranks
+            ranks = (
+                vertices.join(contribs, "vertex", "left")
+                .select(
+                    "vertex",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        vertices.unpersist()
+        out_deg.unpersist()
+        return ranks
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
@@ -60,43 +68,51 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     solution = (vertex, component); workset = vertices whose label
     changed last round. Terminates when the workset empties. Returns
     (vertex, component) with component = min vertex id in the component."""
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    solution = (
-        und.select(F.col("src").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
-        .localCheckpoint(eager=True)
-    )
-    workset = solution
-    for _ in range(max_iterations):
-        # candidate labels flowing across edges from changed vertices
-        candidates = (
-            und.join(workset, und.src == workset.vertex)
-            .select(F.col("dst").alias("vertex"), F.col("component").alias("cand"))
-            .groupBy("vertex")
-            .agg(F.min("cand").alias("cand"))
+    with _sized_shuffle(edges):
+        und = (
+            edges.select("src", "dst")
+            .union(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .persist()
         )
-        joined = solution.join(candidates, "vertex", "left")
-        new_solution = joined.select(
-            "vertex",
-            F.least(F.col("component"), F.coalesce("cand", F.col("component"))).alias(
-                "component"
-            ),
-        ).localCheckpoint(eager=True)
-        workset = (
-            new_solution.alias("n")
-            .join(solution.alias("o"), "vertex")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .select("vertex", F.col("n.component").alias("component"))
+        solution = (
+            und.select(F.col("src").alias("vertex"))
+            .distinct()
+            .withColumn("component", F.col("vertex"))
             .localCheckpoint(eager=True)
         )
-        solution = new_solution
-        if workset.isEmpty():
-            break
-    und.unpersist()
-    return solution
+        workset = solution
+        for _ in range(max_iterations):
+            # candidate labels flowing across edges from changed vertices
+            candidates = (
+                und.join(workset, und.src == workset.vertex)
+                .select(
+                    F.col("dst").alias("vertex"),
+                    F.col("component").alias("cand"),
+                )
+                .groupBy("vertex")
+                .agg(F.min("cand").alias("cand"))
+            )
+            joined = solution.join(candidates, "vertex", "left")
+            new_solution = joined.select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("cand", F.col("component"))
+                ).alias("component"),
+            ).localCheckpoint(eager=True)
+            workset = (
+                new_solution.alias("n")
+                .join(solution.alias("o"), "vertex")
+                .filter(F.col("n.component") < F.col("o.component"))
+                .select("vertex", F.col("n.component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            solution = new_solution
+            if workset.isEmpty():
+                break
+        und.unpersist()
+        return solution

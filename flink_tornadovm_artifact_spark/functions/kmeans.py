@@ -44,29 +44,32 @@ def kmeans(
 ) -> list[tuple[int, float, float]]:
     """Run Lloyd's algorithm; ``points`` needs columns (px, py).
     Returns the final centroid list [(cid, x, y), ...]."""
-    points = points.select("px", "py").persist()
-    try:
-        cents = list(init_centroids)
-        for _ in range(iterations):
-            assigned = points.withColumn("cid", _nearest_cid(cents))
-            stats = (
-                assigned.groupBy("cid")
-                .agg(
-                    F.sum("px").alias("sx"),
-                    F.sum("py").alias("sy"),
-                    F.count(F.lit(1)).alias("n"),
+    from .sizing import sized_shuffle
+
+    with sized_shuffle(points):
+        points = points.select("px", "py").persist()
+        try:
+            cents = list(init_centroids)
+            for _ in range(iterations):
+                assigned = points.withColumn("cid", _nearest_cid(cents))
+                stats = (
+                    assigned.groupBy("cid")
+                    .agg(
+                        F.sum("px").alias("sx"),
+                        F.sum("py").alias("sy"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            new = {r["cid"]: (r["sx"] / r["n"], r["sy"] / r["n"]) for r in stats}
-            # empty clusters keep their previous position (reference
-            # semantics: centroid only moves when points are assigned)
-            cents = [
-                (c, *(new.get(c, (x, y)))) for c, x, y in cents
-            ]
-        return cents
-    finally:
-        points.unpersist()
+                new = {
+                    r["cid"]: (r["sx"] / r["n"], r["sy"] / r["n"]) for r in stats
+                }
+                # empty clusters keep their previous position (reference
+                # semantics: centroid only moves when points are assigned)
+                cents = [(c, *(new.get(c, (x, y)))) for c, x, y in cents]
+            return cents
+        finally:
+            points.unpersist()
 
 
 def kmeans_numpy(

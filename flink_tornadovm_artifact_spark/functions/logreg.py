@@ -30,6 +30,13 @@ def train(
 ) -> np.ndarray:
     """Full-batch GD; ``data`` columns: features array<double>, label
     double. Returns the learned weight vector (length dim)."""
+    from .sizing import sized_shuffle
+
+    with sized_shuffle(data):
+        return _train_loop(data, dim, iterations, lr, features_col, label_col)
+
+
+def _train_loop(data, dim, iterations, lr, features_col, label_col):
     data = data.select(features_col, label_col).persist()
     sc = data.sparkSession.sparkContext
     try:
