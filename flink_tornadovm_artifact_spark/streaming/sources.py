@@ -25,12 +25,21 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
+def events_file_stream(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-monitor source over a directory of events parquet files.
     The nanos timestamp rides as long and is converted exactly like the
-    batch loader (tables.load)."""
+    batch loader (tables.load). ``max_files_per_trigger`` bounds each
+    micro-batch (Flink's file-monitor splits analog) — required to
+    observe watermark progression across batches in tests."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(directory)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

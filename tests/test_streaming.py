@@ -174,3 +174,57 @@ def test_deduplicate_stream(spark, events_dir, batch_events):
     )
     want = batch_events.dropDuplicates(["user_id", "ts"])
     assert got.count() == want.count()
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """True late-data policy check: a row older than the watermark arriving
+    in a LATER micro-batch is dropped from the windowed aggregate
+    (allowedLateness semantics, WindowedStream.java:158)."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wm_events"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        # (event_id, minutes, user_id) → EVENTS_SCHEMA with nanos ts
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [int(r[1] * 60e9) for r in rows], pa.int64()
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["t"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, d / name)
+
+    # batch 1: window [0,10) has 2 rows; watermark advances to 25 min
+    write_batch("b1.parquet", [(1, 0.0, 7), (2, 9.0, 7), (3, 30.0, 7)])
+    _time.sleep(1.1)  # mtime-ordered triggers
+    # batch 2: fresh row only — [0,10) state emits and EVICTS this batch
+    # (Spark only guarantees the drop after eviction; a late row arriving
+    # in the same batch as the eviction still merges)
+    write_batch("b2.parquet", [(4, 50.0, 7)])
+    _time.sleep(1.1)
+    # batch 3: the very-late row for the already-evicted [0,10) window,
+    # plus a fresh row to finalize remaining windows
+    write_batch("b3.parquet", [(5, 2.0, 7), (6, 70.0, 7)])
+
+    stream = events_file_stream(spark, str(d), max_files_per_trigger=1)
+    got = memory_sink_run(
+        tumbling_window_agg(stream, size="10 minutes", watermark="5 minutes"),
+        "t_late",
+        "append",
+    )
+    counts = {r["win_start"].minute: r["cnt"] for r in got.collect()}
+    # the [0,10) window finalized WITHOUT the late event_id=5
+    assert counts[0] == 2, counts
+    # and the late row did not resurrect the window as a duplicate emit
+    assert sum(1 for r in got.collect() if r["win_start"].minute == 0) == 1
