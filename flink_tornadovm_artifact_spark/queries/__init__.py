@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import iot, llm, ml, procedural, relational, windows
+from . import iot, llm, ml, procedural, relational, tpch, windows
 
-_MODULES = (relational, iot, ml, windows, llm, procedural)
+_MODULES = (relational, tpch, iot, ml, windows, llm, procedural)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
