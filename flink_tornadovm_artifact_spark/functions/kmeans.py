@@ -3,8 +3,10 @@ bulk loop: map points to nearest broadcast centroid, per-centroid
 (sum, count) reduce, recompute centroids).
 
 Spark-first shape: the centroid set is tiny, so each iteration
-1. unrolls nearest-centroid into a scalar CASE expression (pure
-   whole-stage-codegen map — no join, no window, no shuffle on points),
+1. unrolls nearest-centroid into a scalar LEAST(struct(d2, cid))
+   expression (pure whole-stage-codegen map — no join, no window, no
+   shuffle on points; each distance is computed once, so the generated
+   code stays small and the per-iteration compile is cheap),
 2. aggregates (cid → sum_x, sum_y, count) — one partial+final agg,
 3. collects the k-row result to the driver and rebuilds the expression.
 
@@ -20,21 +22,18 @@ from pyspark.sql import functions as F
 
 
 def _nearest_cid(centroids: list[tuple[int, float, float]]) -> Column:
-    def d2(cx: float, cy: float) -> Column:
-        dx = F.col("px") - F.lit(cx)
-        dy = F.col("py") - F.lit(cy)
-        return dx * dx + dy * dy
-
-    d = {c: d2(x, y) for c, x, y in centroids}
-    cids = [c for c, _, _ in centroids]
-    pred = F.lit(cids[-1])
-    for i in range(len(cids) - 2, -1, -1):
-        cond = None
-        for j in range(i + 1, len(cids)):
-            leq = d[cids[i]] <= d[cids[j]]
-            cond = leq if cond is None else (cond & leq)
-        pred = F.when(cond, F.lit(cids[i])).otherwise(pred)
-    return pred
+    """LEAST over struct(d2, cid): struct comparison orders by distance
+    first, then cid — equal-distance ties go to the smallest cid, which
+    matches NumPy argmin's first-wins when centroids are cid-ascending
+    (callers pass them sorted)."""
+    structs = []
+    for c, x, y in centroids:
+        dx = F.col("px") - F.lit(x)
+        dy = F.col("py") - F.lit(y)
+        structs.append(
+            F.struct((dx * dx + dy * dy).alias("d2"), F.lit(c).alias("cid"))
+        )
+    return F.least(*structs).getField("cid")
 
 
 def kmeans(
