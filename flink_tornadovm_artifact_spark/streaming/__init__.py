@@ -12,6 +12,8 @@ from .core import (
     sliding_window_agg,
     split_stream,
     tumbling_window_agg,
+    windowed_cogroup,
+    windowed_join_streams,
 )
 from .sources import events_file_stream, memory_sink_run
 
@@ -22,6 +24,8 @@ __all__ = [
     "keyed_running_agg",
     "keyed_count_trigger",
     "interval_join_streams",
+    "windowed_join_streams",
+    "windowed_cogroup",
     "deduplicate_stream",
     "split_stream",
     "connect_with_control",

@@ -170,6 +170,95 @@ def interval_join_streams(
     )
 
 
+def windowed_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    size: str = "10 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed stream-stream equi-join (JoinedStreams.java: two keyed
+    streams joined within the SAME tumbling window). Each side is
+    assigned its window struct from event time; the join key is
+    (key, window), so Spark's state store can evict a window's join
+    state once the watermark passes its end — bounded state at any
+    scale, exactly Flink's window-scoped join buffer."""
+    # Only ONE event-time column may survive per side: the window struct
+    # inherits the watermark, so the raw ts column must be projected out.
+    l = (
+        left.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.window(ts_col, size).alias("win"),
+            F.col("event_id").alias("left_id"),
+        )
+        .alias("l")
+    )
+    r = (
+        right.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("r_key"),
+            F.window(ts_col, size).alias("r_win"),
+            F.col("event_id").alias("right_id"),
+        )
+        .alias("r")
+    )
+    return l.join(
+        r,
+        (F.col(f"l.{key_col}") == F.col("r.r_key"))
+        & (F.col("l.win") == F.col("r.r_win")),
+        "inner",
+    ).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col("l.win.start").alias("win_start"),
+        "left_id",
+        "right_id",
+    )
+
+
+def windowed_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    size: str = "10 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Windowed coGroup (CoGroupedStreams.java): per (window, key), BOTH
+    streams' elements as arrays — including keys present on only one
+    side, Flink's full-outer group pairing. Spark-first shape: tag each
+    side, union, and collect per-side lists in ONE windowed aggregate —
+    a single shuffle on (window, key), no join state, and late rows are
+    governed by one watermark. (``collect_list`` skips the nulls the
+    CASE produces for the other side's rows.)"""
+    l = left.select(
+        key_col, ts_col, F.col(value_col).alias("v"), F.lit("L").alias("side")
+    )
+    r = right.select(
+        key_col, ts_col, F.col(value_col).alias("v"), F.lit("R").alias("side")
+    )
+    u = l.unionByName(r).withWatermark(ts_col, watermark)
+    return (
+        u.groupBy(F.window(ts_col, size).alias("win"), key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == "L", F.col("v")))
+            ).alias("left_vals"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == "R", F.col("v")))
+            ).alias("right_vals"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            key_col,
+            "left_vals",
+            "right_vals",
+        )
+    )
+
+
 def deduplicate_stream(
     events: DataFrame,
     key_cols: list[str],

@@ -165,6 +165,70 @@ def test_interval_join_streams_matches_batch_q22_shape(
     assert got.count() == want.count()
 
 
+def test_windowed_join_streams_matches_batch(spark, events_dir, batch_events):
+    from flink_tornadovm_artifact_spark.streaming import windowed_join_streams
+
+    stream = events_file_stream(spark, events_dir)
+    got = memory_sink_run(
+        windowed_join_streams(stream, stream, size="10 minutes"),
+        "t_winjoin",
+    ).filter(F.col("left_id") < F.col("right_id"))
+    ev = batch_events.select(
+        "event_id", "user_id", "ts", F.window("ts", "10 minutes").alias("win")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    want = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.win") == F.col("b.win"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    )
+    assert got.count() == want.count()
+
+
+def test_windowed_cogroup_matches_batch(spark, events_dir, batch_events):
+    from flink_tornadovm_artifact_spark.streaming import windowed_cogroup
+
+    clicks = events_file_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    views = events_file_stream(spark, events_dir).filter(
+        F.col("event_type") == "view"
+    )
+    # update mode: the final window (never closed by the watermark at
+    # end-of-stream) still emits its latest state
+    got = memory_sink_run(
+        windowed_cogroup(clicks, views, size="10 minutes"), "t_cogrp", "update"
+    )
+    want = (
+        batch_events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "click", F.col("value"))
+                )
+            ).alias("left_vals"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "view", F.col("value"))
+                )
+            ).alias("right_vals"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "user_id",
+            "left_vals",
+            "right_vals",
+        )
+    )
+    got_rows = sorted((r[0], r[1], tuple(r[2]), tuple(r[3])) for r in got.collect())
+    want_rows = sorted((r[0], r[1], tuple(r[2]), tuple(r[3])) for r in want.collect())
+    assert got_rows == want_rows
+    # full-outer pairing: some windows must have one empty side
+    assert any(not r[2] or not r[3] for r in got_rows)
+
+
 def test_deduplicate_stream(spark, events_dir, batch_events):
     from flink_tornadovm_artifact_spark.streaming import deduplicate_stream
 
