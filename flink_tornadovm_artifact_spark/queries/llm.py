@@ -698,6 +698,123 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Rabin-Karp rolling-hash fingerprint: token codes from an md5 prefix,
+# polynomial rolling hash over every 4-token window, document fingerprint
+# = (min, max, distinct-count) of the window hashes — the winnowing-style
+# order-SENSITIVE counterpart of text_fingerprint's sorted-set md5.
+# All arithmetic stays in int64: codes < P (1e6), base B=131, so a window
+# hash is bounded by 4·P·B³ ≈ 9e12. Pure expression level (one transform
+# over a sequence), no shuffle besides the scan.
+# ---------------------------------------------------------------------------
+_RH_P = 1_000_003  # prime modulus for token codes and window hashes
+_RH_B = 131  # polynomial base
+_RH_N = 4  # tokens per window
+
+
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split("text", " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        % _RH_P,
+    )
+    df = docs.select("doc_id", codes.alias("codes")).filter(
+        F.size("codes") >= _RH_N
+    )
+
+    def window_hash(i: Column) -> Column:
+        h = F.get("codes", i)
+        for k in range(1, _RH_N):
+            h = h * _RH_B + F.get("codes", i + k)
+        return h % _RH_P
+
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("codes") - _RH_N), window_hash
+    )
+    return df.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(F.array_distinct(hashes)).cast("bigint").alias("n_windows"),
+    )
+
+
+_rh_terms = " + ".join(
+    f"c[i + {k + 1}] * {_RH_B ** (_RH_N - 1 - k)}" for k in range(_RH_N)
+)
+
+_register(
+    text_rolling_hash,
+    f"""
+WITH coded AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_RH_P}) AS c
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(range(0, len(c) - {_RH_N - 1}),
+                        i -> ({_rh_terms}) % {_RH_P}) AS hs
+  FROM coded
+  WHERE len(c) >= {_RH_N}
+)
+SELECT doc_id,
+       list_min(hs) AS fp_min,
+       list_max(hs) AS fp_max,
+       CAST(len(list_distinct(hs)) AS BIGINT) AS n_windows
+FROM hashed
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (the reference's TableFunction surface, SURVEY §2.K —
+# FT/flink-table/flink-table-common/.../functions/TableFunction.java):
+# one input row fans out to N output rows from imperative Python. The
+# hot-path UDTF-shaped queries here use explode (JVM); this query pins the
+# real pyspark.sql.functions.udtf API for logic explode can't express.
+# ---------------------------------------------------------------------------
+def text_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigrams via LATERAL udtf over a deterministic 1-in-50 doc sample —
+    row-at-a-time Python is deliberately NOT a scale path; the bounded
+    sample keeps the UDTF cheap at any sf."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class BigramEmitter:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigram_emitter", BigramEmitter)
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM documents d,
+             LATERAL bigram_emitter(d.text) b
+        WHERE d.doc_id % 50 = 0
+        """
+    )
+
+
+_register(
+    text_udtf_ngrams,
+    """
+SELECT doc_id,
+       CAST(i AS INTEGER) AS pos,
+       t[i + 1] || ' ' || t[i + 2] AS bigram
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 50 = 0),
+     LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: binary column + typed metadata plumbing. The decode /
 # feature-extract kernels live in operators/multimodal.py (mapInPandas with
 # a deterministic fake decoder — image/audio libs are not in this
