@@ -474,9 +474,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_queries_extra.py). Rows-only: the argmin chain
     is data-dependent float math.
 
-    At 100 TB: centroids come from a sampled KMeans
-    (functions/kmeans.py), the cell assignment is one Arrow-batched map,
-    and the probe join shuffles only on cell_id.
+    At 100 TB: the cell assignment is one Arrow-batched map and the
+    probe join shuffles only on cell_id. Centroid choice was MEASURED:
+    3-iteration spherical k-means on a 1024-vector sample drops
+    recall@5 to 0.76-0.84 on this corpus (balanced cells capture fewer
+    true neighbors at a fixed 2-probe budget), so the deterministic
+    seed centroids (recall 0.92) are kept; a production corpus with
+    real cluster structure would revisit with more probes.
     """
     import numpy as np
     import pandas as pd

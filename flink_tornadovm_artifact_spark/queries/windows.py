@@ -108,6 +108,56 @@ FROM numbered GROUP BY user_id, sess_id
 
 
 # ---------------------------------------------------------------------------
+# Q21d — DYNAMIC-gap session window (DynamicEventTimeSessionWindows.java:
+# per-element gap extraction). Spark-first: session_window accepts a gap
+# EXPRESSION — clicks close after 5 minutes, everything else after 30.
+# The oracle sessionizes with a running max of per-row window ends
+# (merge-if-overlapping, exactly Spark's session merge rule).
+# ---------------------------------------------------------------------------
+def q21_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", "5 minutes").otherwise(
+        "30 minutes"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("sess_start"),
+            "user_id",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+ORACLE["q21_session_window_dynamic"] = f"""
+WITH ends AS (
+  SELECT user_id, ts, value, event_id,
+         ts + CASE WHEN event_type = 'click' THEN INTERVAL '5 minutes'
+                   ELSE INTERVAL '30 minutes' END AS w_end
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN MAX(w_end) OVER prev IS NULL
+                   OR ts >= MAX(w_end) OVER prev
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ends
+  WINDOW prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT MIN(ts) AS sess_start, user_id,
+       COUNT(*) AS cnt, {dsum_sql('value')} AS sum_value
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q22 — interval join (KeyedStream.intervalJoin, KeyedStream.java:425-553):
 # pairs of events of the same user within ±5 minutes.
 #
