@@ -126,3 +126,69 @@ def test_minhash_single_signature_scan(spark):
     # bucket-array pair generation reads documents ONCE (the old
     # self-join formulation scanned and hashed it twice)
     assert plan.count("FileScan") == 1
+
+
+def test_q37_semi_join_not_expanded(spark):
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.tpch import q37_tpch_q4
+
+    plan = explain_str(q37_tpch_q4(spark, SF_ORACLE), "simple")
+    # EXISTS must stay a semi join (no row multiplication before the
+    # grouped count), and the date filters must reach the orders scan
+    assert "LeftSemi" in plan
+    df = q37_tpch_q4(spark, SF_ORACLE)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q38_all_predicates_pushed(spark):
+    from flink_tornadovm_artifact_spark.queries.tpch import q38_tpch_q6
+
+    df = q38_tpch_q6(spark, SF_ORACLE)
+    filters = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in filters), (col, filters)
+    cols = read_schema_columns(df)
+    # scan reads only the 4 referenced columns of lineitem's 11
+    assert cols and set(cols[0]) == {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+
+
+def test_q41_anti_and_dim_joins_broadcast(spark):
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.tpch import q41_tpch_q16
+
+    plan = explain_str(q41_tpch_q16(spark, SF_ORACLE), "simple")
+    # NOT-IN side must be a broadcast anti join — a shuffled anti join
+    # against a tiny supplier exclusion list wastes a full fact shuffle
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q42_decorrelates_without_driver_roundtrip(spark):
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.tpch import q42_tpch_q17
+
+    plan = explain_str(q42_tpch_q17(spark, SF_ORACLE), "simple")
+    # per-part threshold joins back on l_partkey as an equi-join;
+    # no cartesian / nested-loop fallback
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q45_dual_role_dims_broadcast(spark):
+    from flink_tornadovm_artifact_spark.queries.tpch import q45_tpch_q7
+
+    assert has_broadcast_join(q45_tpch_q7(spark, SF_ORACLE))
+
+
+def test_q40_two_level_agg_reduces_before_second_shuffle(spark):
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.tpch import q40_tpch_q13
+
+    plan = explain_str(q40_tpch_q13(spark, SF_ORACLE), "simple")
+    # both aggregation levels plan partial+final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 4
