@@ -109,10 +109,11 @@ FROM embeddings
 # Pi estimation: map(sample) + reduce(sum) with a deterministic Weyl
 # (quasi-random) sample stream — x_i = frac(i/φ), y_i = frac(i·(√2−1)).
 # Every op is a single IEEE double mul/floor/cmp, so Spark's NumPy kernel
-# and DuckDB agree bit-for-bit; the sample count is fixed (no sf scaling),
-# like the reference's size-swept sample counts.
+# and DuckDB agree bit-for-bit; the sample count is fixed (no sf scaling)
+# at the reference's smallest GPU benchmark size
+# (Evaluation/Speedups.java:71-77 sweeps 1048576 → 16777216).
 # ---------------------------------------------------------------------------
-_PI_N = 1 << 17
+_PI_N = 1 << 20
 _PI_C1 = 0.6180339887498949  # 1/phi
 _PI_C2 = 0.41421356237309515  # sqrt(2) - 1
 
