@@ -26,6 +26,8 @@ HEADLINE = [
     "q04_tpch_q3",
     "q23_tpch_q10",
     "q30_tpch_q5",
+    "q38_tpch_q6",
+    "q45_tpch_q7",
     "q17_iot_global_reduce",
     "q18_iot_window_agg",
     "q19_iot_outliers",
