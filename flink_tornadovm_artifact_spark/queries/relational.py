@@ -891,6 +891,24 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Q49 — approximate aggregates (SURVEY §2.C: approx_count_distinct is in
+# the reference's Blink SQL surface; Spark adds approx_percentile). The
+# 100 TB path for cardinality/quantiles: HLL++ and KLL-style sketches
+# merge associatively across partitions — one partial+final agg, no
+# exact-distinct shuffle explosion. Rows-only by design: sketch outputs
+# are engine-specific (DuckDB uses different sketches); the error bound
+# vs the exact answer is pinned in tests/test_queries_extra.py.
+# ---------------------------------------------------------------------------
+def q49_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_nd_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_p50"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

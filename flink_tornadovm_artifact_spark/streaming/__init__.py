@@ -7,6 +7,7 @@ from .core import (
     deduplicate_stream,
     interval_join_streams,
     keyed_count_trigger,
+    keyed_process_timeout,
     keyed_running_agg,
     session_window_agg,
     sliding_window_agg,
@@ -23,6 +24,7 @@ __all__ = [
     "session_window_agg",
     "keyed_running_agg",
     "keyed_count_trigger",
+    "keyed_process_timeout",
     "interval_join_streams",
     "windowed_join_streams",
     "windowed_cogroup",

@@ -170,6 +170,81 @@ def interval_join_streams(
     )
 
 
+def keyed_process_timeout(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """KeyedProcessFunction + event-time timer (KeyedStream.process:312,
+    KeyedProcessFunction registerEventTimeTimer): accumulate per-key
+    state and EMIT ON TIMER FIRE, not on input. The Spark analog is
+    ``applyInPandasWithState`` with ``EventTimeTimeout``: the state's
+    timeout timestamp is the timer; when the watermark passes it with no
+    new input for the key, the handler is invoked with an empty batch
+    and flushes the session — exactly Flink's inactivity-timer idiom."""
+    import datetime as _dt
+
+    def on_event_or_timer(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            cnt, total, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "cnt": [cnt],
+                    "sum_value": [total],
+                    "sess_start": [
+                        _dt.datetime.utcfromtimestamp(first_ms / 1000.0)
+                    ],
+                    "sess_end": [
+                        _dt.datetime.utcfromtimestamp(last_ms / 1000.0)
+                    ],
+                }
+            )
+            return
+        cnt, total, first_ms, last_ms = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+            cnt += len(pdf)
+            total += float(pdf[value_col].sum())
+            first_ms = int(ms.min()) if first_ms is None else min(first_ms, int(ms.min()))
+            last_ms = int(ms.max()) if last_ms is None else max(last_ms, int(ms.max()))
+        state.update((cnt, total, first_ms, last_ms))
+        # the timer: fire when the watermark passes last event + gap
+        state.setTimeoutTimestamp(last_ms + _interval_ms(gap))
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            on_event_or_timer,
+            outputStructType=(
+                f"{key_col} long, cnt long, sum_value double, "
+                "sess_start timestamp, sess_end timestamp"
+            ),
+            stateStructType="cnt long, sum_value double, first_ms long, last_ms long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _interval_ms(interval: str) -> int:
+    """'30 minutes' → milliseconds (seconds/minutes/hours units)."""
+    n, unit = interval.split()
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[
+        unit.rstrip("s")
+    ]
+    return int(n) * mult
+
+
 def windowed_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -26,3 +26,33 @@ def test_ivf_recall_vs_bruteforce(spark):
     recalls = [len(approx[q] & truth[q]) / 5 for q in truth]
     # measured 0.8-1.0 on the deterministic testdata; 0.6 guards regressions
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_approx_aggregates_error_bound(spark):
+    """q49's sketches must track the exact answers: HLL++ at rsd=0.02 and
+    percentile_approx at accuracy=10000 should land within 5% on the
+    deterministic testdata."""
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.queries.relational import (
+        q49_approx_aggregates,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    approx = {
+        r["l_returnflag"]: r for r in q49_approx_aggregates(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k]["apx_nd_parts"] - exact[k]["nd"]) <= 0.05 * exact[k]["nd"]
+        assert abs(approx[k]["apx_p50"] - exact[k]["p50"]) <= 0.05 * exact[k]["p50"]

@@ -292,3 +292,58 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
     assert counts[0] == 2, counts
     # and the late row did not resurrect the window as a duplicate emit
     assert sum(1 for r in got.collect() if r["win_start"].minute == 0) == 1
+
+
+def test_keyed_process_timeout_fires_on_watermark(spark, tmp_path):
+    """Event-time timer semantics (KeyedProcessFunction
+    registerEventTimeTimer): a key's session flushes only after the
+    watermark passes its last event + gap with no new input."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.streaming import keyed_process_timeout
+
+    d = tmp_path / "timer_events"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([int(r[1] * 60e9) for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["t"] * len(rows)),
+                "value": pa.array([float(r[3]) for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, d / name)
+
+    # batch 1: user 7 active at minutes 100 and 105 (values 1, 2).
+    # NB: minute 0 would equal the INITIAL watermark (epoch 0) and
+    # applyInPandasWithState drops not-after-watermark rows as late.
+    write_batch("b1.parquet", [(1, 100.0, 7, 1.0), (2, 105.0, 7, 2.0)])
+    _time.sleep(1.1)
+    # batch 2: user 9 at minute 160 → watermark advances to 150, past
+    # user 7's timer at minute 105 + 10 = 115 → user 7's session flushes
+    write_batch("b2.parquet", [(3, 160.0, 9, 5.0)])
+    _time.sleep(1.1)
+    # batch 3: push the watermark again so batch 2's advance is applied
+    write_batch("b3.parquet", [(4, 170.0, 9, 6.0)])
+
+    stream = events_file_stream(spark, str(d), max_files_per_trigger=1)
+    got = memory_sink_run(
+        keyed_process_timeout(stream, gap="10 minutes", watermark="10 minutes"),
+        "t_timer",
+        "append",
+    )
+    rows = {r["user_id"]: r for r in got.collect()}
+    # user 7's timer fired: one session row with both events
+    assert 7 in rows, rows
+    assert rows[7]["cnt"] == 2 and rows[7]["sum_value"] == 3.0
+    assert (rows[7]["sess_start"].hour, rows[7]["sess_start"].minute) == (1, 40)
+    assert (rows[7]["sess_end"].hour, rows[7]["sess_end"].minute) == (1, 45)
+    # user 9's timer never fired (watermark ends at 160 < 170+10)
+    assert 9 not in rows
