@@ -909,6 +909,31 @@ def q49_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q50 — cube + grouping_id (the full grouping-sets surface beyond q14's
+# rollup; Blink planner SQL, SURVEY §2.H): all 4 grouping combinations of
+# (returnflag, linestatus) with the grouping bitmask distinguishing them.
+# ---------------------------------------------------------------------------
+def q50_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE["q50_cube_grouping_id"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS cnt,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -192,3 +192,44 @@ def test_q40_two_level_agg_reduces_before_second_shuffle(spark):
     plan = explain_str(q40_tpch_q13(spark, SF_ORACLE), "simple")
     # both aggregation levels plan partial+final HashAggregate pairs
     assert plan.count("HashAggregate") >= 4
+
+
+def test_orc_json_format_roundtrip(spark, tmp_path):
+    """§2.A formats row (FT/flink-formats/: csv json avro parquet orc …):
+    orc and json are native Spark read/write; values survive a round
+    trip. (Avro needs the external spark-avro package — not in this
+    container; documented in sources/io.py.)"""
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id long, s string, v double",
+    )
+    for fmt in ("orc", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        src.write.format(fmt).mode("overwrite").save(path)
+        back = spark.read.format(fmt).load(path)
+        if fmt == "json":  # json infers types; align to the source schema
+            back = back.select(
+                back.id.cast("long"), back.s, back.v.cast("double")
+            )
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        ), fmt
+
+
+def test_accumulator_in_kernel(spark):
+    """RichFunction accumulator surface (SURVEY §2.K: RuntimeContext
+    accumulators → Spark accumulators): a pandas kernel counts processed
+    rows into an accumulator while transforming."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(pdfs):
+        for pdf in pdfs:
+            acc.add(len(pdf))
+            yield pd.DataFrame({"double_id": pdf["id"] * 2})
+
+    n = 1000
+    out = spark.range(n, numPartitions=4).mapInPandas(counted, "double_id long")
+    assert out.count() == n
+    assert acc.value == n
