@@ -499,6 +499,51 @@ HAVING {dsum_sql('l_extendedprice')} >
 """
 
 
+# ---------------------------------------------------------------------------
+# q51 — TPC-H Q9 shape: product-type profit by supplier nation and year.
+# No partsupp table, so supply cost is proxied by 1% of p_retailprice per
+# unit; the join/aggregation topology (fact ⋈ 2 facts ⋈ 3 broadcast dims,
+# grouped on derived year) is the original's.
+# ---------------------------------------------------------------------------
+def q51_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%1%")
+    ).select("p_partkey", "p_retailprice")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = _revenue() - F.lit(0.01).cast(DEC) * F.col("l_quantity").cast(
+        DEC
+    ) * F.col("p_retailprice").cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+ORACLE["q51_tpch_q9"] = f"""
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV}
+                - CAST(0.01 AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))
+                  * CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part     ON l_partkey = p_partkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%1%'
+GROUP BY n_name, YEAR(o_orderdate)
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
