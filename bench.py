@@ -70,18 +70,20 @@ def main() -> None:
 
     # best-of-N per query (default 2): the box is shared, and a single
     # run can catch a CPU-contention spike; min is the standard
-    # noise-robust estimator for cold-cache-free repeated runs
+    # noise-robust estimator for cold-cache-free repeated runs.
+    # Reps are INTERLEAVED (full pass over all queries per rep) so one
+    # query's reps are minutes apart — a transient load burst can then
+    # inflate at most one rep of each query, not all of them.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(reps):
+    times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            times[name] = min(times[name], time.perf_counter() - t0)
+    times = {name: round(t, 3) for name, t in times.items()}
 
     out = {
         "metric": f"headline_query_seconds_sf{sf}",
