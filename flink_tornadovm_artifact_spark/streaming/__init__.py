@@ -16,7 +16,7 @@ from .core import (
     windowed_cogroup,
     windowed_join_streams,
 )
-from .sources import events_file_stream, memory_sink_run
+from .sources import events_file_stream, memory_sink_run, with_ingestion_time
 
 __all__ = [
     "tumbling_window_agg",
@@ -34,4 +34,5 @@ __all__ = [
     "allowed_lateness_side_output",
     "events_file_stream",
     "memory_sink_run",
+    "with_ingestion_time",
 ]

@@ -52,6 +52,17 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def with_ingestion_time(df: DataFrame, col: str = "ingest_ts") -> DataFrame:
+    """Ingestion-time characteristic (StreamExecutionEnvironment
+    setStreamTimeCharacteristic(IngestionTime)): Structured Streaming is
+    event-time-only, so ingestion time is stamped at the source with the
+    micro-batch's processing clock — every row in a trigger shares its
+    ingest timestamp, exactly Flink's source-assigned ingestion time at
+    trigger granularity. The stamped column can then drive watermarks and
+    windows like any event-time column."""
+    return df.withColumn(col, F.current_timestamp())
+
+
 def memory_sink_run(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -347,3 +347,16 @@ def test_keyed_process_timeout_fires_on_watermark(spark, tmp_path):
     assert (rows[7]["sess_end"].hour, rows[7]["sess_end"].minute) == (1, 45)
     # user 9's timer never fired (watermark ends at 160 < 170+10)
     assert 9 not in rows
+
+
+def test_ingestion_time_stamped_and_usable(spark, events_dir, batch_events):
+    """Ingestion-time characteristic: every row gets a non-null source
+    timestamp usable as a time column."""
+    from flink_tornadovm_artifact_spark.streaming import with_ingestion_time
+
+    stream = with_ingestion_time(events_file_stream(spark, events_dir))
+    got = memory_sink_run(stream, "t_ingest")
+    assert got.count() == batch_events.count()
+    assert got.filter(F.col("ingest_ts").isNull()).count() == 0
+    # all rows of the single micro-batch share one ingest timestamp
+    assert got.select("ingest_ts").distinct().count() == 1
