@@ -38,29 +38,26 @@ def _dist2(cx: float, cy: float):
 def q20_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment as a pure per-row expression.
 
-    The centroid set is tiny and fixed, so the argmin is unrolled into a
-    scalar CASE expression — the exact analog of the reference's
-    map-with-broadcast ``SelectNearestCenter`` (KMeans.java:248): each row
-    is scored against every centroid with no join, no window, no shuffle
-    until the final 4-group aggregate. (A row_number-per-point approach
-    would also need a unique point id, which lineitem does not have.)
+    The centroid set is tiny and fixed, so the argmin is a scalar
+    LEAST(struct(d2, cid)) — the exact analog of the reference's
+    map-with-broadcast ``SelectNearestCenter`` (KMeans.java:248): each
+    row is scored against every centroid (each distance computed ONCE)
+    with no join, no window, no shuffle until the final 4-group
+    aggregate. Equal-distance ties break to the smallest cid via struct
+    ordering, identical to the oracle's first-wins CASE over the
+    cid-ascending centroid list.
     """
     li = load(spark, sf_dir, "lineitem")
     points = li.select(
         F.col("l_quantity").alias("px"),
         (F.col("l_discount") * 100).alias("py"),
     )
-    d = {c: _dist2(x, y) for c, x, y in CENTROIDS}
-    cids = [c for c, _, _ in CENTROIDS]
-    pred = F.lit(cids[-1])
-    for i in range(len(cids) - 2, -1, -1):
-        cond = None
-        for j in range(i + 1, len(cids)):
-            leq = d[cids[i]] <= d[cids[j]]
-            cond = leq if cond is None else (cond & leq)
-        pred = F.when(cond, F.lit(cids[i])).otherwise(pred)
+    structs = [
+        F.struct(_dist2(x, y).alias("d2"), F.lit(c).alias("cid"))
+        for c, x, y in CENTROIDS
+    ]
     return (
-        points.withColumn("cid", pred)
+        points.withColumn("cid", F.least(*structs).getField("cid"))
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
