@@ -68,13 +68,13 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces errors
 
-    # best-of-N per query (default 2): the box is shared, and a single
+    # best-of-N per query (default 3): the box is shared, and a single
     # run can catch a CPU-contention spike; min is the standard
     # noise-robust estimator for cold-cache-free repeated runs.
     # Reps are INTERLEAVED (full pass over all queries per rep) so one
     # query's reps are minutes apart — a transient load burst can then
     # inflate at most one rep of each query, not all of them.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:
