@@ -233,3 +233,27 @@ def test_accumulator_in_kernel(spark):
     out = spark.range(n, numPartitions=4).mapInPandas(counted, "double_id long")
     assert out.count() == n
     assert acc.value == n
+
+
+def test_join_strategy_hints_honored(spark):
+    """JoinHint strategies (JoinOperatorBase.java:44-78:
+    BROADCAST_HASH_*, REPARTITION_HASH_*, REPARTITION_SORT_MERGE) map to
+    Spark join hints; the planner must honor each."""
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.tables import load
+
+    orders = load(spark, SF_ORACLE, "orders")
+    li = load(spark, SF_ORACLE, "lineitem")
+
+    merge = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in explain_str(merge, "simple")
+
+    shuffle_hash = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in explain_str(shuffle_hash, "simple")
+
+    bcast = li.join(
+        orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "BroadcastHashJoin" in explain_str(bcast, "simple")
