@@ -148,6 +148,37 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q52 — typed JSON parsing with from_json (§2.H: schema-declared parsing,
+# the structured counterpart of q36's path-extraction get_json_object).
+# The parsed struct feeds a windowed aggregate, proving the parse stays
+# expression-level (no UDF) ahead of the shuffle.
+# ---------------------------------------------------------------------------
+def q52_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k bigint").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type", (F.col("p.k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+ORACLE["q52_from_json_struct"] = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type, k_mod
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
