@@ -310,10 +310,21 @@ class Grouping:
         """Full-group UDF, non-associative OK (UnsortedGrouping.java:174):
         the group is materialized as one pandas DataFrame — the documented
         scale caveat, exactly like the reference's GroupReduceDriver. If a
-        sort_group order is set, the group arrives sorted."""
+        sort_group order is set, the group arrives sorted (SortedGrouping
+        iteration contract, UnsortedGrouping.sortGroup).
+
+        Order of operations matters: applyInPandas requires its child
+        hash-partitioned on the keys and sorted by the keys, so a bare
+        sortWithinPartitions BEFORE that exchange would be destroyed by
+        it. Repartitioning on the keys first and then sorting by
+        (keys + order) satisfies both requirements — EnsureRequirements
+        inserts no further exchange or sort, so the secondary order
+        survives into the UDF."""
         df = self._df
         if self._order:
-            df = df.sortWithinPartitions(*(self._keys + self._order))
+            df = df.repartition(*self._keys).sortWithinPartitions(
+                *(self._keys + self._order)
+            )
         return Dataset(df.groupBy(*self._keys).applyInPandas(fn, schema))
 
     def min_by(self, order: Sequence[ColumnOrName]) -> Dataset:

@@ -37,6 +37,17 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of EXPLICIT broadcast hints in the analyzed logical plan.
+
+    An explicit ``F.broadcast(df)`` pins the strategy — AQE cannot demote
+    it if the side turns out huge. Scale discipline: hints only on
+    bounded dims (SMALL_DIMS), never on SF-linear tables; this counts
+    them so tests can pin exactly which sides are hinted."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return plan.count("ResolvedHint")
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
 

@@ -140,7 +140,7 @@ def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q36_json_extract"] = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
        COUNT(*) AS cnt

@@ -289,6 +289,60 @@ WHERE a.doc_id % 97 = 0 AND a.doc_id != b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Composed production dedup pipeline: MinHash-LSH candidate generation →
+# exact n-gram-Jaccard verify on the candidates ONLY. This is the 100 TB
+# path the module docstring promises: candidate pairs shrink the verify
+# step from all-pairs N² to the LSH collision set, and the two joins back
+# to the shingle table shuffle on doc_id (an equi-key), never cross.
+# The all-pairs forms above stay as modulo-bounded demos.
+# ---------------------------------------------------------------------------
+_VERIFY_THRESHOLD = 0.8
+
+
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sset")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    union = F.size(F.col("a.sset")) + F.size(F.col("b.sset")) - inter
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= _VERIFY_THRESHOLD)
+    )
+
+
+_pairs_sql = ORACLE["dedup_minhash_lsh"].strip()
+
+_register(
+    dedup_lsh_verified,
+    f"""
+WITH pairs AS (
+{_pairs_sql}
+), toks2 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(t) - 2),
+                       i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS sset
+  FROM toks2
+)
+SELECT p.doc_a, p.doc_b,
+       len(list_intersect(a.sset, b.sset))
+         / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
+WHERE len(list_intersect(a.sset, b.sset))
+        / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+      >= {_VERIFY_THRESHOLD}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup + brute-force ANN top-k.
 # Dot products in double precision via zip_with/aggregate (sequential fold,
 # bit-identical to DuckDB's list_dot_product over DOUBLE[]).

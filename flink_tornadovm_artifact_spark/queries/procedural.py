@@ -157,7 +157,7 @@ WITH s AS (
   FROM s
 )
 SELECT CAST({_PI_N} AS BIGINT) AS n_samples,
-       SUM(CASE WHEN x * x + y * y <= 1.0 THEN 1 ELSE 0 END) AS hits,
+       CAST(SUM(CASE WHEN x * x + y * y <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        4.0 * SUM(CASE WHEN x * x + y * y <= 1.0 THEN 1 ELSE 0 END)
          / CAST({_PI_N} AS DOUBLE) AS pi_est
 FROM pts

@@ -128,11 +128,13 @@ def q04_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice").cast(DEC) * (
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
+    # No broadcast hints: orders and customer are SF-linear fact/scaling
+    # tables (a pinned broadcast would OOM at 100 TB and AQE cannot demote
+    # an explicit hint). The fact-fact edges shuffle on their equi-keys;
+    # at small SF, AQE promotes the filtered small sides to BHJ on its own.
     return (
-        li.join(
-            F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner"
-        )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -485,8 +487,10 @@ FROM orders
 
 # ---------------------------------------------------------------------------
 # Q23 — TPC-H Q10 shape (reference ships TPCHQuery10.java as an example):
-# returned-item revenue per customer, top 20. Dims (customer, nation)
-# broadcast; lineitem and orders shuffle on the join keys.
+# returned-item revenue per customer, top 20. Only the bounded dim
+# (nation, 25 rows) is broadcast-hinted; customer is SF-linear (~15B rows
+# at 100 TB) so it shuffles on o_custkey — AQE may still promote it to
+# BHJ at small SF, which is the right call there and only there.
 # ---------------------------------------------------------------------------
 def q23_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -498,7 +502,7 @@ def q23_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -716,8 +720,9 @@ FROM events GROUP BY event_type
 
 # ---------------------------------------------------------------------------
 # Q30 — TPC-H Q5 shape: 5-way join through region→nation→(customer,
-# supplier)→orders→lineitem with the same-nation condition. Dims broadcast;
-# facts shuffle on join keys only.
+# supplier)→orders→lineitem with the same-nation condition. Only bounded
+# dims (nation 25, region 5) are broadcast-hinted; customer is SF-linear
+# so it joins unhinted (shuffle at scale, AQE-BHJ at small SF).
 # ---------------------------------------------------------------------------
 def q30_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -732,7 +737,7 @@ def q30_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)

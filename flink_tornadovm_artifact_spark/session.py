@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Session-wide, deliberately: events.parquet stores TIMESTAMP(NANOS),
+        # which Spark's reader rejects unless nanos are read as raw longs.
+        # Set here (not per-read with a restore) because SQLConf is consulted
+        # at plan/execution time, not at spark.read() time — restoring after
+        # a lazy read would break the scan when the action finally runs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -38,6 +38,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
     TimestampType — the same truncation DuckDB applies, so oracle
     comparisons agree.
+
+    The nanosAsLong conf is session-wide and deliberately left set:
+    ``session.get_spark`` sets it at build time, and we re-set it here for
+    *foreign* sessions (e.g. the driver harness builds its own
+    SparkSession) because the conf is consulted lazily at scan execution
+    time — a set/restore around this call would break the read when the
+    action runs later.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")

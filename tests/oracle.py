@@ -63,6 +63,49 @@ def canonicalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+#: Coarse type families: the driver's value-hash is type-sensitive (it
+#: hashes Arrow buffers), so a DuckDB DECIMAL(38,0) vs Spark BIGINT is a
+#: hash FAIL even when the values round-trip equal (CORRECTNESS_r01 q36).
+#: We therefore require both sides to land in the same family.
+def _type_family(t: str) -> str:
+    t = t.lower()
+    if "decimal" in t:
+        return "decimal"
+    if any(k in t for k in ("int", "long", "short", "byte")):
+        return "int"
+    if any(k in t for k in ("float", "double", "halffloat")):
+        return "float"
+    if "bool" in t:
+        return "bool"
+    if any(k in t for k in ("string", "utf8", "varchar", "char")):
+        return "string"
+    if "timestamp" in t:
+        return "timestamp"
+    if "date" in t:
+        return "date"
+    if any(k in t for k in ("list", "array")):
+        return "list"
+    if "binary" in t:
+        return "binary"
+    return t
+
+
+def types_compatible(spark_df, con, sql: str) -> tuple[bool, str]:
+    """Compare Spark dtypes vs DuckDB Arrow schema at the family level."""
+    s_types = dict(spark_df.dtypes)
+    d_schema = con.execute(sql).fetch_arrow_table().schema
+    bad = []
+    for field in d_schema:
+        if field.name not in s_types:
+            continue
+        sf, df_ = _type_family(s_types[field.name]), _type_family(str(field.type))
+        if sf != df_:
+            bad.append(f"{field.name}: spark={s_types[field.name]} duckdb={field.type}")
+    if bad:
+        return False, "type-family mismatch (driver hash would fail): " + "; ".join(bad)
+    return True, "ok"
+
+
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -71,6 +114,9 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     d_rows = res.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    ok_t, msg_t = types_compatible(spark_df, con, sql)
+    if not ok_t:
+        return False, msg_t
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
     cs, cd = canonicalize(s_cols, s_rows), canonicalize(d_cols, d_rows)

@@ -69,36 +69,39 @@ def test_grouped_aggregate_and_reduce(spark):
 
 
 def test_reduce_group_sorted(spark):
+    """sort_group + reduce_group: the UDF must receive the group ALREADY
+    in the secondary-sort order (SortedGrouping iteration contract) — it
+    asserts the incoming order instead of re-sorting, so a plan where the
+    exchange destroys the sort fails here."""
     ds = _orders(spark)
 
-    def span(key, pdf):
-        return pd.DataFrame(
-            {
-                "o_custkey": [key[0]],
-                "first_key": [pdf.o_orderkey.iloc[0]],
-                "n": [len(pdf)],
-            }
-        )
-
-    def span_kv(pdf):
-        pdf = pdf.sort_values("o_orderkey")
+    def span_sorted(pdf):
         return pd.DataFrame(
             {
                 "o_custkey": [pdf.o_custkey.iloc[0]],
                 "first_key": [pdf.o_orderkey.iloc[0]],
                 "n": [len(pdf)],
+                "sorted_in": [bool(pdf.o_orderkey.is_monotonic_increasing)],
             }
         )
 
-    out = ds.group_by("o_custkey").reduce_group(
-        span_kv, "o_custkey long, first_key long, n long"
+    out = (
+        ds.group_by("o_custkey")
+        .sort_group("o_orderkey")
+        .reduce_group(
+            span_sorted, "o_custkey long, first_key long, n long, sorted_in boolean"
+        )
     )
+    rows = out.collect()
+    assert rows and all(r.sorted_in for r in rows)
     exp = (
         load(spark, SF_SMOKE, "orders")
         .groupBy("o_custkey")
         .agg(F.min("o_orderkey").alias("first_key"), F.count(F.lit(1)).alias("n"))
     )
-    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exp.collect()))
+    assert sorted((r.o_custkey, r.first_key, r.n) for r in rows) == sorted(
+        map(tuple, exp.collect())
+    )
 
 
 def test_min_by_max_by_grouped(spark):

@@ -34,6 +34,18 @@ def test_rows_only_queries_run(name, spark):
     assert df.count() >= 0
 
 
+def test_priority_window_is_first_50_with_oracles():
+    """The driver oracle-checks only the first 50 registry entries; pin
+    that the window is exactly PRIORITY_WINDOW and fully oracle-backed
+    (round-1 regression: module order silently dropped 30 queries)."""
+    from flink_tornadovm_artifact_spark.queries import PRIORITY_WINDOW
+
+    names = list(QUERIES)
+    assert len(PRIORITY_WINDOW) == 50
+    assert names[:50] == list(PRIORITY_WINDOW)
+    assert [n for n in names[:50] if n not in ORACLE] == []
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
