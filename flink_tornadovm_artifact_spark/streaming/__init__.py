@@ -17,8 +17,24 @@ from .core import (
     windowed_join_streams,
 )
 from .sources import events_file_stream, memory_sink_run, with_ingestion_time
+from .triggers import (
+    CountEvictor,
+    CountTrigger,
+    DeltaEvictor,
+    DeltaTrigger,
+    TimeEvictor,
+    purging,
+    windowed_trigger_agg,
+)
 
 __all__ = [
+    "CountTrigger",
+    "DeltaTrigger",
+    "purging",
+    "CountEvictor",
+    "TimeEvictor",
+    "DeltaEvictor",
+    "windowed_trigger_agg",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",

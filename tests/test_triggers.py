@@ -1,0 +1,154 @@
+"""Trigger/evictor emulation tests — hand-computed pane lifecycles.
+
+Each case pins the fire/purge/evict semantics of the reference's
+triggers/evictors (CountTrigger.java, DeltaTrigger.java,
+PurgingTrigger.java, CountEvictor.java, TimeEvictor.java,
+DeltaEvictor.java) against a tiny deterministic stream: one tumbling
+window, values applied in event-time order, expectations worked out by
+hand — not by re-running the implementation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from flink_tornadovm_artifact_spark.streaming import memory_sink_run
+from flink_tornadovm_artifact_spark.streaming.triggers import (
+    CountEvictor,
+    CountTrigger,
+    DeltaEvictor,
+    DeltaTrigger,
+    TimeEvictor,
+    purging,
+    windowed_trigger_agg,
+)
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _write_batch(path: str, rows: list[tuple[int, int, float]], mtime: int) -> None:
+    """rows: (user_id, minute offset, value)."""
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [BASE + dt.timedelta(minutes=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _run(spark, tmp_path, batches, trigger, evictor=None, **kw):
+    d = tmp_path / "in"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        _write_batch(str(d / f"b{i}.parquet"), rows, 1_700_000_000 + i * 60)
+    reader = spark.readStream.schema(SCHEMA)
+    if len(batches) > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(str(d))
+    out = windowed_trigger_agg(stream, trigger, evictor, **kw)
+    name = f"trig_{abs(hash((str(tmp_path), repr(trigger), repr(evictor))))}"
+    got = memory_sink_run(out, name)
+    return sorted((r.user_id, r.cnt, r.sum_value) for r in got.collect())
+
+
+SEVEN = [(1, m, float(m + 1)) for m in range(7)]  # values 1..7, one window
+
+
+def test_count_trigger_fires_every_n_without_purge(spark, tmp_path):
+    # fires at elements 3 and 6; buffer keeps accumulating (no purge)
+    assert _run(spark, tmp_path, [SEVEN], CountTrigger(3)) == [
+        (1, 3, 6.0),
+        (1, 6, 21.0),
+    ]
+
+
+def test_count_trigger_with_count_evictor(spark, tmp_path):
+    # 2nd fire sees 6 buffered, evictor keeps last 4 (values 3,4,5,6)
+    assert _run(spark, tmp_path, [SEVEN], CountTrigger(3), CountEvictor(4)) == [
+        (1, 3, 6.0),
+        (1, 4, 18.0),
+    ]
+
+
+def test_purging_count_trigger_clears_buffer(spark, tmp_path):
+    # FIRE_AND_PURGE: second pane holds only values 4,5,6
+    assert _run(spark, tmp_path, [SEVEN], purging(CountTrigger(3))) == [
+        (1, 3, 6.0),
+        (1, 3, 15.0),
+    ]
+
+
+def test_delta_trigger_rebases_on_fire(spark, tmp_path):
+    rows = [(1, m, v) for m, v in enumerate([1.0, 2.0, 4.0, 5.0, 8.0])]
+    # basis=1; |4-1|>1.5 -> fire(buffer 1,2,4), rebase 4; |8-4|>1.5 ->
+    # fire(buffer 1,2,4,5,8)
+    assert _run(spark, tmp_path, [rows], DeltaTrigger(1.5)) == [
+        (1, 3, 7.0),
+        (1, 5, 20.0),
+    ]
+
+
+def test_time_evictor_keeps_recent_span(spark, tmp_path):
+    # fire at 7th element; keep ts >= max(6min) - 3min -> minutes 3..6
+    assert _run(
+        spark, tmp_path, [SEVEN], CountTrigger(7), TimeEvictor("3 minutes")
+    ) == [(1, 4, 22.0)]
+
+
+def test_delta_evictor_keeps_near_basis(spark, tmp_path):
+    rows = [(1, m, v) for m, v in enumerate([1.0, 2.0, 4.0, 5.0, 8.0])]
+    # fire at 5th; basis = last buffered (8); keep |v-8| < 2 -> only 8
+    assert _run(
+        spark, tmp_path, [rows], CountTrigger(5), DeltaEvictor(2.0)
+    ) == [(1, 1, 8.0)]
+
+
+def test_count_trigger_state_carries_across_micro_batches(spark, tmp_path):
+    b1 = [(1, m, float(m + 1)) for m in range(4)]  # values 1..4
+    b2 = [(1, m + 4, float(m + 5)) for m in range(3)]  # values 5..7
+    # batch1 fires at element 3; batch2's 2nd element is the 6th overall
+    # (count state rode across the micro-batch boundary)
+    assert _run(spark, tmp_path, [b1, b2], CountTrigger(3)) == [
+        (1, 3, 6.0),
+        (1, 6, 21.0),
+    ]
+
+
+def test_keys_and_windows_isolated(spark, tmp_path):
+    rows = SEVEN + [(2, m, 10.0 * (m + 1)) for m in range(3)] + [
+        (1, 10 + m, 100.0) for m in range(3)  # second window [10,20)
+    ]
+    got = _run(spark, tmp_path, [rows], CountTrigger(3))
+    assert got == [
+        (1, 3, 6.0),
+        (1, 3, 300.0),
+        (1, 6, 21.0),
+        (2, 3, 60.0),
+    ]
+
+
+def test_evictors_pure_functions():
+    ts = [0, 60_000, 120_000, 180_000]
+    vals = [1.0, 2.0, 3.0, 4.0]
+    assert CountEvictor(2).evict(ts, vals) == ([120_000, 180_000], [3.0, 4.0])
+    assert TimeEvictor("1 minute").evict(ts, vals) == (
+        [120_000, 180_000],
+        [3.0, 4.0],
+    )
+    assert DeltaEvictor(1.5).evict(ts, vals) == (
+        [120_000, 180_000],
+        [3.0, 4.0],
+    )
