@@ -1,5 +1,10 @@
 """Source/sink surface (SURVEY.md §2.A)."""
 
+from .custom import (
+    SequenceDataSource,
+    read_sequence,
+    register_sequence_source,
+)
 from .io import (
     from_collection,
     from_elements,
@@ -22,4 +27,7 @@ __all__ = [
     "write_as_text",
     "write_as_formatted_text",
     "write_as_csv",
+    "SequenceDataSource",
+    "register_sequence_source",
+    "read_sequence",
 ]

@@ -2,6 +2,7 @@
 (SURVEY.md §2.G)."""
 
 from .core import (
+    LateRowTracker,
     allowed_lateness_side_output,
     connect_with_control,
     deduplicate_stream,
@@ -48,6 +49,7 @@ __all__ = [
     "split_stream",
     "connect_with_control",
     "allowed_lateness_side_output",
+    "LateRowTracker",
     "events_file_stream",
     "memory_sink_run",
     "with_ingestion_time",

@@ -370,18 +370,61 @@ def connect_with_control(
     return events.join(F.broadcast(control), key_col, "left")
 
 
+class LateRowTracker:
+    """Watermark-relative late-row side channel. Flink tags a row late
+    when ``ts <= currentWatermark`` (WindowedStream.sideOutputLateData,
+    WindowedStream.java:177), the watermark being max-observed-event-time
+    minus the bound. Structured Streaming exposes no per-row late flag,
+    so this reproduces the same rule in ``foreachBatch``: the reference
+    clock is the max event time observed through the END of the previous
+    micro-batch — exactly the point at which SS itself advances the
+    watermark — NEVER the processing-time clock, so replaying historical
+    data tags only genuinely out-of-order rows.
+
+    ``late_sink(rows)`` receives the late rows of each micro-batch
+    (default: accumulate on ``self.late`` — test/driver scale; pass a
+    real sink callable in production)."""
+
+    def __init__(self, lateness: str, ts_col: str = "ts", late_sink=None):
+        self._lateness_ms = _interval_ms(lateness)
+        self._ts_col = ts_col
+        self._max_ts = None  # datetime: max event time through prior batches
+        self.late: list = []
+        self._late_sink = late_sink if late_sink is not None else self.late.extend
+
+    def on_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import datetime as _dt
+
+        if self._max_ts is not None:
+            threshold = self._max_ts - _dt.timedelta(
+                milliseconds=self._lateness_ms
+            )
+            late_rows = batch_df.filter(
+                F.col(self._ts_col) < F.lit(threshold)
+            ).collect()
+            if late_rows:
+                self._late_sink(late_rows)
+        mx = batch_df.agg(F.max(self._ts_col)).collect()[0][0]
+        if mx is not None and (self._max_ts is None or mx > self._max_ts):
+            self._max_ts = mx
+
+    def attach(self, events: DataFrame):
+        """Start the side-channel query on the raw stream; returns the
+        StreamingQuery (caller owns stop())."""
+        return events.writeStream.foreachBatch(self.on_batch).start()
+
+
 def allowed_lateness_side_output(
     events: DataFrame,
     watermark: str,
     ts_col: str = "ts",
-) -> tuple[DataFrame, DataFrame]:
+    late_sink=None,
+) -> tuple[DataFrame, LateRowTracker]:
     """allowedLateness + sideOutputLateData (WindowedStream.java:158,177):
-    the main channel is the watermarked stream (late rows dropped by the
-    engine); the side channel tags rows older than the allowed lateness
-    relative to the observed max — approximated per micro-batch with a
-    processing-time reference, since SS exposes no per-row 'is late' flag."""
+    the main channel is the watermarked stream (late rows beyond the
+    bound dropped by the engine); the side channel is a LateRowTracker
+    whose ``attach(events)`` runs a foreachBatch query tagging rows
+    against the observed max event time — the same clock the main
+    channel's watermark advances on."""
     main = events.withWatermark(ts_col, watermark)
-    late_tagged = events.filter(
-        F.col(ts_col) < F.current_timestamp() - F.expr(f"INTERVAL {watermark}")
-    )
-    return main, late_tagged
+    return main, LateRowTracker(watermark, ts_col, late_sink)

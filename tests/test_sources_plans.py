@@ -270,3 +270,43 @@ def test_join_strategy_hints_honored(spark):
         orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey
     )
     assert "BroadcastHashJoin" in explain_str(bcast, "simple")
+
+
+def test_custom_python_datasource_sequence(spark):
+    """readFile/createInput extension point (ExecutionEnvironment.java:562,
+    :599): a custom Python DataSource with its own split planning."""
+    from flink_tornadovm_artifact_spark.sources import read_sequence
+
+    df = read_sequence(spark, 10, 110, num_partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 100
+    got = df.agg(F.sum("id")).collect()[0][0]
+    assert got == sum(range(10, 110))
+    # weyl values deterministic and in [0,1)
+    row = df.filter(F.col("id") == 10).collect()[0]
+    import math
+
+    phi = (math.sqrt(5.0) - 1.0) / 2.0
+    assert abs(row.weyl - (10 * phi - math.floor(10 * phi))) < 1e-12
+
+
+def test_missing_connector_packages_fail_clearly(spark, tmp_path):
+    """Kafka/Avro connectors are format-registry lookups; without their
+    packages the failure must be Spark's own actionable error (naming the
+    missing source), not a crash deeper in the stack. Pins the documented
+    scope line in sources/io.py."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException) as ei:
+        spark.read.format("avro").load(str(tmp_path / "x.avro"))
+    assert "avro" in str(ei.value).lower()
+
+    with _pytest.raises(AnalysisException) as ei:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:9092")
+            .option("subscribe", "t")
+            .load()
+        )
+    assert "kafka" in str(ei.value).lower()

@@ -140,6 +140,44 @@ def test_keys_and_windows_isolated(spark, tmp_path):
     ]
 
 
+def test_late_side_output_watermark_relative(spark, tmp_path):
+    """Replaying HISTORICAL data (all timestamps far in the past): the
+    side channel must tag only rows genuinely late relative to the
+    observed max event time — a processing-time reference would tag
+    every row (the round-1 bug)."""
+    from flink_tornadovm_artifact_spark.streaming import (
+        allowed_lateness_side_output,
+    )
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    # batch 1 advances the event clock to minute 9; batch 2 carries one
+    # genuinely late row (minute 2 < 9 - 5), one in-bound out-of-order
+    # row (minute 8 >= 4), and one on-time row (minute 12)
+    _write_batch(str(d / "b0.parquet"), [(1, 0, 1.0), (1, 9, 2.0)], 1_700_000_000)
+    _write_batch(
+        str(d / "b1.parquet"),
+        [(1, 2, 3.0), (1, 8, 4.0), (1, 12, 5.0)],
+        1_700_000_060,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    main, tracker = allowed_lateness_side_output(stream, "5 minutes")
+    q = tracker.attach(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [(r.user_id, r.ts, r.value) for r in tracker.late] == [
+        (1, BASE + dt.timedelta(minutes=2), 3.0)
+    ]
+    # the main channel is the watermarked stream, same clock
+    assert main.isStreaming
+
+
 def test_evictors_pure_functions():
     ts = [0, 60_000, 120_000, 180_000]
     vals = [1.0, 2.0, 3.0, 4.0]
