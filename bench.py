@@ -35,6 +35,7 @@ HEADLINE = [
     "q21_sliding_window",
     "q22_interval_join",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "similarity_topk",
     # procedural pipelines (BASELINE.md rebuild benchmark set)
     "vector_add_kernel",
@@ -91,6 +92,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "n": reps,
     }
     print(json.dumps(out))
 

@@ -14,7 +14,10 @@ Design rules for 100 TB:
   lowercase hex) — this is what makes MinHash/SimHash fully oracle-checkable;
 - candidate generation is always band/bucket-join shaped (shuffle on a
   small join key), never all-pairs; the demo all-pairs variants bound one
-  side with a modulo sample and say so.
+  side with a modulo sample and say so. The oracle-checked production
+  path is ``dedup_lsh_verified`` (LSH candidates → exact Jaccard verify);
+  the two crossJoin forms are demos registered below the driver's
+  correctness window and pinned by pytest.
 """
 
 from __future__ import annotations

@@ -310,3 +310,15 @@ def test_missing_connector_packages_fail_clearly(spark, tmp_path):
             .load()
         )
     assert "kafka" in str(ei.value).lower()
+
+
+def test_dedup_lsh_verified_no_cartesian(spark):
+    """The composed LSH→verify pipeline must stay equi-join shaped: the
+    candidate pairs join back to the shingle table on doc_id — never a
+    cross join (the all-pairs demos are exactly what it replaces)."""
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.llm import dedup_lsh_verified
+
+    plan = explain_str(dedup_lsh_verified(spark, SF_ORACLE), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
