@@ -54,12 +54,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q21_session_window",
     "q21_session_window_dynamic",
     "q22_interval_join",
-    # LLM-pipeline operators with oracles (13)
+    # LLM-pipeline operators with oracles (14)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_lsh_verified",
     "similarity_topk",
+    "similarity_lsh_bucketed",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
@@ -71,9 +72,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "vector_add_kernel",
     "matmul_rows_kernel",
     "pi_estimation_weyl",
-    # fixed-this-round + distinct operator classes (9)
+    # fixed-this-round + distinct operator classes (8; q52 rotated out —
+    # driver-green in round 1, its json surface also covered by q36)
     "q36_json_extract",
-    "q52_from_json_struct",
     "q28_pandas_udaf",
     "q29_reduce_group",
     "q32_correlated_subquery",

@@ -453,8 +453,10 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket factor; the shuffle key is the bucket signature).
 
     Hyperplanes are derived from md5 bits of the dimension index, so the
-    bucketing is deterministic but not SQL-oracle friendly — the driver
-    applies its rows-only check (no ORACLE entry, by design).
+    bucketing is fully deterministic AND oracle-checkable: both engines
+    fold the signed components in the same sequential order over doubles,
+    so the sign bits agree exactly (verified bit-identical over the full
+    table before the oracle was added).
     """
     emb = _emb_with_norm2(spark, sf_dir)
     # 8 hyperplanes; plane j has components +1/-1 by md5 bit of (j, dim).
@@ -515,7 +517,40 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(similarity_lsh_bucketed, None)  # rows-only check (by design)
+_plane_bit_sql = " || ".join(
+    "CASE WHEN list_sum(list_transform(range(0, len(v)), d -> "
+    f"CASE WHEN substr(md5('p{j}#' || d), 1, 1) >= '8' THEN v[d + 1] "
+    "ELSE -v[d + 1] END)) >= 0 THEN '1' ELSE '0' END"
+    for j in range(8)
+)
+
+_register(
+    similarity_lsh_bucketed,
+    f"""
+WITH vv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, {_plane_bit_sql} AS bucket FROM vv
+), pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+), scored AS (
+  SELECT p.qid AS query_id, p.nid AS nbr_id,
+         list_dot_product(va.v, vb.v)
+           / sqrt(list_dot_product(va.v, va.v))
+           / sqrt(list_dot_product(vb.v, vb.v)) AS cosine
+  FROM pairs p
+  JOIN vv va ON p.qid = va.vec_id
+  JOIN vv vb ON p.nid = vb.vec_id
+)
+SELECT query_id, nbr_id AS neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, nbr_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
