@@ -68,18 +68,18 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_rolling_hash",
     "text_udtf_ngrams",
     "multimodal_binary_meta",
-    # procedural kernels with oracles (3)
+    # procedural kernels with oracles (4)
     "vector_add_kernel",
     "matmul_rows_kernel",
     "pi_estimation_weyl",
-    # fixed-this-round + distinct operator classes (8; q52 rotated out —
-    # driver-green in round 1, its json surface also covered by q36)
+    "dft_events",
+    # fixed-this-round + distinct operator classes (7; q52/q50 rotated
+    # out — driver-green in round 1, surfaces still covered by q36/q14)
     "q36_json_extract",
     "q28_pandas_udaf",
     "q29_reduce_group",
     "q32_correlated_subquery",
     "q33_window_frames",
-    "q50_cube_grouping_id",
     "q23_tpch_q10",
     "q30_tpch_q5",
 )

@@ -192,7 +192,21 @@ def dft_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dft(np.asarray(sig), spark, partitions=8)
 
 
-_register(dft_events, None)
+_register(
+    dft_events,
+    # O(N²) definition DFT: the oracle mirrors the kernel's exact
+    # angle-expression order ((-2π·k·n)/N) so the only Spark↔DuckDB
+    # divergence is last-ulp trig, ~2e-10 absolute on this signal —
+    # measured, 0 mismatches at 4dp canonicalization.
+    f"""
+WITH sig AS (SELECT event_id AS n, value AS x FROM events WHERE event_id < {_DFT_N}),
+ks AS (SELECT range AS k FROM range(0, {_DFT_N}))
+SELECT k,
+       SUM(cos((-2 * pi() * k * n) / {_DFT_N}) * x) AS re,
+       SUM(sin((-2 * pi() * k * n) / {_DFT_N}) * x) AS im
+FROM ks CROSS JOIN sig GROUP BY k
+""",
+)
 
 
 # ---------------------------------------------------------------------------
