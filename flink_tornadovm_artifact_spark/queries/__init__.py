@@ -68,18 +68,19 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_rolling_hash",
     "text_udtf_ngrams",
     "multimodal_binary_meta",
-    # procedural kernels with oracles (4)
+    # procedural kernels + delta iteration with oracles (5)
     "vector_add_kernel",
     "matmul_rows_kernel",
     "pi_estimation_weyl",
     "dft_events",
-    # fixed-this-round + distinct operator classes (7; q52/q50 rotated
-    # out — driver-green in round 1, surfaces still covered by q36/q14)
+    "connected_components_pipeline",
+    # fixed-this-round + distinct operator classes (6; q52/q50/q33
+    # rotated out — driver-green in round 1, surfaces still covered by
+    # q36/q14/q15)
     "q36_json_extract",
     "q28_pandas_udaf",
     "q29_reduce_group",
     "q32_correlated_subquery",
-    "q33_window_frames",
     "q23_tpch_q10",
     "q30_tpch_q5",
 )

@@ -263,4 +263,24 @@ def connected_components_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     return connected_components(_order_edges(spark, sf_dir), max_iterations=20)
 
 
-_register(connected_components_pipeline, None)
+_register(
+    connected_components_pipeline,
+    # Exact-integer oracle: component = min vertex id reachable, computed
+    # by a recursive-CTE transitive closure. Valid because the delta
+    # iteration converges (workset empties) well within max_iterations on
+    # this graph — at convergence min-label propagation IS the true CC.
+    """
+WITH RECURSIVE und AS (
+  SELECT src, dst FROM (
+    SELECT o_custkey AS src, o_orderkey % 997 + 100000 AS dst FROM orders
+    UNION
+    SELECT o_orderkey % 997 + 100000, o_custkey FROM orders
+  )
+), r(vertex, reach) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT r.vertex, e.dst FROM r JOIN und e ON r.reach = e.src
+)
+SELECT vertex, MIN(reach) AS component FROM r GROUP BY vertex
+""",
+)
