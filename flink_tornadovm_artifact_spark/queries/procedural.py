@@ -223,7 +223,51 @@ def kmeans_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(cents, "cid int, cx double, cy double")
 
 
-_register(kmeans_pipeline, None)
+def _kmeans_oracle_sql(iterations: int = 3) -> str:
+    """Lloyd's loop unrolled as chained CTEs: per iteration, assign each
+    point to its nearest centroid (ROW_NUMBER over (d2, cid) — the same
+    tie-break as the LEAST(struct) argmin), then recompute averages with
+    empty clusters keeping their position. Tie-safety measured at sf0.01:
+    the only exact best-vs-second tie occurs at iteration 0, where
+    centroids are literal-exact on both engines (same winner); later
+    iterations have min gaps of 3.6e-2 / 7.9 — orders of magnitude above
+    any cross-engine ulp drift. Result measured bit-identical."""
+    from .ml import CENTROIDS
+
+    seeds = ", ".join(f"({c}, {x}, {y})" for c, x, y in CENTROIDS)
+    steps = []
+    prev = "c0"
+    for t in range(1, iterations + 1):
+        steps.append(
+            f"""a{t} AS (
+  SELECT px, py, cid FROM (
+    SELECT p.px, p.py, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.pid
+             ORDER BY (p.px - c.cx) * (p.px - c.cx)
+                      + (p.py - c.cy) * (p.py - c.cy), c.cid) AS rn
+    FROM pts p CROSS JOIN {prev} c)
+  WHERE rn = 1
+), s{t} AS (
+  SELECT cid, SUM(px) AS sx, SUM(py) AS sy, COUNT(*) AS n FROM a{t} GROUP BY cid
+), c{t} AS (
+  SELECT c.cid, COALESCE(s.sx / s.n, c.cx) AS cx, COALESCE(s.sy / s.n, c.cy) AS cy
+  FROM {prev} c LEFT JOIN s{t} s USING (cid)
+)"""
+        )
+        prev = f"c{t}"
+    return f"""
+WITH pts AS (
+  SELECT ROW_NUMBER() OVER () AS pid, CAST(l_quantity AS DOUBLE) AS px,
+         CAST(l_discount AS DOUBLE) * 100 AS py
+  FROM lineitem
+),
+c0(cid, cx, cy) AS (VALUES {seeds}),
+{",".join(steps)}
+SELECT cid, cx, cy FROM {prev}
+"""
+
+
+_register(kmeans_pipeline, _kmeans_oracle_sql(3))
 
 
 def logreg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
