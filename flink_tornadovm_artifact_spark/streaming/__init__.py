@@ -19,6 +19,7 @@ from .core import (
 )
 from .sources import events_file_stream, memory_sink_run, with_ingestion_time
 from .triggers import (
+    ContinuousEventTimeTrigger,
     CountEvictor,
     CountTrigger,
     DeltaEvictor,
@@ -30,6 +31,7 @@ from .triggers import (
 
 __all__ = [
     "CountTrigger",
+    "ContinuousEventTimeTrigger",
     "DeltaTrigger",
     "purging",
     "CountEvictor",

@@ -70,6 +70,35 @@ class CountTrigger:
 
 
 @dataclass(frozen=True)
+class ContinuousEventTimeTrigger:
+    """triggers/ContinuousEventTimeTrigger.java: fire repeatedly every
+    ``interval`` of EVENT time within the window (Flink registers an
+    event-time timer per boundary; the emulation fires as elements carry
+    event time across each interval-aligned boundary — identical pane
+    contents for in-order streams, and deterministic under replay either
+    way). Processing-time triggers (ProcessingTimeTrigger,
+    ContinuousProcessingTimeTrigger) map NATIVELY to Structured
+    Streaming's micro-batch cadence — ``writeStream.trigger(
+    processingTime=...)`` — and are deliberately not emulated here:
+    wall-clock firing is nondeterministic under replay, which is the
+    exact property this deterministic test harness excludes."""
+
+    interval: str  # e.g. "2 minutes"
+    purge: bool = False
+
+    def on_element(self, st: dict, ts_ms: int, value: float) -> int:
+        step = _interval_ms(self.interval)
+        if st["last"] is None or math.isnan(st["last"]):
+            # first element arms the timer at the next aligned boundary
+            st["last"] = float(ts_ms - ts_ms % step + step)
+            return CONTINUE
+        if ts_ms >= st["last"]:
+            st["last"] = float(ts_ms - ts_ms % step + step)
+            return FIRE
+        return CONTINUE
+
+
+@dataclass(frozen=True)
 class DeltaTrigger:
     """triggers/DeltaTrigger.java with the scalar-difference delta
     function: the first element becomes the basis; FIRE when

@@ -20,6 +20,7 @@ import pytest
 
 from flink_tornadovm_artifact_spark.streaming import memory_sink_run
 from flink_tornadovm_artifact_spark.streaming.triggers import (
+    ContinuousEventTimeTrigger,
     CountEvictor,
     CountTrigger,
     DeltaEvictor,
@@ -99,6 +100,16 @@ def test_delta_trigger_rebases_on_fire(spark, tmp_path):
         (1, 3, 7.0),
         (1, 5, 20.0),
     ]
+
+
+def test_continuous_event_time_trigger_fires_per_interval(spark, tmp_path):
+    rows = [(1, m, float(i + 1)) for i, m in enumerate([0, 1, 2, 3, 5, 6, 9])]
+    # boundaries every 2 min of event time: fires as elements cross
+    # m2 (buffer 1..3), m4 (crossed at m5, buffer 1..5), m6 (buffer 1..6),
+    # m8 (crossed at m9, buffer all 7)
+    assert _run(
+        spark, tmp_path, [rows], ContinuousEventTimeTrigger("2 minutes")
+    ) == [(1, 3, 6.0), (1, 5, 15.0), (1, 6, 21.0), (1, 7, 28.0)]
 
 
 def test_time_evictor_keeps_recent_span(spark, tmp_path):
