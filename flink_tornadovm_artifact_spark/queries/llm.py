@@ -641,7 +641,53 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(similarity_ivf, None)  # rows-only (data-dependent argmin)
+_register(
+    similarity_ivf,
+    # The coarse quantization IS oracle-checkable: assignment margins on
+    # this corpus (min rank1-rank2 gap 2.3e-4, rank2-rank3 5.3e-5,
+    # top-5 boundary 2.0e-4) sit ~10 orders of magnitude above
+    # cross-engine float drift, so the NumPy-kernel cell assignment and
+    # the SQL rank agree exactly (measured: identical top-5 sets).
+    """
+WITH vv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS c FROM vv WHERE vec_id < 16
+), assign AS (
+  SELECT vec_id, cid, rn FROM (
+    SELECT vv.vec_id, cents.cid,
+           ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+             ORDER BY list_dot_product(vv.v, cents.c)
+                        / sqrt(list_dot_product(vv.v, vv.v))
+                        / sqrt(list_dot_product(cents.c, cents.c)) DESC,
+                      cents.cid ASC) AS rn
+    FROM vv CROSS JOIN cents)
+  WHERE rn <= 2
+), cells AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN cid END) AS cell,
+         MAX(CASE WHEN rn = 2 THEN cid END) AS probe2
+  FROM assign GROUP BY vec_id
+), data AS (
+  SELECT vv.vec_id, vv.v, cells.cell, cells.probe2
+  FROM vv JOIN cells USING (vec_id)
+), qs AS (
+  SELECT vec_id AS qid, v AS qv, unnest([cell, probe2]) AS cell
+  FROM data WHERE vec_id < 5
+), scored AS (
+  SELECT q.qid AS query_id, d.vec_id AS nbr_id,
+         list_dot_product(q.qv, d.v)
+           / sqrt(list_dot_product(q.qv, q.qv))
+           / sqrt(list_dot_product(d.v, d.v)) AS cosine
+  FROM qs q JOIN data d ON q.cell = d.cell AND d.vec_id != q.qid
+)
+SELECT query_id, nbr_id AS neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, nbr_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
 
 
 # ---------------------------------------------------------------------------
