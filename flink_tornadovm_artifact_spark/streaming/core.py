@@ -414,6 +414,46 @@ class LateRowTracker:
         return events.writeStream.foreachBatch(self.on_batch).start()
 
 
+class QueryableState:
+    """Queryable-state approximation (KeyedStream.asQueryableState —
+    Flink's external point-lookup into live keyed state). Structured
+    Streaming exposes no state-server; the nearest faithful shape is a
+    foreachBatch sink that folds each micro-batch's UPDATED rows of an
+    update-mode keyed aggregate into a driver-held map, giving the same
+    read API (point ``get(key)`` / ``snapshot()``) with staleness of at
+    most one trigger interval.
+
+    Scale note: the map holds one row per DISTINCT KEY that changed —
+    the same cardinality Flink's queryable-state server materializes per
+    key — not per event. For key spaces too large for one process, point
+    the same foreachBatch at an external KV store; the merge contract
+    is unchanged."""
+
+    def __init__(self, key_col: str):
+        self._key_col = key_col
+        self._state: dict = {}
+
+    def on_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        for row in batch_df.collect():
+            d = row.asDict()
+            self._state[d.pop(self._key_col)] = d
+
+    def get(self, key):
+        return self._state.get(key)
+
+    def snapshot(self) -> dict:
+        return dict(self._state)
+
+    def attach(self, keyed_agg_stream: DataFrame):
+        """Start the state-materializing query on an update-mode keyed
+        aggregate; returns the StreamingQuery (caller owns stop())."""
+        return (
+            keyed_agg_stream.writeStream.outputMode("update")
+            .foreachBatch(self.on_batch)
+            .start()
+        )
+
+
 def allowed_lateness_side_output(
     events: DataFrame,
     watermark: str,

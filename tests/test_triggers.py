@@ -201,3 +201,40 @@ def test_evictors_pure_functions():
         [120_000, 180_000],
         [3.0, 4.0],
     )
+
+
+def test_queryable_state_point_lookup(spark, tmp_path):
+    """asQueryableState approximation: after the stream drains, point
+    lookups against the driver-held map must equal the batch aggregate
+    of the same rows."""
+    from flink_tornadovm_artifact_spark.streaming import QueryableState
+
+    d = tmp_path / "qs_in"
+    d.mkdir()
+    _write_batch(
+        str(d / "b0.parquet"),
+        [(1, 0, 2.0), (1, 1, 3.0), (2, 2, 10.0)],
+        1_700_000_000,
+    )
+    _write_batch(str(d / "b1.parquet"), [(1, 3, 5.0), (3, 4, 7.0)], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    import pyspark.sql.functions as F
+
+    agg = stream.groupBy("user_id").agg(
+        F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("cnt")
+    )
+    qs = QueryableState("user_id")
+    q = qs.attach(agg)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert qs.get(1) == {"sum_value": 10.0, "cnt": 3}
+    assert qs.get(2) == {"sum_value": 10.0, "cnt": 1}
+    assert qs.get(3) == {"sum_value": 7.0, "cnt": 1}
+    assert qs.get(99) is None
+    assert sorted(qs.snapshot()) == [1, 2, 3]
