@@ -986,8 +986,9 @@ FROM documents
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: blob column → JVM-side metadata →
     Arrow-batched decode+feature kernel (operators/multimodal.py, stubbed
-    codec). Rows-only check: the fake-decode math is Python-side; its
-    exact values are pinned by tests/test_multimodal.py instead."""
+    codec). The fake decode is md5-derived integer arithmetic, so even
+    the Python kernel is oracle-checkable: DuckDB re-derives the digest
+    bytes from md5 hex and reproduces width/height/features exactly."""
     from ..operators.multimodal import decode_image_features, with_metadata
 
     docs = load(spark, sf_dir, "documents").select(
@@ -997,4 +998,30 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(blobs, id_col="doc_id")
 
 
-_register(multimodal_feature_extract, None)  # rows-only (Python kernel)
+def _hex_byte(j: int) -> str:
+    """Digest byte j from the md5 hex string (column ``hx``)."""
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, {2 * j + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(hx, {2 * j + 2}, 1)) - 1))"
+    )
+
+
+_feat_sql = ", ".join(
+    f"CAST({_hex_byte(2 * i)} + 256 * {_hex_byte(2 * i + 1)} AS DOUBLE) / 65535.0"
+    for i in range(8)
+)
+
+_register(
+    multimodal_feature_extract,
+    f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+  WHERE octet_length(encode(text)) > 0
+)
+SELECT doc_id,
+       CAST(16 + {_hex_byte(0)} % 64 AS INTEGER) AS width,
+       CAST(16 + {_hex_byte(1)} % 64 AS INTEGER) AS height,
+       [{_feat_sql}] AS features
+FROM h
+""",
+)
