@@ -74,7 +74,9 @@ SELECT event_id, value + CAST(user_id AS DOUBLE) AS s FROM events
 # Row-wise matrix multiply: each embedding row (64-d) × a fixed 64×8
 # matrix M[j,k] = ((j*8+k) % 7) - 3, broadcast once per executor.
 # BLAS accumulation order differs from DuckDB's sequential list_sum by
-# ~1e-13 relative — far inside the oracle's 4-dp rounding.
+# ~1e-13 relative, so the output is UNNESTED to scalar rows (vec_id, k,
+# mm): the driver's round-then-hash treatment of scalar doubles is
+# proven (round-1 greens); its treatment of floats inside arrays is not.
 # ---------------------------------------------------------------------------
 _MM_D, _MM_K = 64, 8
 
@@ -89,18 +91,20 @@ def matmul_rows_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("mm")
     )
-    return matmul_rows(emb, _mm_matrix(), vec_col="mm", id_col="vec_id")
+    out = matmul_rows(emb, _mm_matrix(), vec_col="mm", id_col="vec_id")
+    return out.select(
+        "vec_id", F.posexplode("mm").alias("k", "mm")
+    ).withColumn("k", F.col("k").cast("long"))
 
 
 _register(
     matmul_rows_kernel,
     f"""
-SELECT vec_id,
-       list_transform(range({_MM_K}), k ->
-         list_sum(list_transform(range({_MM_D}), j ->
-           CAST(embedding[j + 1] AS DOUBLE)
-           * CAST(((j * {_MM_K} + k) % 7) - 3 AS DOUBLE)))) AS mm
-FROM embeddings
+SELECT vec_id, ks.k,
+       list_sum(list_transform(range({_MM_D}), j ->
+         CAST(embedding[j + 1] AS DOUBLE)
+         * CAST(((j * {_MM_K} + ks.k) % 7) - 3 AS DOUBLE))) AS mm
+FROM embeddings CROSS JOIN (SELECT range AS k FROM range({_MM_K})) ks
 """,
 )
 
@@ -278,7 +282,12 @@ def logreg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") >= 5).cast("double").alias("label"),
     )
     w = train(emb, dim=_MM_D, iterations=5, lr=0.1)
-    return spark.createDataFrame([(list(map(float, w)),)], "weights array<double>")
+    # one scalar row per dimension (not one array row): cross-engine
+    # weight drift is ~2e-18, and the driver's round-then-hash is proven
+    # only for scalar float columns
+    return spark.createDataFrame(
+        [(i, float(wi)) for i, wi in enumerate(w)], "d long, weight double"
+    )
 
 
 def _logreg_oracle_sql(dim: int, iterations: int, lr: float) -> str:
@@ -313,7 +322,7 @@ nn AS (SELECT COUNT(*) AS cnt FROM data),
 dims AS (SELECT range AS d FROM range(0, {dim})),
 w0 AS (SELECT list_transform(range(0, {dim}), d -> 0.0) AS w),
 {",".join(steps)}
-SELECT w AS weights FROM {prev}
+SELECT d, (SELECT w FROM {prev})[CAST(d AS INT) + 1] AS weight FROM dims
 """
 
 
