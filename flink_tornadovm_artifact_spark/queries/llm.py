@@ -79,8 +79,11 @@ _MINHASH_K = 8
 _BANDS = 4  # rows per band = _MINHASH_K // _BANDS = 2
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def _shingled(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     df = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingle = lambda i: F.concat_ws(
@@ -115,8 +118,10 @@ def _minhash_sig(df: DataFrame) -> DataFrame:
     return hashed.select("doc_id", *mh)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_sig(_shingled(spark, sf_dir))
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    sig = _minhash_sig(_shingled(spark, sf_dir, docs))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -302,9 +307,11 @@ WHERE a.doc_id % 97 = 0 AND a.doc_id != b.doc_id
 _VERIFY_THRESHOLD = 0.8
 
 
-def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    sh = _shingled(spark, sf_dir).select(
+def dedup_lsh_verified(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir, docs)
+    sh = _shingled(spark, sf_dir, docs).select(
         "doc_id", F.array_distinct("shingles").alias("sset")
     )
     a, b = sh.alias("a"), sh.alias("b")

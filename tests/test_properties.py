@@ -156,3 +156,54 @@ def test_set_ops_match_python_semantics(spark, xs, ys):
     got = Counter(r["v"] for r in a.exceptAll(b).collect())
     assert got == diff
     assert {r["v"] for r in a.union(b).distinct().collect()} == set(xs) | set(ys)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=10),
+        min_size=2,
+        max_size=10,
+    ),
+    st.data(),
+)
+@settings(**SETTINGS)
+def test_lsh_verified_dedup_matches_bruteforce(spark, word_lists, data):
+    """Composed LSH→verify pipeline vs an independent Python
+    reimplementation: expected = pairs sharing ≥1 minhash band AND with
+    exact 3-shingle Jaccard ≥ 0.8. Near-dup pressure comes from appending
+    mutated copies of the first doc."""
+    import hashlib
+
+    docs = [" ".join(ws) for ws in word_lists]
+    # mutated near-copies of doc 0 to exercise the verify step
+    base = word_lists[0]
+    docs.append(" ".join(base + [data.draw(st.sampled_from("abcdefg"))]))
+    docs.append(" ".join(base))
+
+    def shingles(text):
+        t = text.split(" ")
+        return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+
+    def bands(text):
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles(text)]
+        mh = [min(h[4 * j : 4 * j + 4] for h in hs) for j in range(8)]
+        return {(b, mh[2 * b] + mh[2 * b + 1]) for b in range(4)}
+
+    expected = set()
+    for i, a in enumerate(docs):
+        for j, b in enumerate(docs):
+            if i < j and len(a.split(" ")) >= 3 and len(b.split(" ")) >= 3:
+                if bands(a) & bands(b):
+                    sa, sb = set(shingles(a)), set(shingles(b))
+                    jac = len(sa & sb) / len(sa | sb)
+                    if jac >= 0.8:
+                        expected.add((i, j, round(jac, 6)))
+
+    from flink_tornadovm_artifact_spark.queries.llm import dedup_lsh_verified
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in dedup_lsh_verified(spark, "", docs=df).collect()
+    }
+    assert got == expected
