@@ -238,3 +238,44 @@ def test_queryable_state_point_lookup(spark, tmp_path):
     assert qs.get(3) == {"sum_value": 7.0, "cnt": 1}
     assert qs.get(99) is None
     assert sorted(qs.snapshot()) == [1, 2, 3]
+
+
+def test_count_trigger_property_random_corpora(spark, tmp_path):
+    """CountTrigger panes vs an independent dict-based simulator over
+    randomized multi-key, multi-window, multi-batch inputs (derandomized
+    seeds so driver runs are stable)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randint(1, 3), rng.randint(0, 24), float(rng.randint(1, 9)))
+            for _ in range(rng.randint(5, 25))
+        ]
+        cut = rng.randint(0, len(rows))
+        batches = [b for b in (rows[:cut], rows[cut:]) if b]
+        n = rng.randint(2, 4)
+
+        # independent simulator: per batch, per (key, 10-min window),
+        # elements in ts order; count state persists across batches
+        state: dict = {}
+        expected: list = []
+        for batch in batches:
+            per_pane: dict = {}
+            for u, m, v in sorted(batch, key=lambda r: r[1]):
+                per_pane.setdefault((u, m // 10), []).append((m, v))
+            for pane, els in per_pane.items():
+                buf, cnt = state.get(pane, ([], 0))
+                buf = list(buf)
+                for m, v in els:
+                    buf.append(v)
+                    cnt += 1
+                    if cnt >= n:
+                        cnt = 0
+                        expected.append((pane[0], len(buf), sum(buf)))
+                state[pane] = (buf, cnt)
+
+        seed_dir = tmp_path / f"s{seed}"
+        seed_dir.mkdir()
+        got = _run(spark, seed_dir, batches, CountTrigger(n))
+        assert got == sorted(expected), (seed, n, batches)
