@@ -22,7 +22,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Iteration order is deliberate: the first 50 entries are the
+    PRIORITY_WINDOW (pkg/queries/__init__.py) — the declared set
+    q01-q22, the LLM-pipeline operators, and the procedural kernels —
+    because the verification driver oracle-checks the registry in order.
+    Every window entry has an oracle_sql() entry."""
     return dict(QUERIES)
 
 
