@@ -527,7 +527,8 @@ LIMIT 20
 
 # ---------------------------------------------------------------------------
 # Q24 — promo revenue ratio, TPC-H Q14 shape (exercises the `part` dim):
-# conditional aggregation over a broadcast fact-dim join.
+# conditional aggregation over a fact-dim join. part is SF-linear
+# (SF*200k rows) so the join is unhinted — AQE broadcasts at small SF.
 # ---------------------------------------------------------------------------
 def q24_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -539,7 +540,7 @@ def q24_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DEC)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(promo).cast("double").alias("promo_revenue"),
             F.sum(revenue).cast("double").alias("total_revenue"),

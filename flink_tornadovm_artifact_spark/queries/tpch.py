@@ -10,7 +10,12 @@ with the remaining TPC-H shapes expressible on the testdata schema (no
 ``partsupp`` table; those queries are adapted to `lineitem` as noted).
 
 Scale notes (100 TB discipline):
-- every dim join (part/customer/supplier/nation) is broadcast;
+- broadcast hints ONLY on bounded dims (nation 25 rows, region 5 rows)
+  and genuinely-filtered-tiny sides (q41's negative-balance supplier
+  exclusion list); SF-linear tables (part SF*200k, customer SF*150k,
+  supplier SF*10k — ~20B/15B/1B rows at 100 TB) stay UNhinted so AQE
+  promotes them to broadcast at small SF and demotes at scale — a pinned
+  hint cannot be demoted and OOMs the executors at 100×;
 - fact-fact joins (lineitem⋈orders) shuffle on the join key only after
   filters are pushed to the scans;
 - decorrelated per-key aggregates (q42, q48) reuse the fact table's
@@ -176,8 +181,9 @@ GROUP BY c_count
 
 # ---------------------------------------------------------------------------
 # q41 — TPC-H Q16 shape: supplier count by part attributes. NOT-IN
-# sub-select→anti join (negative-balance suppliers excluded), distinct
-# count per (p_brand, p_size) over a broadcast part join.
+# sub-select→anti join (negative-balance suppliers excluded — a filtered
+# tiny side, broadcast-hinted), distinct count per (p_brand, p_size) over
+# an unhinted part join (part is SF-linear; AQE decides the strategy).
 # ---------------------------------------------------------------------------
 def q41_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -189,7 +195,7 @@ def q41_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -215,7 +221,7 @@ def q42_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#3"
     ).select("p_partkey")
-    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branded = li.join(part, li.l_partkey == part.p_partkey)
     thresholds = (
         branded.groupBy(F.col("l_partkey").alias("t_partkey"))
         .agg((F.lit(0.5) * (dsum("l_quantity") / F.count("l_quantity"))).alias("qty_cap"))
@@ -244,12 +250,12 @@ WHERE p_brand = 'Brand#3'
 # q43 — TPC-H Q19 shape: discounted revenue under disjunctive predicates.
 # The OR-of-conjunctions join condition exercises Catalyst's
 # CNF-conversion / partial predicate pushdown (each branch's p_partkey
-# equi-key still drives a broadcast hash join).
+# equi-key drives the join; part is SF-linear, strategy left to AQE).
 # ---------------------------------------------------------------------------
 def q43_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     branch1 = (
         (F.col("p_brand") == "Brand#1")
         & (F.col("p_size").between(1, 10))
@@ -315,7 +321,9 @@ GROUP BY c_nationkey
 # ---------------------------------------------------------------------------
 # q45 — TPC-H Q7 shape: volume shipping between nation pairs. The nation
 # dim joins TWICE under different aliases (supplier side and customer
-# side) — the classic multi-role dimension pattern; both are broadcast.
+# side) — the classic multi-role dimension pattern; both nation aliases
+# are broadcast (25 rows each). supplier/customer are SF-linear and stay
+# unhinted: shuffle joins on the equi-keys, AQE promotes at small SF.
 # ---------------------------------------------------------------------------
 def q45_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -335,8 +343,8 @@ def q45_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -368,7 +376,8 @@ GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
 # ---------------------------------------------------------------------------
 # q46 — TPC-H Q8 shape: market share of one supplier-nation within a
 # region's customer market, per year. Conditional-share aggregation over
-# a 6-way join; all dims broadcast.
+# a 6-way join; bounded dims (nation ×2, region) broadcast, SF-linear
+# customer/supplier unhinted.
 # ---------------------------------------------------------------------------
 def q46_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -390,8 +399,8 @@ def q46_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
@@ -502,8 +511,8 @@ HAVING {dsum_sql('l_extendedprice')} >
 # ---------------------------------------------------------------------------
 # q51 — TPC-H Q9 shape: product-type profit by supplier nation and year.
 # No partsupp table, so supply cost is proxied by 1% of p_retailprice per
-# unit; the join/aggregation topology (fact ⋈ 2 facts ⋈ 3 broadcast dims,
-# grouped on derived year) is the original's.
+# unit; the join/aggregation topology (fact ⋈ fact ⋈ 2 SF-linear unhinted
+# dims ⋈ broadcast nation, grouped on derived year) is the original's.
 # ---------------------------------------------------------------------------
 def q51_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -518,8 +527,8 @@ def q51_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("p_retailprice").cast(DEC)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),

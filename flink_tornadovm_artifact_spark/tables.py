@@ -26,8 +26,13 @@ TABLES = (
     "embeddings",
 )
 
-#: Small dimension tables that should always be broadcast in joins.
-SMALL_DIMS = frozenset({"region", "nation", "supplier"})
+#: Bounded dimension tables that are safe to broadcast-hint in joins.
+#: Only tables whose row count does NOT grow with scale factor qualify:
+#: region (5 rows) and nation (25 rows) are fixed-size in TPC-H; every
+#: other table (customer SF*150k, supplier SF*10k, part SF*200k, ...) is
+#: SF-linear and must stay unhinted so AQE decides at runtime — a pinned
+#: broadcast hint cannot be demoted and OOMs at 100 TB.
+SMALL_DIMS = frozenset({"region", "nation"})
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

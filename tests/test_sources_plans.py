@@ -171,14 +171,20 @@ def test_q38_all_predicates_pushed(spark):
 
 
 def test_q41_anti_and_dim_joins_broadcast(spark):
-    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.plans.inspect import (
+        broadcast_hint_count,
+        explain_str,
+    )
     from flink_tornadovm_artifact_spark.queries.tpch import q41_tpch_q16
 
-    plan = explain_str(q41_tpch_q16(spark, SF_ORACLE), "simple")
+    df = q41_tpch_q16(spark, SF_ORACLE)
+    plan = explain_str(df, "simple")
     # NOT-IN side must be a broadcast anti join — a shuffled anti join
-    # against a tiny supplier exclusion list wastes a full fact shuffle
+    # against a tiny supplier exclusion list wastes a full fact shuffle.
+    # That filtered-tiny side is the ONLY explicit hint: part is SF-linear
+    # (SF*200k rows) and must stay unhinted so AQE picks the strategy.
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan
+    assert broadcast_hint_count(df) == 1
 
 
 def test_q42_decorrelates_without_driver_roundtrip(spark):
@@ -192,10 +198,38 @@ def test_q42_decorrelates_without_driver_roundtrip(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q45_dual_role_dims_broadcast(spark):
-    from flink_tornadovm_artifact_spark.queries.tpch import q45_tpch_q7
+def test_tpch_extras_hint_only_bounded_dims(spark):
+    """Scale discipline (SCALE.md §Joins): explicit broadcast hints only
+    on bounded dims (nation 25 / region 5 rows) or filtered-tiny sides;
+    SF-linear part/customer/supplier stay unhinted — AQE promotes them at
+    small SF and demotes at 100 TB, which a pinned hint cannot do."""
+    from flink_tornadovm_artifact_spark.plans.inspect import (
+        broadcast_hint_count,
+    )
+    from flink_tornadovm_artifact_spark.queries.relational import (
+        q24_promo_revenue,
+    )
+    from flink_tornadovm_artifact_spark.queries.tpch import (
+        q42_tpch_q17,
+        q43_tpch_q19,
+        q45_tpch_q7,
+        q46_tpch_q8,
+        q51_tpch_q9,
+    )
 
-    assert has_broadcast_join(q45_tpch_q7(spark, SF_ORACLE))
+    q45 = q45_tpch_q7(spark, SF_ORACLE)
+    # q45: exactly the two nation aliases hinted; at sf0.01 AQE still
+    # produces broadcast joins for them
+    assert broadcast_hint_count(q45) == 2
+    assert has_broadcast_join(q45)
+    # q46: nation x2 + region = 3 bounded-dim hints
+    assert broadcast_hint_count(q46_tpch_q8(spark, SF_ORACLE)) == 3
+    # q51: nation only
+    assert broadcast_hint_count(q51_tpch_q9(spark, SF_ORACLE)) == 1
+    # q24/q42/q43 join only SF-linear part: zero explicit hints
+    assert broadcast_hint_count(q24_promo_revenue(spark, SF_ORACLE)) == 0
+    assert broadcast_hint_count(q42_tpch_q17(spark, SF_ORACLE)) == 0
+    assert broadcast_hint_count(q43_tpch_q19(spark, SF_ORACLE)) == 0
 
 
 def test_q40_two_level_agg_reduces_before_second_shuffle(spark):
