@@ -84,10 +84,17 @@ GROUP BY win_start, user_id
 # Q19 — outlier detection: values outside mean ± 2σ per (device, window)
 # (IoT.java:125-155 reduceGroup). Expressed with analytic windows so Spark
 # computes it in one pass — no self-join, no group materialization.
+#
+# Window width: 1 DAY, not 1 hour. The testdata's per-(user, hour) groups
+# average ~1 row, where mean±2σ can never fire (n=1 → sd NULL; n=2 →
+# |v−mean|/sd ≡ 1/√2), so the hourly form was vacuously green against
+# the oracle (round-2 verdict). Daily windows hold ~22 rows per group at
+# sf0.01 and the predicate fires (6 rows sf0.01 / 141 rows sf0.1),
+# making the differential check discriminating.
 # ---------------------------------------------------------------------------
 def q19_iot_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
-        "win_start", F.window("ts", "1 hour")["start"]
+        "win_start", F.window("ts", "1 day")["start"]
     )
     w = W.partitionBy("user_id", "win_start")
     stats = ev.select(
@@ -107,11 +114,11 @@ ORACLE["q19_iot_outliers"] = """
 SELECT event_id, user_id, win_start, value
 FROM (
   SELECT event_id, user_id,
-         time_bucket(INTERVAL '1 hour', ts) AS win_start, value,
+         time_bucket(INTERVAL '1 day', ts) AS win_start, value,
          AVG(value) OVER w AS mean_v,
          STDDEV_SAMP(value) OVER w AS sd_v
   FROM events
-  WINDOW w AS (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts))
+  WINDOW w AS (PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts))
 )
 WHERE ABS(value - mean_v) > 2 * sd_v
 """

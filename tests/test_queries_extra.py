@@ -56,3 +56,42 @@ def test_approx_aggregates_error_bound(spark):
     for k in exact:
         assert abs(approx[k]["apx_nd_parts"] - exact[k]["nd"]) <= 0.05 * exact[k]["nd"]
         assert abs(approx[k]["apx_p50"] - exact[k]["p50"]) <= 0.05 * exact[k]["p50"]
+
+
+def test_q19_outliers_fire_on_injected_spike(spark, tmp_path):
+    """The round-2 verdict flagged q19 as vacuously green (0 rows from
+    both engines). This pins the predicate the hard way: a fixture with a
+    flat per-(user, day) series plus one injected spike must return
+    exactly the spike row."""
+    import datetime as dt
+
+    from flink_tornadovm_artifact_spark.queries.iot import q19_iot_outliers
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1, one day: 20 flat readings around 50 ± 1, one 500 spike
+        (i, base + dt.timedelta(minutes=30 * i), 1, "reading",
+         50.0 + (i % 3) - 1.0, "{}")
+        for i in range(20)
+    ]
+    rows.append((99, base + dt.timedelta(hours=12), 1, "reading", 500.0, "{}"))
+    # user 2: too few points for a stddev (n=1 -> sd NULL, never fires)
+    rows.append((200, base, 2, "reading", 9999.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = q19_iot_outliers(spark, str(tmp_path)).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["value"] == 500.0
+
+
+def test_q19_discriminating_at_oracle_sf(spark):
+    """Guards against the vacuous-green regression: the oracle-checked
+    predicate must actually fire on the driver's sf0.01 fixture."""
+    from flink_tornadovm_artifact_spark.queries.iot import q19_iot_outliers
+
+    from .conftest import SF_ORACLE
+
+    assert q19_iot_outliers(spark, SF_ORACLE).count() > 0
