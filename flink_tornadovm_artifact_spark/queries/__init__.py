@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import iot, llm, ml, procedural, relational, tpch, windows
+from . import cep, iot, llm, ml, procedural, relational, tpch, windows
 
-_MODULES = (relational, tpch, iot, ml, windows, llm, procedural)
+_MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep)
 
 #: The verification driver oracle-checks only the FIRST 50 registry
 #: entries, so registration order is itself a correctness-coverage
@@ -54,7 +54,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q21_session_window",
     "q21_session_window_dynamic",
     "q22_interval_join",
-    # LLM-pipeline operators with oracles (14)
+    # LLM-pipeline operators with oracles (13)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

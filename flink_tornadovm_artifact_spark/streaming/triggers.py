@@ -21,8 +21,12 @@ advance only — so this module emulates the pane lifecycle with
 element buffer plus the trigger's own state, elements are applied in
 event-time order, and each FIRE applies the evictor to the buffer and
 emits one aggregate row. On window cleanup (event-time timeout at window
-end + watermark) state is dropped WITHOUT firing, matching Flink, where a
-custom trigger's un-fired remainder is silently cleared at cleanup time.
+end + watermark), Count/Delta trigger state is dropped WITHOUT firing —
+matching Flink, where those triggers' un-fired remainder is silently
+cleared at cleanup time — while ContinuousEventTimeTrigger emits one
+final pane first (``fire_on_cleanup``): Flink registers an event-time
+timer at ``window.maxTimestamp()`` whose ``onEventTime`` returns FIRE
+(ContinuousEventTimeTrigger.java), so the window-end pane always fires.
 
 Scale note: this is the escape hatch for Flink-parity trigger semantics,
 priced accordingly (per-element Python loop inside Arrow batches, state
@@ -72,11 +76,17 @@ class CountTrigger:
 @dataclass(frozen=True)
 class ContinuousEventTimeTrigger:
     """triggers/ContinuousEventTimeTrigger.java: fire repeatedly every
-    ``interval`` of EVENT time within the window (Flink registers an
-    event-time timer per boundary; the emulation fires as elements carry
-    event time across each interval-aligned boundary — identical pane
-    contents for in-order streams, and deterministic under replay either
-    way). Processing-time triggers (ProcessingTimeTrigger,
+    ``interval`` of EVENT time within the window. Flink registers an
+    event-time timer per boundary AND one at ``window.maxTimestamp()``;
+    the emulation fires as elements carry event time across each
+    interval-aligned boundary, and — because interval timers also fire on
+    watermark advance with no further elements — emits one final pane at
+    window cleanup (``fire_on_cleanup=True``), so the window-end pane is
+    never lost. In-order streams see the same pane contents as Flink for
+    every boundary an element crosses plus the final pane; a boundary
+    that no element and no watermark-advance reaches before cleanup is
+    folded into that final pane rather than fired separately.
+    Processing-time triggers (ProcessingTimeTrigger,
     ContinuousProcessingTimeTrigger) map NATIVELY to Structured
     Streaming's micro-batch cadence — ``writeStream.trigger(
     processingTime=...)`` — and are deliberately not emulated here:
@@ -85,6 +95,8 @@ class ContinuousEventTimeTrigger:
 
     interval: str  # e.g. "2 minutes"
     purge: bool = False
+    #: Flink's window.maxTimestamp() timer: FIRE once more at cleanup.
+    fire_on_cleanup: bool = True
 
     def on_element(self, st: dict, ts_ms: int, value: float) -> int:
         step = _interval_ms(self.interval)
@@ -148,8 +160,11 @@ class TimeEvictor:
     def evict(self, ts: list[int], vals: list[float]):
         if not ts:
             return ts, vals
+        # Strict cutoff: TimeEvictor.java:73-77 evicts ts <= evictCutoff
+        # (cutoff = max - windowSize), i.e. keeps only ts strictly after
+        # it — an element exactly at the cutoff is evicted.
         lo = max(ts) - _interval_ms(self.keep)
-        kept = [i for i, t in enumerate(ts) if t >= lo]
+        kept = [i for i, t in enumerate(ts) if t > lo]
         return [ts[i] for i in kept], [vals[i] for i in kept]
 
 
@@ -195,7 +210,31 @@ def windowed_trigger_agg(
 
     def run(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
+            # Window cleanup. ContinuousEventTimeTrigger fires one final
+            # pane here (Flink's window.maxTimestamp() timer); Count/
+            # Delta triggers drop their un-fired remainder silently,
+            # matching Flink's cleanup of custom-trigger windows.
+            final = None
+            if getattr(trigger, "fire_on_cleanup", False) and state.exists:
+                ts_buf, val_buf, _count, _last = state.get
+                ts_buf, val_buf = list(ts_buf), list(val_buf)
+                if val_buf:
+                    _e_ts, e_vals = (
+                        evictor.evict(ts_buf, val_buf)
+                        if evictor
+                        else (ts_buf, val_buf)
+                    )
+                    final = pd.DataFrame(
+                        {
+                            key_col: [key[0]],
+                            "win_start": [key[1]],
+                            "cnt": [len(e_vals)],
+                            "sum_value": [sum(e_vals)],
+                        }
+                    )
             state.remove()
+            if final is not None:
+                yield final
             return
         if state.exists:
             ts_buf, val_buf, count, last = state.get

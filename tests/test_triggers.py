@@ -112,11 +112,30 @@ def test_continuous_event_time_trigger_fires_per_interval(spark, tmp_path):
     ) == [(1, 3, 6.0), (1, 5, 15.0), (1, 6, 21.0), (1, 7, 28.0)]
 
 
+def test_continuous_trigger_fires_final_pane_on_cleanup(spark, tmp_path):
+    """The window-end pane must not be lost: Flink's
+    ContinuousEventTimeTrigger registers a timer at window.maxTimestamp()
+    that FIREs (ContinuousEventTimeTrigger.java), so when the watermark
+    passes the window end the remaining buffer fires once more even with
+    no further elements for that window."""
+    b1 = [(1, m, float(m + 1)) for m in range(4)]  # values 1..4, window [0,10)
+    # batch 2 only advances the watermark (minute 25 -> wm 15 > 10);
+    # its own window [20,30) never reaches cleanup
+    b2 = [(1, 25, 100.0)]
+    # element at m2 crosses the 2-min boundary (buffer 1,2,3); m3 does
+    # not; cleanup then fires the final pane with the full buffer 1..4
+    assert _run(
+        spark, tmp_path, [b1, b2], ContinuousEventTimeTrigger("2 minutes")
+    ) == [(1, 3, 6.0), (1, 4, 10.0)]
+
+
 def test_time_evictor_keeps_recent_span(spark, tmp_path):
-    # fire at 7th element; keep ts >= max(6min) - 3min -> minutes 3..6
+    # fire at 7th element; reference semantics (TimeEvictor.java:73-77)
+    # evict ts <= max(6min) - 3min, i.e. keep STRICTLY after minute 3 ->
+    # minutes 4..6, values 5,6,7
     assert _run(
         spark, tmp_path, [SEVEN], CountTrigger(7), TimeEvictor("3 minutes")
-    ) == [(1, 4, 22.0)]
+    ) == [(1, 3, 18.0)]
 
 
 def test_delta_evictor_keeps_near_basis(spark, tmp_path):
@@ -193,10 +212,9 @@ def test_evictors_pure_functions():
     ts = [0, 60_000, 120_000, 180_000]
     vals = [1.0, 2.0, 3.0, 4.0]
     assert CountEvictor(2).evict(ts, vals) == ([120_000, 180_000], [3.0, 4.0])
-    assert TimeEvictor("1 minute").evict(ts, vals) == (
-        [120_000, 180_000],
-        [3.0, 4.0],
-    )
+    # strict cutoff: 120_000 == max - 1min sits exactly AT the cutoff and
+    # is evicted (TimeEvictor.java keeps only ts > cutoff)
+    assert TimeEvictor("1 minute").evict(ts, vals) == ([180_000], [4.0])
     assert DeltaEvictor(1.5).evict(ts, vals) == (
         [120_000, 180_000],
         [3.0, 4.0],
