@@ -18,6 +18,7 @@ from .core import (
     windowed_cogroup,
     windowed_join_streams,
 )
+from .cep import cep_followed_by_stream
 from .sources import events_file_stream, memory_sink_run, with_ingestion_time
 from .triggers import (
     ContinuousEventTimeTrigger,
@@ -54,6 +55,7 @@ __all__ = [
     "allowed_lateness_side_output",
     "LateRowTracker",
     "QueryableState",
+    "cep_followed_by_stream",
     "events_file_stream",
     "memory_sink_run",
     "with_ingestion_time",

@@ -1,0 +1,120 @@
+"""CEP streaming twin: "A followedBy B within T per key" over a stream.
+
+The stateful mirror of ``queries/cep.py`` — the Spark analog of running
+``CEP.pattern(keyedStream, Pattern.begin("a").followedBy("b").within(T))``
+(``FT/flink-libraries/flink-cep/.../CEP.java``). Flink's NFA keeps, per
+key, the set of partial matches (here: pending A events) and completes a
+match when B arrives inside the time constraint; partial matches past
+their deadline are pruned on watermark advance. This module implements
+that exact lifecycle with ``applyInPandasWithState``:
+
+- keyed state = pending (a_event_id, a_ts) partial matches;
+- elements are applied in event-time order (the deterministic stand-in
+  for arrival order on a file-replay source, same convention as
+  triggers.py);
+- a B event completes EVERY pending A within ``T`` — each completed A is
+  removed, so each A emits at most once (first-B semantics, identical to
+  the batch form's min-over-following-frame);
+- pending As whose deadline (a_ts + T) has passed the key's max observed
+  event time are pruned — they can never complete on an in-order stream;
+  state per key is therefore bounded by the number of As inside one T
+  span, the same bound as Flink's NFA partial-match buffer.
+
+Scale note: state is per-key and O(As within T); the shuffle is one
+exchange on the key column — the same topology Flink's keyBy gives the
+CEP operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .core import _interval_ms
+
+
+def cep_followed_by_stream(
+    events: DataFrame,
+    a_type: str = "click",
+    b_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Emit one row per completed (A, first B) match: ``user_id,
+    a_event_id, a_ts, b_ts``. ``events`` needs columns event_id, user_id,
+    ts, event_type."""
+    within_ms = _interval_ms(within)
+
+    def run(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, ts_list, max_ts = state.get
+            pending = list(zip(ids, ts_list))
+            max_ts = int(max_ts)
+        else:
+            pending, max_ts = [], 0
+        out: list[tuple[int, int, int]] = []  # (a_event_id, a_ts, b_ts)
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_ms = rows["ts"].astype("int64") // 1_000_000
+            for eid, t, typ in zip(
+                rows["event_id"], ts_ms, rows["event_type"]
+            ):
+                t = int(t)
+                max_ts = max(max_ts, t)
+                if typ == a_type:
+                    pending.append((int(eid), t))
+                elif typ == b_type:
+                    matched = [p for p in pending if p[1] + within_ms >= t]
+                    out.extend((aid, ats, t) for aid, ats in matched)
+                    pending = [p for p in pending if p[1] + within_ms < t]
+            # prune partial matches that can no longer complete in order
+            pending = [p for p in pending if p[1] + within_ms >= max_ts]
+        state.update(
+            (
+                [p[0] for p in pending],
+                [p[1] for p in pending],
+                max_ts,
+            )
+        )
+        # state lives while the key can still complete a match; the
+        # watermark passing the last deadline cleans it up
+        state.setTimeoutTimestamp(max_ts + within_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "a_event_id": [o[0] for o in out],
+                    "a_ts": pd.to_datetime(
+                        [o[1] for o in out], unit="ms"
+                    ),
+                    "b_ts": pd.to_datetime(
+                        [o[2] for o in out], unit="ms"
+                    ),
+                }
+            )
+
+    keyed = (
+        events.filter(F.col("event_type").isin(a_type, b_type))
+        .withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, a_event_id long, a_ts timestamp, b_ts timestamp"
+        ),
+        stateStructType=(
+            "a_ids array<long>, a_ts_ms array<long>, max_ts long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,126 @@
+"""CEP mini-surface tests: the batch followedBy-within query and its
+stateful streaming twin (reference: FT/flink-libraries/flink-cep/
+CEP.java, pattern/Pattern.java — Pattern.begin("a").followedBy("b")
+.within(T)).
+
+Hand-computed expectations on a tiny fixture plus a batch-vs-stream
+differential on the same rows: the two implementations are independent
+(analytic window frame vs keyed NFA state), so agreement is a real
+signal.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from flink_tornadovm_artifact_spark.queries.cep import cep_followed_by
+from flink_tornadovm_artifact_spark.streaming import (
+    cep_followed_by_stream,
+    memory_sink_run,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+#: (event_id, user_id, minute, event_type). Pattern: click → purchase
+#: within 30 minutes.
+FIXTURE = [
+    # user 1: click@0 and click@5 both complete on purchase@20 (each A
+    # matches its FIRST following B); click@40 has no B within reach
+    (1, 1, 0, "click"),
+    (2, 1, 5, "click"),
+    (3, 1, 10, "view"),  # relaxed contiguity: ignored between A and B
+    (4, 1, 20, "purchase"),
+    (5, 1, 40, "click"),
+    # user 2: purchase arrives 35 min after the click -> outside within()
+    (6, 2, 0, "click"),
+    (7, 2, 35, "purchase"),
+    # user 3: B before any A never matches; the later A-B pair does
+    (8, 3, 0, "purchase"),
+    (9, 3, 10, "click"),
+    (10, 3, 25, "purchase"),
+]
+
+#: (user_id, a_event_id, a_minute, b_minute)
+EXPECTED = [(1, 1, 0, 20), (1, 2, 5, 20), (3, 9, 10, 25)]
+
+
+def _minutes(ts: dt.datetime) -> int:
+    return int((ts - BASE).total_seconds() // 60)
+
+
+def _write(path: str, rows, mtime: int) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [BASE + dt.timedelta(minutes=r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+    os.utime(path, (mtime, mtime))
+
+
+def _got(rows):
+    return sorted(
+        (r.user_id, r.a_event_id, _minutes(r.a_ts), _minutes(r.b_ts))
+        for r in rows
+    )
+
+
+def test_cep_batch_hand_computed(spark, tmp_path):
+    d = tmp_path / "cep_batch"
+    d.mkdir()
+    # batch query loads <sf_dir>/events.parquet; value/props columns are
+    # not referenced, so the 4-column fixture schema suffices
+    _write(str(d / "events.parquet"), FIXTURE, 1_700_000_000)
+    assert _got(cep_followed_by(spark, str(d)).collect()) == EXPECTED
+
+
+def test_cep_stream_matches_batch(spark, tmp_path):
+    d = tmp_path / "cep_stream"
+    d.mkdir()
+    # split mid-pattern: user 1's purchase and user 3's whole pattern
+    # arrive in the second micro-batch — pending-A state must survive
+    # the batch boundary
+    cut = 3
+    _write(str(d / "b0.parquet"), FIXTURE[:cut], 1_700_000_000)
+    _write(str(d / "b1.parquet"), FIXTURE[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = memory_sink_run(cep_followed_by_stream(stream), "cep_stream_out")
+    assert _got(got.collect()) == EXPECTED
+
+
+def test_cep_state_prunes_expired_partial_matches(spark, tmp_path):
+    """Flink prunes partial matches past within(): an A whose deadline
+    passed the key's observed event time must leave state (bounded NFA
+    buffer) and never match a later B."""
+    rows = [
+        (1, 1, 0, "click"),
+        (4, 1, 48, "click"),
+        (3, 1, 50, "purchase"),  # matches click@48; click@0 expired at 30
+        (5, 1, 55, "purchase"),  # nothing left pending
+    ]
+    d = tmp_path / "cep_prune"
+    d.mkdir()
+    _write(str(d / "b0.parquet"), rows, 1_700_000_000)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string"
+    ).parquet(str(d))
+    got = memory_sink_run(cep_followed_by_stream(stream), "cep_prune_out")
+    assert _got(got.collect()) == [(1, 4, 48, 50)]
