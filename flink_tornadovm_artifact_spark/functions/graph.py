@@ -1,6 +1,8 @@
-"""Graph pipelines: PageRank (bulk iteration) and ConnectedComponents
-(delta iteration) — reference examples ``graph/PageRank.java`` and
-``graph/ConnectedComponents.java`` (DataSet.iterate / iterateDelta,
+"""Graph pipelines: PageRank (bulk iteration), ConnectedComponents and
+SingleSourceShortestPaths (delta iteration) — reference examples
+``graph/PageRank.java``, ``graph/ConnectedComponents.java`` and the
+Gelly library algorithm ``flink-gelly/.../library/
+SingleSourceShortestPaths.java`` (DataSet.iterate / iterateDelta,
 SURVEY.md §2.F).
 
 Spark-first shape: pure DataFrame joins + aggregations per superstep,
@@ -115,4 +117,68 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
             if workset.isEmpty():
                 break
         und.unpersist()
+        return solution
+
+
+def sssp(
+    edges: DataFrame, source: int, max_iterations: int = 50
+) -> DataFrame:
+    """Single-source shortest paths via delta iteration — the Gelly
+    library algorithm (``flink-gelly/.../library/
+    SingleSourceShortestPaths.java``: scatter-gather min-distance
+    propagation, which Gelly runs on the same delta-iteration runtime as
+    ConnectedComponents).
+
+    ``edges``: (src long, dst long, weight long), directed, positive
+    weights. Returns (vertex, distance) for every vertex REACHABLE from
+    ``source`` (Gelly reports unreachable vertices as +inf; the finite
+    rows are identical, and a bigint distance keeps the oracle exact —
+    no float summation-order drift).
+
+    Delta-iteration shape, matching connected_components above: the
+    per-round join touches only the WORKSET (vertices improved last
+    round), not the full solution — the work per superstep shrinks as the
+    frontier converges, exactly Flink's workset optimization. Each round
+    is one shuffle on the edge key plus a min-merge groupBy; lineage is
+    truncated per round with localCheckpoint.
+    """
+    with _sized_shuffle(edges):
+        e = edges.select("src", "dst", "weight").persist()
+        solution = (
+            e.sparkSession.createDataFrame(
+                [(source, 0)], "vertex long, distance long"
+            )
+            .localCheckpoint(eager=True)
+        )
+        workset = solution
+        for _ in range(max_iterations):
+            candidates = (
+                e.join(workset, e.src == workset.vertex)
+                .select(
+                    F.col("dst").alias("vertex"),
+                    (F.col("distance") + F.col("weight")).alias("cand"),
+                )
+                .groupBy("vertex")
+                .agg(F.min("cand").alias("cand"))
+            )
+            improved = (
+                candidates.join(solution, "vertex", "left")
+                .filter(
+                    F.col("distance").isNull()
+                    | (F.col("cand") < F.col("distance"))
+                )
+                .select("vertex", F.col("cand").alias("distance"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                break
+            # solution-set update: keep the min distance per vertex
+            solution = (
+                solution.unionByName(improved)
+                .groupBy("vertex")
+                .agg(F.min("distance").alias("distance"))
+                .localCheckpoint(eager=True)
+            )
+            workset = improved
+        e.unpersist()
         return solution
