@@ -5,6 +5,7 @@ from .custom import (
     read_sequence,
     register_sequence_source,
 )
+from .jdbc import DERBY_DRIVER, derby_url, jdbc_read, jdbc_write
 from .io import (
     from_collection,
     from_elements,
@@ -30,4 +31,8 @@ __all__ = [
     "SequenceDataSource",
     "register_sequence_source",
     "read_sequence",
+    "DERBY_DRIVER",
+    "derby_url",
+    "jdbc_read",
+    "jdbc_write",
 ]

@@ -14,10 +14,13 @@ DataSet I/O surface (SURVEY.md §2.A).
 
 Parquet/ORC/JSON/Avro and the connector surface (Kafka, JDBC, Hive —
 FT/flink-connectors, FT/flink-formats) are native ``spark.read.format``/
-``spark.readStream.format`` calls; no wrapper adds value there. Kafka and
-Avro need their packages on the classpath — in this image they are not
-present, so anything beyond the built-in formats raises at `.load()` time
-with Spark's own error (the import-try gate lives at call site).
+``spark.readStream.format`` calls; no wrapper adds value there. The JDBC
+path is FUNCTIONAL in-container (sources/jdbc.py: embedded Derby ships
+with PySpark's jars — JdbcInput/OutputFormat analogs with partitioned
+reads, round-trip tested in tests/test_jdbc.py). Kafka and Avro need
+their packages on the classpath — in this image they are not present, so
+those raise at `.load()` time with Spark's own error naming the missing
+source (pinned in test_missing_connector_packages_fail_clearly).
 """
 
 from __future__ import annotations
