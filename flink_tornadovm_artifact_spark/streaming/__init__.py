@@ -2,6 +2,7 @@
 (SURVEY.md §2.G)."""
 
 from .core import (
+    ExternalQueryableState,
     LateRowTracker,
     QueryableState,
     allowed_lateness_side_output,
@@ -53,6 +54,7 @@ __all__ = [
     "split_stream",
     "connect_with_control",
     "allowed_lateness_side_output",
+    "ExternalQueryableState",
     "LateRowTracker",
     "QueryableState",
     "cep_followed_by_stream",

@@ -297,3 +297,54 @@ def test_count_trigger_property_random_corpora(spark, tmp_path):
         seed_dir.mkdir()
         got = _run(spark, seed_dir, batches, CountTrigger(n))
         assert got == sorted(expected), (seed, n, batches)
+
+
+def test_external_queryable_state_survives_session_restart(spark, tmp_path):
+    """The parquet-backed variant of asQueryableState: same update-mode
+    merge contract as the driver-map form, but lookups go through Spark
+    against on-disk state — so they must return the latest per-key value
+    from a FRESH session after the writing query is gone, and compaction
+    must preserve the merge result."""
+    from flink_tornadovm_artifact_spark.streaming import ExternalQueryableState
+
+    d = tmp_path / "eqs_in"
+    d.mkdir()
+    _write_batch(
+        str(d / "b0.parquet"),
+        [(1, 0, 2.0), (1, 1, 3.0), (2, 2, 10.0)],
+        1_700_000_000,
+    )
+    _write_batch(str(d / "b1.parquet"), [(1, 3, 5.0), (3, 4, 7.0)], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    import pyspark.sql.functions as F
+
+    agg = stream.groupBy("user_id").agg(
+        F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("cnt")
+    )
+    eqs = ExternalQueryableState("user_id", str(tmp_path / "eqs_state"))
+    q = eqs.attach(agg)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # a brand-new session (fresh session state, no lineage to the writer)
+    reader = spark.newSession()
+    expected = {
+        1: {"sum_value": 10.0, "cnt": 3},  # user 1 updated across batches
+        2: {"sum_value": 10.0, "cnt": 1},
+        3: {"sum_value": 7.0, "cnt": 1},
+    }
+    for k, v in expected.items():
+        assert eqs.get(reader, k) == v
+    assert eqs.get(reader, 99) is None
+    assert eqs.snapshot_df(reader).count() == 3
+
+    # compaction folds the delta log without changing the merge result
+    eqs.compact(reader)
+    for k, v in expected.items():
+        assert eqs.get(reader, k) == v
