@@ -3,7 +3,16 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: best_sec, ...},
+   "stats": {name: {"best": s, "median": s, "spread": s}, ...},
+   "sf": 0.1}
+
+"queries" stays best-of-N (the headline figure and the driver's
+contract); "stats" carries per-query median and spread (max-min across
+reps) so a round-over-round delta can be classified noise-vs-regression
+from the artifact alone — if |Δbest| is inside either round's spread,
+it's box noise, not a plan change (round-2 verdict's bench-variance
+item).
 
 Timing uses the noop sink so every query's full plan executes (count()
 would let Catalyst prune the aggregates away). The headline set mirrors
@@ -44,6 +53,10 @@ HEADLINE = [
     "pi_estimation_weyl",
     "kmeans_pipeline",
     "logreg_pipeline",
+    # round-3 additions: delta-iteration SSSP (Gelly library) and the
+    # CEP followedBy-within pattern scan
+    "sssp_pipeline",
+    "cep_followed_by",
 ]
 
 
@@ -76,21 +89,31 @@ def main() -> None:
     # query's reps are minutes apart — a transient load burst can then
     # inflate at most one rep of each query, not all of them.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    rep_times: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            times[name] = min(times[name], time.perf_counter() - t0)
-    times = {name: round(t, 3) for name, t in times.items()}
+            rep_times[name].append(time.perf_counter() - t0)
+
+    times = {name: round(min(ts), 3) for name, ts in rep_times.items()}
+    stats = {
+        name: {
+            "best": round(min(ts), 3),
+            "median": round(sorted(ts)[len(ts) // 2], 3),
+            "spread": round(max(ts) - min(ts), 3),
+        }
+        for name, ts in rep_times.items()
+    }
 
     out = {
         "metric": f"headline_query_seconds_sf{sf}",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "stats": stats,
         "sf": sf,
         "n": reps,
     }

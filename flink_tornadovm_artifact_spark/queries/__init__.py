@@ -19,33 +19,36 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep)
 #: The verification driver oracle-checks only the FIRST 50 registry
 #: entries, so registration order is itself a correctness-coverage
 #: decision (round-1 lesson: module order left q20-q22 and the whole LLM
-#: suite unchecked). The window below holds exactly 50 names: the
-#: declared set q01-q22 (SURVEY §2.J), the LLM-pipeline operators with
-#: oracles, the procedural kernels with oracles, and a hand-picked set of
-#: distinct operator classes (UDAF, reduceGroup, decorrelation, frames,
-#: cube). Everything else (TPC-H extras q37-q51, rows-only pipelines,
-#: modulo-bounded all-pairs demos) registers after the window and is
-#: pinned by pytest instead.
+#: suite unchecked). The window below holds exactly 50 names.
+#:
+#: ROTATION POLICY (applied each round):
+#: 1. Anything that CHANGED this round — new queries, queries whose plan
+#:    or predicate was edited, queries fixed after a red/weak verdict —
+#:    goes INTO the window.
+#: 2. Never-driver-checked queries rotate in ahead of long-green ones.
+#: 3. Rotated OUT: entries driver-green in ≥2 consecutive rounds whose
+#:    operator surface stays covered by other window entries and by the
+#:    full 80-oracle pytest sweep at sf0.01 (test_queries_oracle.py runs
+#:    every oracle regardless of the window).
+#:
+#: Round-3 rotation: IN — the 7 de-hinted TPC-H shapes (q24, q41-q43,
+#: q45, q46, q51: join plans changed this round), q19 (predicate widened
+#: after the vacuous-green verdict finding — kept in), kmeans_pipeline
+#: (oracle existed, never driver-checked), cep_followed_by +
+#: sssp_pipeline (new). OUT — q01/q02/q05/q09/q10/q11/q12_topk_global/
+#: q13/q16/q17 (driver-green in rounds 1 AND 2; filters/projections/
+#: joins/set-ops/top-k surfaces remain covered by q03/q04/q06/q07/q12
+#: per-group/q23/q30 and the extras now in the window).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # declared set q01-q22 (26 entries)
-    "q01_filter_project",
-    "q02_global_agg",
+    # declared-set core still in rotation (16)
     "q03_tpch_q1",
     "q04_tpch_q3",
-    "q05_outer_join",
     "q06_broadcast_join",
     "q07_semi_anti",
     "q08_cogroup",
-    "q09_cross",
-    "q10_distinct",
-    "q11_maxby",
-    "q12_topk_global",
     "q12_topk_per_group",
-    "q13_union_distinct",
     "q14_rollup",
     "q15_over_windows",
-    "q16_scalar_functions",
-    "q17_iot_global_reduce",
     "q18_iot_window_agg",
     "q19_iot_outliers",
     "q20_kmeans_assign",
@@ -68,7 +71,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_rolling_hash",
     "text_udtf_ngrams",
     "multimodal_binary_meta",
-    # procedural kernels + bulk/delta iterations with oracles (7)
+    # procedural kernels + bulk/delta iterations with oracles (9)
     "vector_add_kernel",
     "matmul_rows_kernel",
     "pi_estimation_weyl",
@@ -76,11 +79,20 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "connected_components_pipeline",
     "pagerank_pipeline",
     "logreg_pipeline",
-    # fixed-this-round + distinct operator classes (4; q52/q50/q33/q32/
-    # q28 rotated out — all driver-green in round 1, their surfaces still
-    # covered by q36/q14/q15/plan tests; q29 stays because reduce_group's
-    # sort contract changed this round, q23/q30 because their join hints
-    # changed, q36 because it was round 1's only red row)
+    "kmeans_pipeline",
+    "sssp_pipeline",
+    # changed-this-round TPC-H shapes + CEP (8)
+    "q24_promo_revenue",
+    "q41_tpch_q16",
+    "q42_tpch_q17",
+    "q43_tpch_q19",
+    "q45_tpch_q7",
+    "q46_tpch_q8",
+    "q51_tpch_q9",
+    "cep_followed_by",
+    # held over from round 2 (4): q36 was round 1's only red row, q29's
+    # reduceGroup sort contract and q23/q30's join hints changed in
+    # round 2 — one more green round each before rotating out
     "q36_json_extract",
     "q29_reduce_group",
     "q23_tpch_q10",
