@@ -553,6 +553,246 @@ GROUP BY n_name, YEAR(o_orderdate)
 """
 
 
+# ---------------------------------------------------------------------------
+# q53 — TPC-H Q2 shape: minimum-cost supplier. No partsupp table, so the
+# supply relation is derived from lineitem: supplier s supplies part p at
+# the minimum unit price observed across their lineitems. The topology is
+# the original's: region-filtered supplier dim, a correlated-MIN-per-part
+# subquery (decorrelated here into a grouped aggregate + equality join
+# back — the same rewrite Blink's planner applies,
+# FlinkBatchRuleSets.scala:37-49), then a total-order top-100. s_suppkey
+# is added to the output so the top-100 cut is a total order (the
+# original's ORDER BY relies on unique s_name).
+#
+# Scale: supply is one scan + one shuffle of lineitem on (partkey,
+# suppkey); the per-part MIN reuses rows already reduced to one per
+# (part, supplier); nation/region broadcast; everything else unhinted.
+# ---------------------------------------------------------------------------
+def q53_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    euro_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(euro_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    offers = supply.join(part, supply.partkey == part.p_partkey).join(
+        supp, supply.suppkey == supp.s_suppkey
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.p_partkey == best.bk)
+            & (offers.cost == best.min_cost),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "s_suppkey", "cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+ORACLE["q53_tpch_q2"] = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, cost
+  FROM supply
+  JOIN part     ON partkey = p_partkey
+  JOIN supplier ON suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size <= 10 AND p_type = 'STANDARD'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, cost
+FROM offers o
+WHERE cost = (SELECT MIN(cost) FROM offers i WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q54 — TPC-H Q20 shape: potential part promotion. ps_availqty is proxied
+# by the quantity the (part, supplier) pair shipped OUTSIDE the target
+# year (inventory committed elsewhere); the original's predicate
+# `availqty > 0.5 * shipped-in-window` and the nested IN → double
+# semi-join topology are preserved. Quantity sums are exact DECIMAL so
+# the 0.5× threshold cannot flip on float accumulation order (see
+# _util.DEC).
+#
+# Scale: one conditional-aggregation scan of lineitem (no second scan for
+# the window sum), shuffled once on (partkey, suppkey); both IN-subqueries
+# become semi-joins that shuffle only the 100·SF-row supplier table and
+# the already-reduced candidate set.
+# ---------------------------------------------------------------------------
+def q54_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    qty = F.col("l_quantity").cast(DEC)
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        F.sum(F.when(in96, qty)).alias("qty96"),
+        F.sum(F.when(~in96, qty)).alias("qty_other"),
+    )
+    red_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    candidates = (
+        supply.filter(
+            F.col("qty_other") > F.lit(0.5).cast(DEC) * F.col("qty96")
+        )
+        .join(red_parts, F.col("partkey") == F.col("p_partkey"), "left_semi")
+        .select("suppkey")
+        .distinct()
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    euro_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(euro_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(candidates, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+ORACLE["q54_tpch_q20"] = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+                      OR l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END)
+         > CAST(0.5 AS DECIMAL(18,4))
+           * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END)
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# q55 — TPC-H Q21 shape: suppliers who kept orders waiting. No
+# l_receiptdate/l_commitdate in the testdata, so "late" is adapted to
+# `l_shipdate > o_orderdate + 90 days`. The Spark plan uses the classic
+# aggregate rewrite of the EXISTS/NOT-EXISTS pair — per-order distinct
+# supplier count (>1 ⇔ EXISTS other-supplier line) and distinct LATE
+# supplier count (=1, with this row late ⇔ NOT EXISTS other late
+# supplier) — while the oracle keeps the original correlated
+# EXISTS/NOT-EXISTS form, so the two sides take genuinely different
+# evaluation paths.
+#
+# Scale: lineitem⋈orders shuffles once on orderkey; the per-order stats
+# groupBy and the stats⋈late-lines join reuse that orderkey partitioning
+# (no extra exchange); supplier/nation resolve after the count, touching
+# one row per supplier.
+# ---------------------------------------------------------------------------
+def q55_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    stats = lo.groupBy(F.col("o_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.filter(F.col("is_late"))
+        .join(stats, F.col("o_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    euro_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(euro_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(waiting, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("numwait").alias("numwait"))
+    )
+
+
+ORACLE["q55_tpch_q21"] = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F'
+  AND r_name = 'EUROPE'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
