@@ -13,16 +13,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: Historical name: the nanos-era schema (``ts`` as raw int64). Kept for
+#: callers that write their own int64-ts fixture files.
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def events_file_stream(
@@ -31,16 +37,29 @@ def events_file_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-monitor source over a directory of events parquet files.
-    The nanos timestamp rides as long and is converted exactly like the
-    batch loader (tables.load). ``max_files_per_trigger`` bounds each
-    micro-batch (Flink's file-monitor splits analog) — required to
-    observe watermark progression across batches in tests."""
+    ``max_files_per_trigger`` bounds each micro-batch (Flink's
+    file-monitor splits analog) — required to observe watermark
+    progression across batches in tests.
+
+    The testdata generator has shipped ``ts`` both as parquet
+    TIMESTAMP(NANOS) (readable only as raw int64 via ``nanosAsLong``)
+    and as TIMESTAMP(MICROS) (native TimestampType). readStream needs
+    the schema up front, so probe the directory with a one-file batch
+    read — exactly the dtype guard tables.load applies — and branch:
+    int64 nanos ride as long and are truncated to micros; native
+    timestamps pass through.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ts_is_long = dict(spark.read.parquet(directory).dtypes).get("ts") == "bigint"
+    reader = spark.readStream.schema(
+        _events_schema(T.LongType() if ts_is_long else T.TimestampType())
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(directory)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
