@@ -3,7 +3,10 @@ SingleSourceShortestPaths (delta iteration) — reference examples
 ``graph/PageRank.java``, ``graph/ConnectedComponents.java`` and the
 Gelly library algorithm ``flink-gelly/.../library/
 SingleSourceShortestPaths.java`` (DataSet.iterate / iterateDelta,
-SURVEY.md §2.F).
+SURVEY.md §2.F) — plus the wider Gelly library family:
+``TriangleEnumerator.java``, ``LabelPropagation.java``,
+``linkanalysis/HITS.java``, ``similarity/JaccardIndex.java`` and
+``similarity/AdamicAdar.java``.
 
 Spark-first shape: pure DataFrame joins + aggregations per superstep,
 ``localCheckpoint`` per iteration to truncate lineage. Edges shuffle on
@@ -182,3 +185,368 @@ def sssp(
             workset = improved
         e.unpersist()
         return solution
+
+
+def _undirect(edges: DataFrame) -> DataFrame:
+    """Simple undirected edge set from an arbitrary directed edge list:
+    canonical (u < v) endpoints, self-loops dropped, duplicates merged."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Triangle enumeration (``flink-gelly/.../library/
+    TriangleEnumerator.java``): every triangle of the undirected simple
+    graph, output once as (v1, v2, v3) with v1 < v2 < v3 by vertex id.
+
+    Same degree-ordered-orientation algorithm as the reference (its
+    DegreeCounter/TriadBuilder/TriadFilter group-reduce chain, after
+    Schank & Wagner): orient each edge from the endpoint with the
+    smaller (degree, id) to the larger, build triads only at each
+    edge's low-degree apex, then confirm the closing edge with one
+    equi-join. At 100 TB this is the plan that survives: wedge count is
+    Σ out-deg², and degree orientation caps out-degree at O(√E) for any
+    skew, so a celebrity hub never becomes a quadratic apex. Three
+    shuffles total (degree agg, triad build, closing-edge join), all on
+    vertex/edge keys.
+    """
+    und = _undirect(edges)
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # (deg, id) lexicographic orientation: s → t
+    with_deg = (
+        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    spoke_lt = (F.col("a.dt") < F.col("b.dt")) | (
+        (F.col("a.dt") == F.col("b.dt")) & (F.col("a.t") < F.col("b.t"))
+    )
+    triads = a.join(b, (F.col("a.s") == F.col("b.s")) & spoke_lt).select(
+        F.col("a.s").alias("apex"),
+        F.col("a.t").alias("p"),
+        F.col("b.t").alias("q"),
+    )
+    closing = oriented.select(F.col("s").alias("p"), F.col("t").alias("q"))
+    tri = triads.join(closing, ["p", "q"], "left_semi")
+    ids = F.array_sort(F.array("apex", "p", "q"))
+    return tri.select(
+        ids[0].alias("v1"), ids[1].alias("v2"), ids[2].alias("v3")
+    )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Community detection by label propagation
+    (``flink-gelly/.../library/LabelPropagation.java``): vertices start
+    with their own id as label; each superstep every vertex adopts the
+    most frequent label among its in-neighbors' current labels, ties at
+    the top frequency broken toward the HIGHEST label value, seeded
+    with the vertex's own label at frequency 1 — the exact update rule
+    of the reference's UpdateVertexLabel gather function (its running
+    HashMap scan is order-independent: the result is the lexicographic
+    max over (frequency, label)). Runs a fixed ``iterations`` supersteps
+    (the reference's maxIterations bound, without the early-convergence
+    cut, so the unrolled SQL oracle steps in lockstep).
+
+    One shuffle per superstep (message groupBy) plus the final argmax
+    groupBy; labels checkpoint per round to truncate lineage.
+    """
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        msgs = edges.join(labels, edges.src == labels.vertex).select(
+            F.col("dst").alias("vertex"), "label"
+        )
+        counts = msgs.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("freq")
+        )
+        own = labels.withColumn("freq", F.lit(1).cast("long"))
+        labels = (
+            counts.unionByName(own)
+            .groupBy("vertex")
+            .agg(F.max(F.struct("freq", "label")).alias("m"))
+            .select("vertex", F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Hubs-and-authorities (``flink-gelly/.../library/linkanalysis/
+    HITS.java``): per iteration, hub(v) = Σ authority over v's
+    out-neighbors, then authority(u) = Σ of the NEW hub over u's
+    in-neighbors, then both vectors are normalized by the square root
+    of their sum of squares — the reference's hubbiness →
+    sum-of-hubbiness-squared → authority → sum-of-authority-squared
+    pipeline order, with scores initialized to 1.0. Fixed iteration
+    count (HITS(int iterations) constructor). Returns
+    (vertex, hub, authority).
+
+    Two key-shuffles per iteration plus two scalar aggregates; the
+    scalar normalizers come back via one-row crossJoin broadcast, so
+    nothing vertex-sized ever reaches the driver.
+    """
+    vertices = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    scores = vertices.select(
+        "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+    for _ in range(iterations):
+        h_raw = (
+            edges.join(scores, edges.dst == scores.vertex)
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        h_all = vertices.join(h_raw, "vertex", "left").select(
+            "vertex", F.coalesce("h", F.lit(0.0)).alias("h")
+        )
+        a_raw = (
+            edges.join(h_all, edges.src == h_all.vertex)
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a_all = vertices.join(a_raw, "vertex", "left").select(
+            "vertex", F.coalesce("a", F.lit(0.0)).alias("a")
+        )
+        h_norm = h_all.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("hn"))
+        a_norm = a_all.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("an"))
+        scores = (
+            h_all.join(a_all, "vertex")
+            .crossJoin(F.broadcast(h_norm))
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "vertex",
+                (F.col("h") / F.col("hn")).alias("hub"),
+                (F.col("a") / F.col("an")).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    vertices.unpersist()
+    return scores
+
+
+def _shared_neighbors(edges: DataFrame) -> DataFrame:
+    """(u, v, shared) for every vertex pair (u < v) of the undirected
+    simple graph with at least one common neighbor — the wedge-join
+    core shared by JaccardIndex and AdamicAdar. One groupBy on the
+    pair key; wedge fan-out is Σ deg² on the wedge centers (the
+    reference bounds this with its group-size split; at Spark scale the
+    same bound comes from AQE skew splitting on the groupBy)."""
+    und = _undirect(edges)
+    both = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    a, b = both.alias("a"), both.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+        )
+        .groupBy(F.col("a.y").alias("u"), F.col("b.y").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+def jaccard_index(edges: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Neighborhood Jaccard similarity (``flink-gelly/.../library/
+    similarity/JaccardIndex.java``): for each pair of vertices with at
+    least one common neighbor, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|.
+    ``min_shared`` mirrors the reference's minimum-score filter
+    (setMinimumScoreNumerator) — it bounds output cardinality, not the
+    computation. Returns (u, v, shared, jaccard) with u < v.
+    """
+    und = _undirect(edges)
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    pairs = _shared_neighbors(edges).filter(F.col("shared") >= min_shared)
+    return (
+        pairs.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            "u",
+            "v",
+            "shared",
+            (
+                F.col("shared")
+                / (F.col("du") + F.col("dv") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def adamic_adar(edges: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Adamic-Adar similarity (``flink-gelly/.../library/similarity/
+    AdamicAdar.java``): for each vertex pair, Σ over common neighbors w
+    of 1 / ln(deg(w)) — common neighbors weighted inversely by their
+    popularity. Pairs with ``shared < min_shared`` are filtered (the
+    reference's minimum-ratio option). Returns (u, v, shared, aa)
+    with u < v.
+    """
+    und = _undirect(edges)
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    # annotate each wedge center with its inverse-log-degree weight
+    wb = both.join(deg, "x").select(
+        "x", "y", (F.lit(1.0) / F.log(F.col("d"))).alias("w")
+    )
+    a, b = wb.alias("a"), wb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+        )
+        .groupBy(F.col("a.y").alias("u"), F.col("b.y").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.sum(F.col("a.w")).alias("aa"),
+        )
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-vertex clustering (``flink-gelly/.../library/clustering/
+    undirected/LocalClusteringCoefficient.java``): degree, incident
+    triangle count, and the local coefficient
+    triangles / C(degree, 2) — the fraction of realized links among the
+    vertex's neighbors (0.0 where degree < 2, where the reference
+    reports a 0 score too). Returns (vertex, degree, tri_count, lcc).
+
+    Reuses the degree-oriented ``triangles`` enumeration; the per-vertex
+    count is one explode + groupBy on the (at most 3·#triangles) id
+    rows.
+    """
+    und = _undirect(edges)
+    deg = (
+        und.select(F.col("u").alias("vertex"))
+        .unionAll(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri_per_v = (
+        triangles(edges)
+        .select(F.explode(F.array("v1", "v2", "v3")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    pairs = (F.col("degree") * (F.col("degree") - 1) / 2).cast("double")
+    return (
+        deg.join(tri_per_v, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce("tri_count", F.lit(0)).alias("tri_count"),
+            F.when(F.col("degree") >= 2, F.coalesce("tri_count", F.lit(0)) / pairs)
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def global_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Whole-graph clustering (``.../clustering/undirected/
+    GlobalClusteringCoefficient.java``): one row
+    (triplet_count, triangle_count, gcc) with
+    gcc = 3 · triangles / triplets, triplets = Σ C(degree, 2) — the
+    reference's triplet/triangle counters reduced to a scalar."""
+    und = _undirect(edges)
+    deg = (
+        und.select(F.col("u").alias("vertex"))
+        .unionAll(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    triplets = deg.agg(
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
+        .cast("long")
+        .alias("triplet_count")
+    )
+    tri_total = triangles(edges).agg(
+        F.count(F.lit(1)).alias("triangle_count")
+    )
+    return triplets.crossJoin(tri_total).select(
+        "triplet_count",
+        "triangle_count",
+        (
+            3.0
+            * F.col("triangle_count")
+            / F.when(F.col("triplet_count") > 0, F.col("triplet_count"))
+        ).alias("gcc"),
+    )
+
+
+def summarize(edges: DataFrame, vertex_label) -> DataFrame:
+    """Structural graph summarization (``flink-gelly/.../library/
+    Summarization.java``): vertices group by their value; each group is
+    represented by its minimum vertex id; every edge maps its endpoints
+    to the group representatives and the resulting multi-edges merge
+    with a count — the reference's vertex-group / super-edge
+    construction with COUNT as the edge-group reduce. ``vertex_label``
+    is a Column expression over ``vertex``. Returns
+    (src_group, dst_group, src_rep, dst_rep, edge_count).
+    """
+    vertices = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .withColumn("grp", vertex_label)
+    )
+    reps = vertices.groupBy("grp").agg(F.min("vertex").alias("rep"))
+    v2r = vertices.join(reps, "grp").select("vertex", "grp", "rep")
+    return (
+        edges.join(
+            v2r.select(
+                F.col("vertex").alias("src"),
+                F.col("grp").alias("src_group"),
+                F.col("rep").alias("src_rep"),
+            ),
+            "src",
+        )
+        .join(
+            v2r.select(
+                F.col("vertex").alias("dst"),
+                F.col("grp").alias("dst_group"),
+                F.col("rep").alias("dst_rep"),
+            ),
+            "dst",
+        )
+        .groupBy("src_group", "dst_group", "src_rep", "dst_rep")
+        .agg(F.count(F.lit(1)).alias("edge_count"))
+    )

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cep, iot, llm, ml, procedural, relational, tpch, windows
+from . import cep, gelly, iot, llm, ml, procedural, relational, tpch, windows
 
-_MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep)
+_MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly)
 
 #: The verification driver oracle-checks only the FIRST 50 registry
 #: entries, so registration order is itself a correctness-coverage
@@ -35,21 +35,19 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep)
 #: q45, q46, q51: join plans changed this round), q19 (predicate widened
 #: after the vacuous-green verdict finding — kept in), kmeans_pipeline
 #: (oracle existed, never driver-checked), cep_followed_by +
-#: sssp_pipeline (new). OUT — q01/q02/q05/q09/q10/q11/q12_topk_global/
-#: q13/q16/q17 (driver-green in rounds 1 AND 2; filters/projections/
-#: joins/set-ops/top-k surfaces remain covered by q03/q04/q06/q07/q12
-#: per-group/q23/q30 and the extras now in the window).
+#: sssp_pipeline (new), and the 5 new Gelly-library queries
+#: (triangle_enum, label_propagation_communities, hits_scores,
+#: jaccard_similarity, adamic_adar_similarity) and 3 more CEP patterns
+#: (cep_times, cep_not_followed_by, cep_next). OUT — q01/q02/q05/q09/
+#: q10/q11/q12_topk_global/q13/q16/q17 and q06/q07/q08/q12_topk_per_
+#: group/q14/q04/q15/q18 (driver-green in rounds 1 AND 2; filters/
+#: projections/joins/set-ops/top-k/grouping-set surfaces remain covered
+#: by q03/q23/q30/q50 and the TPC-H extras now in the window; the
+#: over-window surface by the four CEP patterns; group windows by the
+#: four q21 variants).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # declared-set core still in rotation (16)
+    # declared-set core still in rotation (8)
     "q03_tpch_q1",
-    "q04_tpch_q3",
-    "q06_broadcast_join",
-    "q07_semi_anti",
-    "q08_cogroup",
-    "q12_topk_per_group",
-    "q14_rollup",
-    "q15_over_windows",
-    "q18_iot_window_agg",
     "q19_iot_outliers",
     "q20_kmeans_assign",
     "q21_tumbling_window",
@@ -89,7 +87,17 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q45_tpch_q7",
     "q46_tpch_q8",
     "q51_tpch_q9",
+    # CEP pattern family, new this round (4)
     "cep_followed_by",
+    "cep_times",
+    "cep_not_followed_by",
+    "cep_next",
+    # Gelly library family, new this round (5)
+    "triangle_enum",
+    "label_propagation_communities",
+    "hits_scores",
+    "jaccard_similarity",
+    "adamic_adar_similarity",
     # held over from round 2 (4): q36 was round 1's only red row, q29's
     # reduceGroup sort contract and q23/q30's join hints changed in
     # round 2 — one more green round each before rotating out

@@ -124,3 +124,77 @@ def test_cep_state_prunes_expired_partial_matches(spark, tmp_path):
     ).parquet(str(d))
     got = memory_sink_run(cep_followed_by_stream(stream), "cep_prune_out")
     assert _got(got.collect()) == [(1, 4, 48, 50)]
+
+
+def test_cep_times_hand_computed(spark, tmp_path):
+    """times(3).within(1 day): the 3rd-and-later click inside the
+    trailing day fires; a click a day-plus later sees an emptied frame."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_times
+
+    rows = [
+        (1, 1, 0, "click"),
+        (2, 1, 60, "click"),
+        (3, 1, 120, "view"),  # not a pattern symbol: never counted
+        (4, 1, 180, "click"),   # 3rd click in window -> fires, n=3
+        (5, 1, 240, "click"),   # 4th -> fires, n=4
+        (6, 1, 240 + 25 * 60, "click"),  # 25h later: frame holds only itself
+        (7, 2, 0, "click"),  # other key: counts are per-user
+        (8, 2, 10, "click"),
+    ]
+    d = tmp_path / "cep_times"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    got = sorted(
+        (r.user_id, r.a_event_id, r.n_in_window)
+        for r in cep_times(spark, str(d)).collect()
+    )
+    assert got == [(1, 4, 3), (1, 5, 4)]
+
+
+def test_cep_not_followed_by_hand_computed(spark, tmp_path):
+    """notFollowedBy(purchase).within(30 min): suppressed when a purchase
+    lands inside the bound, emitted when it is late or absent."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_not_followed_by,
+    )
+
+    rows = [
+        (1, 1, 0, "error"),      # purchase@10 inside 30 min -> suppressed
+        (2, 1, 10, "purchase"),
+        (3, 1, 100, "error"),    # purchase@140 is 40 min out -> emitted
+        (4, 1, 140, "purchase"),
+        (5, 1, 200, "error"),    # no purchase ever follows -> emitted
+        (6, 2, 0, "error"),      # other key's purchase must not rescue it
+        (7, 3, 5, "purchase"),
+    ]
+    d = tmp_path / "cep_nfb"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    got = sorted(
+        (r.user_id, r.a_event_id)
+        for r in cep_not_followed_by(spark, str(d)).collect()
+    )
+    assert got == [(1, 3), (1, 5), (2, 6)]
+
+
+def test_cep_next_hand_computed(spark, tmp_path):
+    """next(): strict contiguity — ANY intervening event for the key
+    breaks the match (the distinction from followedBy)."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_next
+
+    rows = [
+        (1, 1, 0, "view"),
+        (2, 1, 5, "purchase"),   # adjacent -> match (1, 2)
+        (3, 1, 10, "view"),
+        (4, 1, 15, "click"),     # intervenes
+        (5, 1, 20, "purchase"),  # NOT adjacent to view@10 -> no match
+        (6, 2, 0, "view"),       # stream ends for user 2 -> no match
+    ]
+    d = tmp_path / "cep_next"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    got = sorted(
+        (r.user_id, r.a_event_id, r.b_event_id)
+        for r in cep_next(spark, str(d)).collect()
+    )
+    assert got == [(1, 1, 2)]

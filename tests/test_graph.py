@@ -84,3 +84,105 @@ def test_sssp_converges_before_iteration_cap(spark):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, capped.collect())
     )
+
+
+def test_triangles_hand_computed(spark):
+    """K4 on {0,1,2,3} has exactly 4 triangles; vertex 9 hangs off one
+    corner and closes nothing; a duplicate and a reversed edge must not
+    double-count (simple-graph canonicalization)."""
+    from flink_tornadovm_artifact_spark.functions.graph import triangles
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (3, 9),
+        (1, 0),  # reverse duplicate
+        (0, 1),  # exact duplicate
+    ]
+    got = sorted(map(tuple, triangles(_edges_df(spark, edges)).collect()))
+    assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_label_propagation_star_adopts_hub_ties_to_highest(spark):
+    """Star 5—{1,2,3}, undirected (both directions). Superstep 1: leaves
+    hear only label 5 at freq 1 vs own at freq 1 — ties break to the
+    HIGHEST label (LabelPropagation.java UpdateVertexLabel), so leaves
+    1,2,3 adopt 5 and the hub (hearing 1,2,3, all freq 1, all below own
+    5) keeps 5. Superstep 2 is then stable: everyone already agrees."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        label_propagation,
+    )
+
+    und = [(5, 1), (1, 5), (5, 2), (2, 5), (5, 3), (3, 5)]
+    got = {
+        r.vertex: r.label
+        for r in label_propagation(
+            _edges_df(spark, und), iterations=2
+        ).collect()
+    }
+    assert got == {1: 5, 2: 5, 3: 5, 5: 5}
+
+
+def test_label_propagation_all_freq_one_takes_highest_label(spark):
+    """Vertex 0 hears labels 7, 17 and 9 once each; with every candidate
+    (incl. its own label 0) at frequency 1, the reference's tie rule
+    picks the highest label value: 17."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        label_propagation,
+    )
+
+    edges = [(7, 0), (17, 0), (9, 0)]
+    got = {
+        r.vertex: r.label
+        for r in label_propagation(
+            _edges_df(spark, edges), iterations=1
+        ).collect()
+    }
+    assert got[0] == 17
+
+
+def test_hits_bipartite_hand_computed(spark):
+    """One hub (0) pointing at two sinks (10, 11) plus a weaker hub (1)
+    pointing at 10 only: authority(10) > authority(11), hub(0) > hub(1),
+    and both score vectors are unit-L2 after each iteration."""
+    from flink_tornadovm_artifact_spark.functions.graph import hits
+
+    edges = [(0, 10), (0, 11), (1, 10)]
+    rows = hits(_edges_df(spark, edges), iterations=3).collect()
+    hub = {r.vertex: r.hub for r in rows}
+    auth = {r.vertex: r.auth for r in rows}
+    assert hub[0] > hub[1] > 0
+    assert auth[10] > auth[11] > 0
+    assert hub[10] == hub[11] == 0  # sinks are not hubs
+    assert auth[0] == auth[1] == 0  # sources are not authorities
+    assert abs(sum(h * h for h in hub.values()) - 1.0) < 1e-9
+    assert abs(sum(a * a for a in auth.values()) - 1.0) < 1e-9
+
+
+def test_jaccard_and_adamic_adar_hand_computed(spark):
+    """Path 1-2, 1-3, 2-3, 2-4: N(1)={2,3}, N(2)={1,3,4}, N(3)={1,2},
+    N(4)={2}. Pair (1,3): shared={2}, union={1,2,3}\\... = N(1)∪N(3) =
+    {1,2,3} minus nothing → |{2}|/|{1,2,3}| = 1/3... computed as
+    shared/(du+dv-shared) = 1/(2+2-1) = 1/3. Adamic-Adar (1,3) =
+    1/ln(deg(2)) = 1/ln(3)."""
+    import math
+
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        adamic_adar,
+        jaccard_index,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4)]
+    jac = {
+        (r.u, r.v): (r.shared, r.jaccard)
+        for r in jaccard_index(_edges_df(spark, edges)).collect()
+    }
+    assert jac[(1, 3)] == (1, 1 / 3)
+    # (1,2): shared={3}, du=2, dv=3 → 1/4; (3,4): shared={2} → 1/(2+1-1)
+    assert jac[(1, 2)] == (1, 1 / 4)
+    assert jac[(3, 4)] == (1, 1 / 2)
+    aa = {
+        (r.u, r.v): r.aa
+        for r in adamic_adar(_edges_df(spark, edges)).collect()
+    }
+    assert abs(aa[(1, 3)] - 1 / math.log(3)) < 1e-12
+    assert abs(aa[(1, 2)] - 1 / math.log(2)) < 1e-12
