@@ -53,10 +53,13 @@ HEADLINE = [
     "pi_estimation_weyl",
     "kmeans_pipeline",
     "logreg_pipeline",
-    # round-3 additions: delta-iteration SSSP (Gelly library) and the
-    # CEP followedBy-within pattern scan
+    # round-3 additions: delta-iteration SSSP (Gelly library), the
+    # CEP followedBy-within pattern scan, and degree-oriented triangle
+    # enumeration (the mod-997 graph saturates at sf0.1 — ~130k edges,
+    # ~2.9M triangles — so this measures the wedge-join throughput path)
     "sssp_pipeline",
     "cep_followed_by",
+    "triangle_enum",
 ]
 
 

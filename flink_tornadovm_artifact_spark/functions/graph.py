@@ -550,3 +550,27 @@ def summarize(edges: DataFrame, vertex_label) -> DataFrame:
         .groupBy("src_group", "dst_group", "src_rep", "dst_rep")
         .agg(F.count(F.lit(1)).alias("edge_count"))
     )
+
+
+def vertex_metrics(edges: DataFrame) -> DataFrame:
+    """Undirected vertex metrics (``flink-gelly/.../library/metric/
+    undirected/VertexMetrics.java``): one row
+    (vertex_count, edge_count, triplet_count, maximum_degree,
+    maximum_triplets) — the reference's accumulator set, with
+    edge_count the undirected edge count and triplets = C(degree, 2)
+    per vertex. One degree aggregation, one scalar reduce."""
+    und = _undirect(edges)
+    deg = (
+        und.select(F.col("u").alias("vertex"))
+        .unionAll(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    trip = (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+    return deg.agg(
+        F.count(F.lit(1)).alias("vertex_count"),
+        (F.sum("degree") / 2).cast("long").alias("edge_count"),
+        F.sum(trip).alias("triplet_count"),
+        F.max("degree").alias("maximum_degree"),
+        F.max(trip).alias("maximum_triplets"),
+    )

@@ -9,6 +9,11 @@
   L2 normalization per iteration)
 - ``jaccard_similarity``   — similarity/JaccardIndex.java
 - ``adamic_adar_similarity`` — similarity/AdamicAdar.java
+- ``local_clustering_coefficient`` / ``global_clustering_coefficient_q``
+  — clustering/undirected/{Local,Global}ClusteringCoefficient.java
+- ``graph_summarization``  — Summarization.java (vertex groups +
+  super-edges)
+- ``vertex_metrics_q``     — metric/undirected/VertexMetrics.java
 
 Graph: the same deterministic synthetic id space the CC/SSSP pipelines
 use — ``orders`` folded modulo 997 gives a general (non-bipartite)
@@ -18,7 +23,7 @@ triangles — the driver's oracle check is discriminating, not vacuous);
 (hubs = customers, authorities = buckets), where HITS is actually
 meaningful.
 
-All five are fully SQL-expressible: the iterative ones unroll their
+All nine are fully SQL-expressible: the iterative ones unroll their
 fixed supersteps as chained CTEs (the technique proven on
 pagerank/logreg/sssp), the rest are join/groupBy shapes DuckDB runs
 directly. Labels/ids are exact integers; the only floats are
@@ -385,5 +390,29 @@ FROM de
 JOIN v2r s ON de.src = s.vertex
 JOIN v2r t ON de.dst = t.vertex
 GROUP BY 1, 2, 3, 4
+""",
+)
+
+
+def vertex_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar vertex metrics of the social graph
+    (metric/undirected/VertexMetrics.java)."""
+    from ..functions.graph import vertex_metrics
+
+    return vertex_metrics(_social_edges(spark, sf_dir))
+
+
+_register(
+    vertex_metrics_q,
+    f"""
+WITH {_E_SQL},
+{_UND_SQL},
+{_DEG_SQL}
+SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+       CAST(SUM(d) / 2 AS BIGINT) AS edge_count,
+       CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS triplet_count,
+       CAST(MAX(d) AS BIGINT) AS maximum_degree,
+       CAST(MAX(d * (d - 1) / 2) AS BIGINT) AS maximum_triplets
+FROM deg
 """,
 )

@@ -118,3 +118,74 @@ def cep_followed_by_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def cep_times_stream(
+    events: DataFrame,
+    a_type: str = "click",
+    n: int = 3,
+    within: str = "1 day",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_times`` — the
+    ``Pattern.begin("a").times(n).within(T)`` count quantifier. Keyed
+    state is the trailing-T window of A timestamps (Flink's NFA keeps
+    the same partial-match buffer for a times() pattern); each arriving
+    A first evicts expired entries, then joins the window, and emits
+    when it is the n-th-or-later element — exactly the batch form's
+    inclusive RANGE frame [t - T, t].
+
+    State per key is bounded by the As inside one T span; cleanup uses
+    the same deadline timeout as ``cep_followed_by_stream``.
+    """
+    within_ms = _interval_ms(within)
+
+    def run(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            (win_list, max_ts) = state.get
+            window = [int(t) for t in win_list]
+            max_ts = int(max_ts)
+        else:
+            window, max_ts = [], 0
+        out: list[tuple[int, int, int]] = []  # (a_event_id, a_ts, count)
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_ms = rows["ts"].astype("int64") // 1_000_000
+            for eid, t in zip(rows["event_id"], ts_ms):
+                t = int(t)
+                max_ts = max(max_ts, t)
+                window = [w for w in window if w >= t - within_ms]
+                window.append(t)
+                if len(window) >= n:
+                    out.append((int(eid), t, len(window)))
+        state.update((window, max_ts))
+        state.setTimeoutTimestamp(max_ts + within_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "a_event_id": [o[0] for o in out],
+                    "a_ts": pd.to_datetime([o[1] for o in out], unit="ms"),
+                    "n_in_window": [o[2] for o in out],
+                }
+            )
+
+    keyed = (
+        events.filter(F.col("event_type") == a_type)
+        .withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, a_event_id long, a_ts timestamp, n_in_window long"
+        ),
+        stateStructType="win_ts_ms array<long>, max_ts long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

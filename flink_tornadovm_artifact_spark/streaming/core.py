@@ -237,11 +237,14 @@ def keyed_process_timeout(
 
 
 def _interval_ms(interval: str) -> int:
-    """'30 minutes' → milliseconds (seconds/minutes/hours units)."""
+    """'30 minutes' → milliseconds (seconds/minutes/hours/days units)."""
     n, unit = interval.split()
-    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[
-        unit.rstrip("s")
-    ]
+    mult = {
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
     return int(n) * mult
 
 

@@ -198,3 +198,51 @@ def test_cep_next_hand_computed(spark, tmp_path):
         for r in cep_next(spark, str(d)).collect()
     )
     assert got == [(1, 1, 2)]
+
+
+def test_cep_times_stream_matches_batch(spark, tmp_path):
+    """The times(n) stream twin replays the batch fixture split across
+    micro-batches: the trailing-window state must survive the batch
+    boundary and produce exactly the batch result."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_times
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_times_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "click"),
+        (2, 1, 60, "click"),
+        (3, 1, 120, "view"),
+        (4, 1, 180, "click"),
+        (5, 1, 240, "click"),
+        (6, 1, 240 + 25 * 60, "click"),
+        (7, 2, 0, "click"),
+        (8, 2, 10, "click"),
+    ]
+    d = tmp_path / "cep_times_stream"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.a_event_id, r.n_in_window)
+        for r in cep_times(spark, str(d)).collect()
+    )
+
+    d2 = tmp_path / "cep_times_stream2"
+    d2.mkdir()
+    cut = 4  # user 1's window state spans the boundary
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(cep_times_stream(stream), "cep_times_out")
+    assert (
+        sorted((r.user_id, r.a_event_id, r.n_in_window) for r in got.collect())
+        == want
+        == [(1, 4, 3), (1, 5, 4)]
+    )
