@@ -574,3 +574,79 @@ def vertex_metrics(edges: DataFrame) -> DataFrame:
         F.max("degree").alias("maximum_degree"),
         F.max(trip).alias("maximum_triplets"),
     )
+
+
+def community_detection(
+    edges: DataFrame,
+    iterations: int = 2,
+    delta: float = 0.5,
+) -> DataFrame:
+    """Score-attenuated community detection (``flink-gelly/.../library/
+    CommunityDetection.java``, after Leung et al.): vertices start as
+    (label = own id, score = 1.0) on the UNDIRECTED graph; each
+    superstep every vertex sends (label, score · edge_weight) to its
+    neighbors, then adopts the label with the highest SUMMED received
+    score — ties broken toward the LOWEST label (the reference iterates
+    a TreeMap in ascending label order with a strict `>` update; note
+    the opposite tie direction from LabelPropagation.java). The adopted
+    label's new score is the highest SINGLE received score for it,
+    attenuated by delta / superstep when the label changed; vertices
+    with no in-messages keep their value. Fixed ``iterations``
+    supersteps (maxIterations without the convergence cut). Returns
+    (vertex, label) — the reference strips scores from the result too.
+
+    ``edges``: (src, dst) with unit weights — with delta = 0.5 and ≤ 2
+    supersteps every score is a small dyadic rational, so summed scores
+    are EXACT in IEEE arithmetic regardless of summation order and the
+    argmax (and its tie-break) is engine-independent — which is what
+    makes the SQL oracle sound. One message shuffle + one argmax groupBy
+    per superstep, state checkpointed per round.
+    """
+    und = _undirect(edges)
+    both = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    state = (
+        both.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select(
+            "vertex",
+            F.col("vertex").alias("label"),
+            F.lit(1.0).alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for step in range(1, iterations + 1):
+        msgs = both.join(state, both.src == state.vertex).select(
+            F.col("dst").alias("vertex"), "label", F.col("score").alias("ms")
+        )
+        agg = msgs.groupBy("vertex", "label").agg(
+            F.sum("ms").alias("total"), F.max("ms").alias("best")
+        )
+        # argmax over summed score, ties to the lowest label: max of
+        # (total, -label) lexicographically — exact for dyadic scores
+        pick = (
+            agg.groupBy("vertex")
+            .agg(F.max(F.struct("total", (-F.col("label")).alias("nl"), "best")).alias("m"))
+            .select(
+                "vertex",
+                (-F.col("m.nl")).alias("new_label"),
+                F.col("m.best").alias("new_best"),
+            )
+        )
+        state = (
+            state.join(pick, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("new_label", "label").alias("label"),
+                F.when(F.col("new_label").isNull(), F.col("score"))
+                .when(
+                    F.col("new_label") != F.col("label"),
+                    F.col("new_best") - F.lit(delta) / step,
+                )
+                .otherwise(F.col("new_best"))
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("vertex", "label")

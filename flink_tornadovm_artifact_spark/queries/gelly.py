@@ -14,6 +14,8 @@
 - ``graph_summarization``  — Summarization.java (vertex groups +
   super-edges)
 - ``vertex_metrics_q``     — metric/undirected/VertexMetrics.java
+- ``community_detection_labels`` — CommunityDetection.java
+  (score-attenuated label propagation, Leung et al.)
 
 Graph: the same deterministic synthetic id space the CC/SSSP pipelines
 use — ``orders`` folded modulo 997 gives a general (non-bipartite)
@@ -23,7 +25,7 @@ triangles — the driver's oracle check is discriminating, not vacuous);
 (hubs = customers, authorities = buckets), where HITS is actually
 meaningful.
 
-All nine are fully SQL-expressible: the iterative ones unroll their
+All of them are fully SQL-expressible: the iterative ones unroll their
 fixed supersteps as chained CTEs (the technique proven on
 pagerank/logreg/sssp), the rest are join/groupBy shapes DuckDB runs
 directly. Labels/ids are exact integers; the only floats are
@@ -416,3 +418,62 @@ SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
 FROM deg
 """,
 )
+
+
+_CD_ITERATIONS, _CD_DELTA = 2, 0.5
+
+
+def community_detection_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-attenuated communities (CommunityDetection.java), 2
+    supersteps at delta 0.5 — parameters under which every score is a
+    dyadic rational and the oracle comparison is exact."""
+    from ..functions.graph import community_detection
+
+    return community_detection(
+        _social_edges(spark, sf_dir),
+        iterations=_CD_ITERATIONS,
+        delta=_CD_DELTA,
+    )
+
+
+def _cd_oracle_sql(iterations: int = _CD_ITERATIONS, delta: float = _CD_DELTA) -> str:
+    """Supersteps unrolled; the argmax is ROW_NUMBER ordered
+    (total DESC, label ASC) — the reference's ascending-TreeMap strict->
+    scan. Scores are dyadic (1.0, ±0.5, ±0.25 combinations), so SUM
+    order cannot perturb the comparison."""
+    steps = []
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT m.y AS vertex, s.label, SUM(s.score) AS total, MAX(s.score) AS best
+  FROM und m JOIN {prev} s ON m.x = s.vertex GROUP BY 1, 2
+),
+p{i} AS MATERIALIZED (
+  SELECT vertex, label AS new_label, best FROM (
+    SELECT vertex, label, best,
+           ROW_NUMBER() OVER (PARTITION BY vertex
+                              ORDER BY total DESC, label ASC) AS rn
+    FROM a{i}
+  ) WHERE rn = 1
+),
+s{i} AS MATERIALIZED (
+  SELECT v.vertex,
+         COALESCE(p.new_label, v.label) AS label,
+         CASE WHEN p.vertex IS NULL THEN v.score
+              WHEN p.new_label <> v.label THEN p.best - {delta} / {i}
+              ELSE p.best END AS score
+  FROM {prev} v LEFT JOIN p{i} p ON v.vertex = p.vertex
+)"""
+        )
+        prev = f"s{i}"
+    return f"""
+WITH {_E_SQL},
+{_UND_SQL},
+s0 AS (SELECT DISTINCT x AS vertex, x AS label, 1.0 AS score FROM und),
+{",".join(steps)}
+SELECT vertex, label FROM {prev}
+"""
+
+
+_register(community_detection_labels, _cd_oracle_sql())

@@ -186,3 +186,24 @@ def test_jaccard_and_adamic_adar_hand_computed(spark):
     }
     assert abs(aa[(1, 3)] - 1 / math.log(3)) < 1e-12
     assert abs(aa[(1, 2)] - 1 / math.log(2)) < 1e-12
+
+
+def test_community_detection_tie_breaks_to_lowest_label(spark):
+    """Triangle {1,2,3} with pendant 9-3. Superstep 1: vertex 1 hears
+    labels 2 and 3 with equal summed score — the reference's ascending
+    TreeMap scan with strict `>` keeps the LOWEST (2). Superstep 2 then
+    converges everything to label 1; had the tie broken high (label 3),
+    vertex 3 would finish labeled 3 (sum 3:1.0 beats 1:0.5) — so the
+    final state discriminates the tie direction."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        community_detection,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 9)]
+    got = {
+        r.vertex: r.label
+        for r in community_detection(
+            _edges_df(spark, edges), iterations=2
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1}
