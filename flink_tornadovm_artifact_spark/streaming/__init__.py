@@ -20,6 +20,7 @@ from .core import (
     windowed_join_streams,
 )
 from .cep import cep_followed_by_stream, cep_times_stream
+from .savepoint import read_keyed_state
 from .sources import events_file_stream, memory_sink_run, with_ingestion_time
 from .triggers import (
     ContinuousEventTimeTrigger,
@@ -60,6 +61,7 @@ __all__ = [
     "cep_followed_by_stream",
     "cep_times_stream",
     "events_file_stream",
+    "read_keyed_state",
     "memory_sink_run",
     "with_ingestion_time",
 ]

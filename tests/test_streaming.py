@@ -360,3 +360,67 @@ def test_ingestion_time_stamped_and_usable(spark, events_dir, batch_events):
     assert got.filter(F.col("ingest_ts").isNull()).count() == 0
     # all rows of the single micro-batch share one ingest timestamp
     assert got.select("ingest_ts").distinct().count() == 1
+
+
+def test_read_keyed_state_from_checkpoint(spark, tmp_path):
+    """State-processor-API analog (flink-state-processing-api
+    Savepoint.load → readKeyedState): a stopped query's keyed aggregate
+    state is readable offline from the checkpoint, and batchId
+    time-travels to an earlier micro-batch's state."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.streaming import read_keyed_state
+
+    src = tmp_path / "sp_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "sp_ckpt")
+
+    def write(name, rows):  # (user_id, value)
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "value": pa.array([r[1] for r in rows], pa.float64()),
+                }
+            ),
+            src / name,
+        )
+
+    write("b0.parquet", [(1, 1.0), (1, 2.0), (2, 10.0)])
+    _time.sleep(1.1)  # mtime-ordered triggers
+    write("b1.parquet", [(2, 20.0), (3, 5.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sp_state_q")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    latest = {
+        r.key_user_id: (r.value_count, r.value_sum)
+        for r in read_keyed_state(spark, ckpt).collect()
+    }
+    assert latest == {1: (2, 3.0), 2: (2, 30.0), 3: (1, 5.0)}
+
+    # time travel: after only the first micro-batch, user 3 is absent
+    # and user 2 has one row
+    first = {
+        r.key_user_id: (r.value_count, r.value_sum)
+        for r in read_keyed_state(spark, ckpt, batch_id=0).collect()
+    }
+    assert first == {1: (2, 3.0), 2: (1, 10.0)}
