@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cep, gelly, iot, llm, ml, procedural, relational, tpch, windows
+from . import cep, gelly, iot, llm, ml, procedural, relational, tpch, utils_q, windows
 
-_MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly)
+_MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, utils_q)
 
 #: The verification driver oracle-checks only the FIRST 50 registry
 #: entries, so registration order is itself a correctness-coverage

@@ -191,3 +191,48 @@ def test_delta_iteration_terminates_early(spark):
 
     out = sol.iterate_delta(ws, 100, step)
     assert out.count() == 1
+
+
+def test_zip_with_index_dense_and_preserving(spark):
+    """DataSetUtils.zipWithIndex contract: ids are exactly 0..n-1 and
+    every input row survives with its data intact — across an
+    explicitly multi-partition input so the offset phase is exercised."""
+    from flink_tornadovm_artifact_spark.operators.utils import zip_with_index
+
+    df = spark.range(0, 57).repartition(7).withColumn("payload", F.col("id") * 2)
+    z = zip_with_index(df)
+    rows = z.collect()
+    assert sorted(r["index"] for r in rows) == list(range(57))
+    assert sorted((r.id, r.payload) for r in rows) == [
+        (i, 2 * i) for i in range(57)
+    ]
+
+
+def test_zip_with_unique_id_unique(spark):
+    from flink_tornadovm_artifact_spark.operators.utils import (
+        zip_with_unique_id,
+    )
+
+    df = spark.range(0, 100).repartition(5)
+    z = zip_with_unique_id(df)
+    ids = [r.unique_id for r in z.collect()]
+    assert len(set(ids)) == 100
+
+
+def test_sample_and_sample_with_size(spark):
+    from flink_tornadovm_artifact_spark.operators.utils import (
+        sample,
+        sample_with_size,
+    )
+
+    df = spark.range(0, 1000)
+    s = sample(df, fraction=0.2, seed=42)
+    n = s.count()
+    assert 100 < n < 320  # Bernoulli around 200
+    assert s.join(df, "id", "left_anti").count() == 0  # subset
+    exact = sample_with_size(df, 37, seed=1)
+    got = [r.id for r in exact.collect()]
+    assert len(got) == 37 and len(set(got)) == 37
+    assert set(got) <= set(range(1000))
+    # n larger than the input degrades to the full set
+    assert sample_with_size(df, 5000).count() == 1000

@@ -207,3 +207,75 @@ def test_lsh_verified_dedup_matches_bruteforce(spark, word_lists, data):
         for r in dedup_lsh_verified(spark, "", docs=df).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Graph library vs plain-Python brute force on random small graphs
+# (adversarial shapes hand tests miss: multi-edges, reversed duplicates,
+# self-loops, disconnected vertices, degree ties in the orientation).
+# ---------------------------------------------------------------------------
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _simple_undirected(edges):
+    return {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+
+@given(_edges_strategy)
+@settings(**SETTINGS)
+def test_triangles_match_bruteforce(spark, edges):
+    from flink_tornadovm_artifact_spark.functions.graph import triangles
+
+    und = _simple_undirected(edges)
+    verts = sorted({v for e in und for v in e})
+    want = sorted(
+        (a, b, c)
+        for i, a in enumerate(verts)
+        for b in verts[i + 1 :]
+        for c in verts
+        if b < c
+        and (a, b) in und
+        and (a, c) in und
+        and (b, c) in und
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(map(tuple, triangles(df).collect()))
+    assert got == want
+
+
+@given(_edges_strategy, st.integers(1, 3))
+@settings(**SETTINGS)
+def test_label_propagation_matches_simulation(spark, edges, iterations):
+    """Synchronous LPA vs an independent dict-based simulation of the
+    reference's UpdateVertexLabel rule (lexicographic (freq, label) max
+    seeded with (1, own)) on the DIRECTED edge list as given."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        label_propagation,
+    )
+
+    verts = sorted({v for e in edges for v in e})
+    labels = {v: v for v in verts}
+    for _ in range(iterations):
+        counts: dict[int, dict[int, int]] = {}
+        for s, d in edges:
+            lab = labels[s]
+            counts.setdefault(d, {}).setdefault(lab, 0)
+            counts[d][lab] += 1
+        new = {}
+        for v in verts:
+            # candidates = received labels at their counts, UNION the own
+            # label at frequency 1; winner is the (freq, label) max
+            entries = [(f, l) for l, f in counts.get(v, {}).items()]
+            entries.append((1, labels[v]))
+            new[v] = max(entries)[1]
+        labels = new
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: r.label
+        for r in label_propagation(df, iterations=iterations).collect()
+    }
+    assert got == labels
