@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cep, gelly, iot, llm, ml, procedural, relational, tpch, utils_q, windows
+from . import cep, gelly, iot, llm, ml, procedural, relational, temporal_q, tpch, utils_q, windows
 
-_MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, utils_q)
+_MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, utils_q, temporal_q)
 
 #: The verification driver oracle-checks only the FIRST 50 registry
 #: entries, so registration order is itself a correctness-coverage
@@ -45,6 +45,14 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: by q03/q23/q30/q50 and the TPC-H extras now in the window; the
 #: over-window surface by the four CEP patterns; group windows by the
 #: four q21 variants).
+#:
+#: Window OVERFLOW (round 3 added 19 oracle-backed queries for 17 freed
+#: slots): community_detection_labels, local/global clustering, graph_
+#: summarization, vertex_metrics_q, zip_with_index/unique_id/sample
+#: contracts, and temporal_join_events registered OUTSIDE the window —
+#: every one still runs the identical DuckDB differential at sf0.01 in
+#: pytest (test_queries_oracle.py); they rotate in next round as
+#: longer-green entries free slots.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # declared-set core still in rotation (8)
     "q03_tpch_q1",

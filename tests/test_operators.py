@@ -236,3 +236,47 @@ def test_sample_and_sample_with_size(spark):
     assert set(got) <= set(range(1000))
     # n larger than the input degrades to the full set
     assert sample_with_size(df, 5000).count() == 1000
+
+
+def test_temporal_join_as_of_semantics(spark):
+    """Temporal table join (Table.createTemporalTableFunction /
+    FOR SYSTEM_TIME AS OF): probe picks the latest version at-or-before
+    its time; equal timestamps are inclusive; probes before the first
+    version drop; a same-(key,time) version pair resolves by the
+    tiebreak column (latest write wins)."""
+    from flink_tornadovm_artifact_spark.operators.temporal import (
+        temporal_join,
+    )
+
+    versions = spark.createDataFrame(
+        [
+            (1, 10, 100, 1),
+            (1, 20, 200, 2),
+            (1, 20, 250, 3),  # same version time, higher tiebreak wins
+            (2, 5, 50, 4),
+        ],
+        "k long, vts long, val long, vid long",
+    )
+    probe = spark.createDataFrame(
+        [(1, 5, 900), (1, 10, 901), (1, 15, 902), (1, 25, 903), (2, 7, 904)],
+        "k long, pts long, pid long",
+    )
+    got = sorted(
+        (r.k, r.pts, r.pid, r.val)
+        for r in temporal_join(
+            probe,
+            versions,
+            on="k",
+            probe_time="pts",
+            version_time="vts",
+            version_cols=["val"],
+            tiebreak="vid",
+        ).collect()
+    )
+    assert got == [
+        # (1,5) dropped: before any version
+        (1, 10, 901, 100),  # inclusive at equal time
+        (1, 15, 902, 100),
+        (1, 25, 903, 250),  # latest version, tiebreak picked vid=3
+        (2, 7, 904, 50),
+    ]
