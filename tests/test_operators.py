@@ -280,3 +280,73 @@ def test_temporal_join_as_of_semantics(spark):
         (1, 25, 903, 250),  # latest version, tiebreak picked vid=3
         (2, 7, 904, 50),
     ]
+
+
+def test_distributed_cache_file_readable_in_udf(spark, tmp_path):
+    """registerCachedFile / getDistributedCache parity: a side file
+    shipped once is opened locally inside a mapInPandas body on the
+    executors (not the driver) and drives a filter."""
+    from flink_tornadovm_artifact_spark.operators.dist_cache import (
+        cached_file_path,
+        register_cached_file,
+    )
+
+    stop = tmp_path / "stopwords.txt"
+    stop.write_text("the\nand\nof\n")
+    name = register_cached_file(spark, str(stop))
+
+    df = spark.createDataFrame(
+        [("the",), ("graph",), ("and",), ("engine",)], "word string"
+    )
+
+    def drop_stopwords(batches):
+        with open(cached_file_path(name)) as fh:
+            stops = {w.strip() for w in fh}
+        for pdf in batches:
+            yield pdf[~pdf["word"].isin(stops)]
+
+    got = sorted(
+        r.word for r in df.mapInPandas(drop_stopwords, df.schema).collect()
+    )
+    assert got == ["engine", "graph"]
+
+
+def test_parameter_tool_from_args_grammar():
+    """ParameterTool.fromArgs grammar (ParameterTool.java:65-95):
+    --/- keys, numeric tokens always values (negative numbers are not
+    keys), key followed by another key maps to the NO_VALUE marker."""
+    from flink_tornadovm_artifact_spark.operators.params import (
+        NO_VALUE_KEY,
+        ParameterTool,
+    )
+
+    p = ParameterTool.from_args(
+        ["--input", "/data/in", "-parallelism", "4", "--offset", "-7",
+         "--verbose", "--output", "/data/out", "--flag"]
+    )
+    assert p.get("input") == "/data/in"
+    assert p.get_int("parallelism") == 4
+    assert p.get_int("offset") == -7          # negative number is a value
+    assert p.get("verbose") == NO_VALUE_KEY   # next token is a key
+    assert p.get("flag") == NO_VALUE_KEY      # trailing key
+    assert p.get_required("output") == "/data/out"
+    assert p.get("missing", "dflt") == "dflt"
+    try:
+        p.get_required("missing")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_parameter_tool_properties_and_merge(tmp_path):
+    from flink_tornadovm_artifact_spark.operators.params import ParameterTool
+
+    f = tmp_path / "job.properties"
+    f.write_text("# comment\ninput = /p/in\nretries=3\n\n! note\n")
+    p = ParameterTool.from_properties_file(str(f))
+    assert p.get("input") == "/p/in" and p.get_int("retries") == 3
+    q = ParameterTool.from_args(["--retries", "9"])
+    merged = p.merge_with(q)
+    assert merged.get_int("retries") == 9     # other side wins
+    assert merged.get("input") == "/p/in"
+    assert merged.to_map()["retries"] == "9"
