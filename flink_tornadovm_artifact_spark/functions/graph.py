@@ -650,3 +650,48 @@ def community_detection(
             .localCheckpoint(eager=True)
         )
     return state.select("vertex", "label")
+
+
+def edge_metrics(edges: DataFrame) -> DataFrame:
+    """Undirected edge metrics (``flink-gelly/.../library/metric/
+    undirected/EdgeMetrics.java``): per vertex v let d be its degree and
+    ℓ its low-order count — the number of neighbors u with
+    (d(v), v) < (d(u), u), i.e. the edges the degree orientation points
+    OUT of v (the reference's EdgeStats one/zero marker summed per
+    vertex). One row:
+
+    - triangle_triplet_count  = Σ ℓ·(ℓ-1)/2  (triplets the triangle
+      orientation builds at their apex)
+    - rectangle_triplet_count = Σ (ℓ·(ℓ-1)/2 + ℓ·(d-ℓ))
+    - maximum_triangle_triplets / maximum_rectangle_triplets = the per-
+      vertex maxima of the same quantities.
+    """
+    und = _undirect(edges)
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    wd = (
+        both.join(deg.withColumnRenamed("x", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "db"), "b")
+    )
+    low = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    per_v = wd.groupBy(F.col("a").alias("vertex")).agg(
+        F.first("da").alias("d"),
+        F.sum(F.when(low, 1).otherwise(0)).alias("l"),
+    )
+    tri = (F.col("l") * (F.col("l") - 1) / 2).cast("long")
+    rect = (tri + F.col("l") * (F.col("d") - F.col("l"))).cast("long")
+    return per_v.agg(
+        F.sum(tri).alias("triangle_triplet_count"),
+        F.sum(rect).alias("rectangle_triplet_count"),
+        F.max(tri).alias("maximum_triangle_triplets"),
+        F.max(rect).alias("maximum_rectangle_triplets"),
+    )

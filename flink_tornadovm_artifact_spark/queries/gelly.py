@@ -13,7 +13,8 @@
   — clustering/undirected/{Local,Global}ClusteringCoefficient.java
 - ``graph_summarization``  — Summarization.java (vertex groups +
   super-edges)
-- ``vertex_metrics_q``     — metric/undirected/VertexMetrics.java
+- ``vertex_metrics_q`` / ``edge_metrics_q`` — metric/undirected/
+  {Vertex,Edge}Metrics.java
 - ``community_detection_labels`` — CommunityDetection.java
   (score-attenuated label propagation, Leung et al.)
 
@@ -477,3 +478,37 @@ SELECT vertex, label FROM {prev}
 
 
 _register(community_detection_labels, _cd_oracle_sql())
+
+
+def edge_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar edge metrics of the social graph
+    (metric/undirected/EdgeMetrics.java)."""
+    from ..functions.graph import edge_metrics
+
+    return edge_metrics(_social_edges(spark, sf_dir))
+
+
+_register(
+    edge_metrics_q,
+    f"""
+WITH {_E_SQL},
+{_UND_SQL},
+{_DEG_SQL},
+pv AS (
+  SELECT w.x AS vertex, ANY_VALUE(da.d) AS d,
+         SUM(CASE WHEN da.d < db.d OR (da.d = db.d AND w.x < w.y)
+                  THEN 1 ELSE 0 END) AS l
+  FROM und w
+  JOIN deg da ON w.x = da.x
+  JOIN deg db ON w.y = db.x
+  GROUP BY w.x
+)
+SELECT CAST(SUM(l * (l - 1) / 2) AS BIGINT) AS triangle_triplet_count,
+       CAST(SUM(l * (l - 1) / 2 + l * (d - l)) AS BIGINT)
+         AS rectangle_triplet_count,
+       CAST(MAX(l * (l - 1) / 2) AS BIGINT) AS maximum_triangle_triplets,
+       CAST(MAX(l * (l - 1) / 2 + l * (d - l)) AS BIGINT)
+         AS maximum_rectangle_triplets
+FROM pv
+""",
+)
