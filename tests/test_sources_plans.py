@@ -356,3 +356,37 @@ def test_dedup_lsh_verified_no_cartesian(spark):
     plan = explain_str(dedup_lsh_verified(spark, SF_ORACLE), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temporal_join_single_scan_plan(spark):
+    """The as-of join must stay the tagged-union analytic scan: exactly
+    two hash exchanges (the (key, time) version-dedup window + the main
+    per-key scan) and no nested-loop/cartesian fallback — a correlated
+    per-row lookup or range join would explode at scale."""
+    import re
+
+    from flink_tornadovm_artifact_spark.queries.temporal_q import (
+        temporal_join_events,
+    )
+
+    from .conftest import SF_SMOKE
+
+    df = temporal_join_events(spark, SF_SMOKE)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", phys)) == 2
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_triangle_enumeration_no_cartesian(spark):
+    """Degree-oriented triad building must plan as equi-joins (the
+    orientation predicate rides as a join filter) — never a cartesian
+    or nested-loop product."""
+    from flink_tornadovm_artifact_spark.queries.gelly import triangle_enum
+
+    from .conftest import SF_SMOKE
+
+    df = triangle_enum(spark, SF_SMOKE)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
