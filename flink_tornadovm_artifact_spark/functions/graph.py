@@ -695,3 +695,37 @@ def edge_metrics(edges: DataFrame) -> DataFrame:
         F.max(tri).alias("maximum_triangle_triplets"),
         F.max(rect).alias("maximum_rectangle_triplets"),
     )
+
+
+def average_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Mean local clustering (``.../clustering/undirected/
+    AverageClusteringCoefficient.java``): one row (vertex_count,
+    sum_lcc, acc) — vertices below degree 2 contribute 0, the
+    reference's accumulator semantics."""
+    return clustering_coefficients(edges).agg(
+        F.count(F.lit(1)).alias("vertex_count"),
+        F.sum("lcc").alias("sum_lcc"),
+        (F.sum("lcc") / F.count(F.lit(1))).alias("acc"),
+    )
+
+
+def triadic_census(edges: DataFrame) -> DataFrame:
+    """Undirected triadic census (``.../clustering/undirected/
+    TriadicCensus.java``): counts of the four undirected triad types
+    over all C(n,3) vertex triples, derived in closed form from vertex
+    metrics and the triangle count exactly as the reference does —
+    30 (triangle) = t; 21 (open triplet) = triplets − 3t;
+    12 (one edge) = m·(n−2) − 2·(21) − 3·(30); 03 = C(n,3) − rest."""
+    vm = vertex_metrics(edges)
+    t = triangles(edges).agg(F.count(F.lit(1)).alias("t"))
+    n, m, w = F.col("vertex_count"), F.col("edge_count"), F.col("triplet_count")
+    t30 = F.col("t")
+    t21 = w - 3 * t30
+    t12 = m * (n - F.lit(2)) - 2 * t21 - 3 * t30
+    t03 = (n * (n - 1) * (n - 2) / 6).cast("long") - t12 - t21 - t30
+    return vm.crossJoin(F.broadcast(t)).select(
+        t03.cast("long").alias("triads_03"),
+        t12.cast("long").alias("triads_12"),
+        t21.cast("long").alias("triads_21"),
+        t30.cast("long").alias("triads_30"),
+    )

@@ -10,7 +10,9 @@
 - ``jaccard_similarity``   — similarity/JaccardIndex.java
 - ``adamic_adar_similarity`` — similarity/AdamicAdar.java
 - ``local_clustering_coefficient`` / ``global_clustering_coefficient_q``
-  — clustering/undirected/{Local,Global}ClusteringCoefficient.java
+  / ``average_clustering_coefficient_q`` / ``triadic_census_q`` —
+  clustering/undirected/{Local,Global,Average}ClusteringCoefficient.java
+  and TriadicCensus.java (TriangleListing.java ≡ ``triangle_enum``)
 - ``graph_summarization``  — Summarization.java (vertex groups +
   super-edges)
 - ``vertex_metrics_q`` / ``edge_metrics_q`` — metric/undirected/
@@ -510,5 +512,87 @@ SELECT CAST(SUM(l * (l - 1) / 2) AS BIGINT) AS triangle_triplet_count,
        CAST(MAX(l * (l - 1) / 2 + l * (d - l)) AS BIGINT)
          AS maximum_rectangle_triplets
 FROM pv
+""",
+)
+
+
+def average_clustering_coefficient_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean local clustering of the social graph
+    (clustering/undirected/AverageClusteringCoefficient.java)."""
+    from ..functions.graph import average_clustering_coefficient
+
+    return average_clustering_coefficient(_social_edges(spark, sf_dir))
+
+
+_register(
+    average_clustering_coefficient_q,
+    f"""
+WITH {_E_SQL},
+{_UND_SQL},
+{_DEG_SQL},
+tri AS (
+  SELECT e1.u AS v1, e1.v AS v2, e2.v AS v3
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+tpv AS (
+  SELECT vertex, COUNT(*) AS tc FROM (
+    SELECT v1 AS vertex FROM tri
+    UNION ALL SELECT v2 FROM tri
+    UNION ALL SELECT v3 FROM tri
+  ) GROUP BY vertex
+),
+lcc AS (
+  SELECT d.x, CASE WHEN d.d >= 2
+                   THEN COALESCE(t.tc, 0) / (d.d * (d.d - 1) / 2.0)
+                   ELSE 0.0 END AS lcc
+  FROM deg d LEFT JOIN tpv t ON d.x = t.vertex
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+       SUM(lcc) AS sum_lcc,
+       SUM(lcc) / COUNT(*) AS acc
+FROM lcc
+""",
+)
+
+
+def triadic_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form undirected triadic census
+    (clustering/undirected/TriadicCensus.java)."""
+    from ..functions.graph import triadic_census
+
+    return triadic_census(_social_edges(spark, sf_dir))
+
+
+_register(
+    triadic_census_q,
+    f"""
+WITH {_E_SQL},
+{_UND_SQL},
+{_DEG_SQL},
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) / 2 AS BIGINT) AS m,
+         CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS w
+  FROM deg
+),
+t AS (
+  SELECT COUNT(*) AS t FROM (
+    SELECT 1 FROM e e1
+    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+  )
+)
+SELECT CAST(n * (n - 1) * (n - 2) / 6
+            - (m.m * (n - 2) - 2 * (w - 3 * t.t) - 3 * t.t)
+            - (w - 3 * t.t) - t.t AS BIGINT) AS triads_03,
+       CAST(m.m * (n - 2) - 2 * (w - 3 * t.t) - 3 * t.t AS BIGINT)
+         AS triads_12,
+       CAST(w - 3 * t.t AS BIGINT) AS triads_21,
+       CAST(t.t AS BIGINT) AS triads_30
+FROM m, t
 """,
 )

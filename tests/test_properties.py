@@ -279,3 +279,86 @@ def test_label_propagation_matches_simulation(spark, edges, iterations):
         for r in label_propagation(df, iterations=iterations).collect()
     }
     assert got == labels
+
+
+@given(_edges_strategy, st.integers(1, 3))
+@settings(**SETTINGS)
+def test_hits_matches_numpy_simulation(spark, edges, iterations):
+    """HITS vs a NumPy re-implementation of the reference pipeline
+    (hub ← prior auth, auth ← NEW hub, L2-normalize both)."""
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.functions.graph import hits
+
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iterations):
+        h_new = np.zeros(n)
+        for s, d in edges:
+            h_new[idx[s]] += a[idx[d]]
+        a_new = np.zeros(n)
+        for s, d in edges:
+            a_new[idx[d]] += h_new[idx[s]]
+        hn = np.sqrt((h_new**2).sum())
+        an = np.sqrt((a_new**2).sum())
+        h = h_new / hn if hn else h_new * np.nan
+        a = a_new / an if an else a_new * np.nan
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: (r.hub, r.auth) for r in hits(df, iterations=iterations).collect()}
+    for v in verts:
+        gh, ga = got[v]
+        wh, wa = h[idx[v]], a[idx[v]]
+        if np.isnan(wh) or np.isnan(wa):
+            continue  # degenerate all-zero norm (e.g. only self-loops)
+        assert abs(gh - wh) < 1e-9 and abs(ga - wa) < 1e-9, (v, got[v], wh, wa)
+
+
+@given(_edges_strategy, st.integers(1, 2))
+@settings(**SETTINGS)
+def test_community_detection_matches_simulation(spark, edges, iterations):
+    """CommunityDetection vs a dict simulation of the reference's
+    VertexLabelUpdater: summed-score argmax with lowest-label ties, max
+    single-message re-score, delta/superstep attenuation on change,
+    no-message vertices unchanged. Dyadic scores make float equality
+    exact in both implementations."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        community_detection,
+    )
+
+    und = _simple_undirected(edges)
+    if not und:
+        return  # no surviving simple edges: nothing to compare
+    both = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    verts = sorted({v for e in und for v in e})
+    state = {v: (v, 1.0) for v in verts}
+    delta = 0.5
+    for step in range(1, iterations + 1):
+        summed: dict[int, dict[int, float]] = {}
+        best: dict[int, dict[int, float]] = {}
+        for s, d in both:
+            lab, score = state[s]
+            summed.setdefault(d, {}).setdefault(lab, 0.0)
+            summed[d][lab] += score
+            best.setdefault(d, {}).setdefault(lab, score)
+            best[d][lab] = max(best[d][lab], score)
+        new = {}
+        for v in verts:
+            if v not in summed:
+                new[v] = state[v]
+                continue
+            # argmax by summed score, ties to LOWEST label
+            win = max(summed[v].items(), key=lambda t: (t[1], -t[0]))[0]
+            sc = best[v][win]
+            if win != state[v][0]:
+                sc -= delta / step
+            new[v] = (win, sc)
+        state = new
+    df = spark.createDataFrame(list(und), "src long, dst long")
+    got = {
+        r.vertex: r.label
+        for r in community_detection(df, iterations=iterations).collect()
+    }
+    assert got == {v: lab for v, (lab, _) in state.items()}
