@@ -201,5 +201,8 @@ class Graph:
     # -- algorithms ---------------------------------------------------
     def run(self, algorithm, *args, **kwargs):
         """GraphAlgorithm.run analog: apply a library function from
-        ``functions.graph`` to this graph's edge list."""
-        return algorithm(self.edges.select("src", "dst"), *args, **kwargs)
+        ``functions.graph`` to this graph's FULL edge list — the value
+        column rides along (Gelly passes the whole graph, and weighted
+        algorithms like sssp read the edge value; unweighted ones select
+        src/dst and ignore it)."""
+        return algorithm(self.edges, *args, **kwargs)

@@ -715,14 +715,24 @@ def triadic_census(edges: DataFrame) -> DataFrame:
     over all C(n,3) vertex triples, derived in closed form from vertex
     metrics and the triangle count exactly as the reference does —
     30 (triangle) = t; 21 (open triplet) = triplets − 3t;
-    12 (one edge) = m·(n−2) − 2·(21) − 3·(30); 03 = C(n,3) − rest."""
+    12 (one edge) = m·(n−2) − 2·(21) − 3·(30); 03 = C(n,3) − rest.
+
+    The C(n,3) product runs in decimal(38,0), mirroring the reference's
+    BigInteger arithmetic: a bigint n·(n−1)·(n−2) wraps past n ≈ 2.1M
+    vertices and a double division loses exactness past n ≈ 208k. The
+    final counts cast back to long — exact while every class count is
+    below 2^63 (n up to ~4.6M; beyond that a wider output type, not a
+    different algorithm, is the change)."""
     vm = vertex_metrics(edges)
     t = triangles(edges).agg(F.count(F.lit(1)).alias("t"))
-    n, m, w = F.col("vertex_count"), F.col("edge_count"), F.col("triplet_count")
-    t30 = F.col("t")
+    dec = "decimal(38,0)"
+    n = F.col("vertex_count").cast(dec)
+    m = F.col("edge_count").cast(dec)
+    w = F.col("triplet_count").cast(dec)
+    t30 = F.col("t").cast(dec)
     t21 = w - 3 * t30
-    t12 = m * (n - F.lit(2)) - 2 * t21 - 3 * t30
-    t03 = (n * (n - 1) * (n - 2) / 6).cast("long") - t12 - t21 - t30
+    t12 = m * (n - 2) - 2 * t21 - 3 * t30
+    t03 = (n * (n - 1) * (n - 2) / 6).cast(dec) - t12 - t21 - t30
     return vm.crossJoin(F.broadcast(t)).select(
         t03.cast("long").alias("triads_03"),
         t12.cast("long").alias("triads_12"),

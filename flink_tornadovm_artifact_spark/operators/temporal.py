@@ -9,7 +9,8 @@ Spark-first shape — the tagged-union analytic scan, not a per-row
 lookup: version rows and probe rows union into one stream, shuffle ONCE
 on the join key, sort within partitions by (time, version-first), and
 every probe row picks up the running ``last(..., ignorenulls=True)`` of
-each versioned attribute. Cost is one shuffle + one partition sort
+the version row carried as ONE struct (so NULL attributes inside the
+winning version survive). Cost is one shuffle + one partition sort
 regardless of how many probe rows share a key — at 100 TB this is the
 plan an interval/point-in-time join needs (a correlated per-row lookup
 or a range join would be quadratic in hot keys). Probe rows before the
@@ -43,11 +44,26 @@ def temporal_join(
 
     Output: every surviving probe row with ``version_cols`` appended.
     """
-    p = probe.withColumn("_tj_v", F.lit(0)).withColumn(
-        "_tj_tb", F.lit(None).cast("long")
+    # The winning version rides as ONE struct, so a NULL in a versioned
+    # attribute stays NULL — per-column ignorenulls fills would reach
+    # back to an OLDER version for just that column, silently mixing two
+    # versions into one output row.
+    v_struct = F.struct(*[F.col(c) for c in version_cols])
+    p = (
+        probe.withColumn("_tj_v", F.lit(0))
+        .withColumn("_tj_tb", F.lit(None).cast("long"))
+        .withColumn(
+            "_tj_row",
+            F.lit(None).cast(
+                "struct<"
+                + ",".join(
+                    f"{c}:{versions.schema[c].dataType.simpleString()}"
+                    for c in version_cols
+                )
+                + ">"
+            ),
+        )
     )
-    for c in version_cols:
-        p = p.withColumn(c, F.lit(None).cast(versions.schema[c].dataType))
     v = versions.select(
         F.col(on),
         F.col(version_time).alias(probe_time),
@@ -55,19 +71,17 @@ def temporal_join(
         (
             F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
         ).alias("_tj_tb"),
-        *[F.col(c) for c in version_cols],
+        v_struct.alias("_tj_row"),
     )
     probe_cols = [c for c in probe.columns]
     u = p.select(
-        on, probe_time, "_tj_v", "_tj_tb",
+        on, probe_time, "_tj_v", "_tj_tb", "_tj_row",
         *[c for c in probe_cols if c not in (on, probe_time)],
-        *version_cols,
     ).unionByName(
         v.select(
-            on, probe_time, "_tj_v", "_tj_tb",
+            on, probe_time, "_tj_v", "_tj_tb", "_tj_row",
             *[F.lit(None).cast(p.schema[c].dataType).alias(c)
               for c in probe_cols if c not in (on, probe_time)],
-            *version_cols,
         )
     )
     # versions first at equal time (_tj_v DESC), then tiebreak order so
@@ -78,14 +92,15 @@ def temporal_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.withColumn(
-        "_tj_has",
-        F.last(F.when(F.col("_tj_v") == 1, F.lit(1)), ignorenulls=True).over(scan),
+        "_tj_cur",
+        F.last(F.when(F.col("_tj_v") == 1, F.col("_tj_row")), ignorenulls=True).over(
+            scan
+        ),
     )
-    for c in version_cols:
-        filled = filled.withColumn(
-            c, F.last(F.when(F.col("_tj_v") == 1, F.col(c)), ignorenulls=True).over(scan)
-        )
     return (
-        filled.filter((F.col("_tj_v") == 0) & F.col("_tj_has").isNotNull())
-        .select(*probe_cols, *version_cols)
+        filled.filter((F.col("_tj_v") == 0) & F.col("_tj_cur").isNotNull())
+        .select(
+            *probe_cols,
+            *[F.col(f"_tj_cur.{c}").alias(c) for c in version_cols],
+        )
     )

@@ -74,6 +74,16 @@ _UND_SQL = """und AS MATERIALIZED (
   SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e
 )"""
 
+#: The id-ordered triangle enumeration over the canonical edges — ONE
+#: copy shared by every oracle that lists or counts triangles, so a
+#: canonicalization change cannot silently drift between them.
+_TRI_SQL = """tri AS MATERIALIZED (
+  SELECT e1.u AS v1, e1.v AS v2, e2.v AS v3
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)"""
+
 
 def _social_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed edge list whose undirected simple closure is the
@@ -115,11 +125,9 @@ _register(
     # degree-oriented Spark plan produces, each triangle once as
     # v1 < v2 < v3.
     f"""
-WITH {_E_SQL}
-SELECT e1.u AS v1, e1.v AS v2, e2.v AS v3
-FROM e e1
-JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+WITH {_E_SQL},
+{_TRI_SQL}
+SELECT v1, v2, v3 FROM tri
 """,
 )
 
@@ -301,12 +309,7 @@ _register(
 WITH {_E_SQL},
 {_UND_SQL},
 {_DEG_SQL},
-tri AS (
-  SELECT e1.u AS v1, e1.v AS v2, e2.v AS v3
-  FROM e e1
-  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
-),
+{_TRI_SQL},
 tpv AS (
   SELECT vertex, COUNT(*) AS tri_count FROM (
     SELECT v1 AS vertex FROM tri
@@ -340,16 +343,11 @@ _register(
 WITH {_E_SQL},
 {_UND_SQL},
 {_DEG_SQL},
-tri AS (
-  SELECT COUNT(*) AS triangle_count FROM (
-    SELECT 1 FROM e e1
-    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
-  )
-)
+{_TRI_SQL},
+tcount AS (SELECT COUNT(*) AS triangle_count FROM tri)
 SELECT CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS triplet_count,
-       (SELECT triangle_count FROM tri) AS triangle_count,
-       3.0 * (SELECT triangle_count FROM tri)
+       (SELECT triangle_count FROM tcount) AS triangle_count,
+       3.0 * (SELECT triangle_count FROM tcount)
          / (SELECT SUM(d * (d - 1) / 2) FROM deg) AS gcc
 """,
 )
@@ -573,19 +571,14 @@ _register(
 WITH {_E_SQL},
 {_UND_SQL},
 {_DEG_SQL},
+{_TRI_SQL},
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(d) / 2 AS BIGINT) AS m,
          CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS w
   FROM deg
 ),
-t AS (
-  SELECT COUNT(*) AS t FROM (
-    SELECT 1 FROM e e1
-    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
-  )
-)
+t AS (SELECT COUNT(*) AS t FROM tri)
 SELECT CAST(n * (n - 1) * (n - 2) / 6
             - (m.m * (n - 2) - 2 * (w - 3 * t.t) - 3 * t.t)
             - (w - 3 * t.t) - t.t AS BIGINT) AS triads_03,

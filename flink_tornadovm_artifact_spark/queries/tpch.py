@@ -568,17 +568,25 @@ GROUP BY n_name, YEAR(o_orderdate)
 # suppkey); the per-part MIN reuses rows already reduced to one per
 # (part, supplier); nation/region broadcast; everything else unhinted.
 # ---------------------------------------------------------------------------
+def _euro_nations(spark: SparkSession, sf_dir: str, *cols: str):
+    """Nations of the EUROPE region (bounded: at most 25 nations/5
+    regions, so the broadcast is always legal) — shared by the Q2/Q20/
+    Q21 shapes so the region predicate and hint policy live in ONE
+    place."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(*(cols or ("n_nationkey",)))
+
+
 def q53_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supply = li.groupBy(
         F.col("l_partkey").alias("partkey"),
         F.col("l_suppkey").alias("suppkey"),
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    nation = load(spark, sf_dir, "nation")
-    euro_nations = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey", "n_name")
+    euro_nations = _euro_nations(spark, sf_dir, "n_nationkey", "n_name")
     supp = load(spark, sf_dir, "supplier").join(
         F.broadcast(euro_nations),
         F.col("s_nationkey") == F.col("n_nationkey"),
@@ -674,11 +682,7 @@ def q54_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("suppkey")
         .distinct()
     )
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    nation = load(spark, sf_dir, "nation")
-    euro_nations = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey")
+    euro_nations = _euro_nations(spark, sf_dir)
     return (
         load(spark, sf_dir, "supplier")
         .join(
@@ -755,11 +759,7 @@ def q55_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    nation = load(spark, sf_dir, "nation")
-    euro_nations = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey")
+    euro_nations = _euro_nations(spark, sf_dir)
     return (
         load(spark, sf_dir, "supplier")
         .join(

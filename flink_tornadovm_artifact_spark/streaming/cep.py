@@ -47,7 +47,7 @@ def cep_followed_by_stream(
     """Emit one row per completed (A, first B) match: ``user_id,
     a_event_id, a_ts, b_ts``. ``events`` needs columns event_id, user_id,
     ts, event_type."""
-    within_ms = _interval_ms(within)
+    within_us = _interval_ms(within) * 1000
 
     def run(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -64,20 +64,23 @@ def cep_followed_by_stream(
         rows = pd.concat(chunks, ignore_index=True) if chunks else None
         if rows is not None:
             rows = rows.sort_values(["ts", "event_id"])
-            ts_ms = rows["ts"].astype("int64") // 1_000_000
+            # full µs precision: the batch twin compares at µs, and a
+            # ms truncation would accept pairs sitting within 1 ms past
+            # the within() bound
+            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ in zip(
-                rows["event_id"], ts_ms, rows["event_type"]
+                rows["event_id"], ts_us, rows["event_type"]
             ):
                 t = int(t)
                 max_ts = max(max_ts, t)
                 if typ == a_type:
                     pending.append((int(eid), t))
                 elif typ == b_type:
-                    matched = [p for p in pending if p[1] + within_ms >= t]
+                    matched = [p for p in pending if p[1] + within_us >= t]
                     out.extend((aid, ats, t) for aid, ats in matched)
-                    pending = [p for p in pending if p[1] + within_ms < t]
+                    pending = [p for p in pending if p[1] + within_us < t]
             # prune partial matches that can no longer complete in order
-            pending = [p for p in pending if p[1] + within_ms >= max_ts]
+            pending = [p for p in pending if p[1] + within_us >= max_ts]
         state.update(
             (
                 [p[0] for p in pending],
@@ -86,18 +89,19 @@ def cep_followed_by_stream(
             )
         )
         # state lives while the key can still complete a match; the
-        # watermark passing the last deadline cleans it up
-        state.setTimeoutTimestamp(max_ts + within_ms)
+        # watermark passing the last deadline cleans it up (timeout API
+        # is ms-based — cleanup precision is irrelevant)
+        state.setTimeoutTimestamp((max_ts + within_us) // 1000 + 1)
         if out:
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(out),
                     "a_event_id": [o[0] for o in out],
                     "a_ts": pd.to_datetime(
-                        [o[1] for o in out], unit="ms"
+                        [o[1] for o in out], unit="us"
                     ),
                     "b_ts": pd.to_datetime(
-                        [o[2] for o in out], unit="ms"
+                        [o[2] for o in out], unit="us"
                     ),
                 }
             )
@@ -113,7 +117,7 @@ def cep_followed_by_stream(
             "user_id long, a_event_id long, a_ts timestamp, b_ts timestamp"
         ),
         stateStructType=(
-            "a_ids array<long>, a_ts_ms array<long>, max_ts long"
+            "a_ids array<long>, a_ts_us array<long>, max_ts long"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
@@ -138,7 +142,7 @@ def cep_times_stream(
     State per key is bounded by the As inside one T span; cleanup uses
     the same deadline timeout as ``cep_followed_by_stream``.
     """
-    within_ms = _interval_ms(within)
+    within_us = _interval_ms(within) * 1000
 
     def run(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -155,22 +159,29 @@ def cep_times_stream(
         rows = pd.concat(chunks, ignore_index=True) if chunks else None
         if rows is not None:
             rows = rows.sort_values(["ts", "event_id"])
-            ts_ms = rows["ts"].astype("int64") // 1_000_000
-            for eid, t in zip(rows["event_id"], ts_ms):
+            ts_us = rows["ts"].astype("int64") // 1_000
+            # process same-timestamp events as ONE group: the batch
+            # RANGE frame is value-defined, so every peer at time t sees
+            # ALL peers at t in its frame — counting one-by-one would
+            # give the earlier peers a smaller count
+            for t, grp in rows.assign(_t=ts_us.values).groupby("_t", sort=True):
                 t = int(t)
                 max_ts = max(max_ts, t)
-                window = [w for w in window if w >= t - within_ms]
-                window.append(t)
+                window = [w for w in window if w >= t - within_us]
+                window.extend([t] * len(grp))
                 if len(window) >= n:
-                    out.append((int(eid), t, len(window)))
+                    out.extend(
+                        (int(eid), t, len(window))
+                        for eid in grp["event_id"]
+                    )
         state.update((window, max_ts))
-        state.setTimeoutTimestamp(max_ts + within_ms)
+        state.setTimeoutTimestamp((max_ts + within_us) // 1000 + 1)
         if out:
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(out),
                     "a_event_id": [o[0] for o in out],
-                    "a_ts": pd.to_datetime([o[1] for o in out], unit="ms"),
+                    "a_ts": pd.to_datetime([o[1] for o in out], unit="us"),
                     "n_in_window": [o[2] for o in out],
                 }
             )
@@ -185,7 +196,7 @@ def cep_times_stream(
         outputStructType=(
             "user_id long, a_event_id long, a_ts timestamp, n_in_window long"
         ),
-        stateStructType="win_ts_ms array<long>, max_ts long",
+        stateStructType="win_ts_us array<long>, max_ts long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -466,15 +466,23 @@ class ExternalQueryableState:
     survive a restart of the reading session (the round-2 verdict's
     scale gap for per-document state at 100 TB).
 
-    Upsert layout: append-only delta files stamped with the micro-batch
-    epoch; "current value of key" = the row with the highest epoch for
-    that key. Appends keep the hot path write-only (no
-    read-modify-write per trigger — the same reason Flink's RocksDB
-    state backend is LSM-shaped); readers resolve latest-per-key with
-    one window rank, and ``compact()`` folds the log back to one row per
-    key when deltas accumulate. On a production cluster the same
-    foreachBatch body targets a table format with native upsert
-    (Delta/Iceberg MERGE) — only ``on_batch`` changes.
+    Upsert layout: append-only delta files stamped with a wall-clock
+    COMMIT SEQUENCE (``__epoch``, µs); "current value of key" = the row
+    with the highest stamp for that key. The stamp is deliberately NOT
+    the micro-batch epoch_id: epoch ids restart at 0 for every fresh
+    checkpoint, so a re-attached stream's first batches would lose
+    against older rows — the wall clock totally orders commits across
+    writer generations and across ``compact()`` (single-writer
+    discipline is already required). A checkpoint-replayed batch
+    re-appends its rows with a later stamp; values for a key are
+    identical on replay, so latest-per-key stays correct. Appends keep
+    the hot path write-only (no read-modify-write per trigger — the
+    same reason Flink's RocksDB state backend is LSM-shaped); readers
+    resolve latest-per-key with one window rank, and ``compact()`` folds
+    the log back to one row per key when deltas accumulate. On a
+    production cluster the same foreachBatch body targets a table format
+    with native upsert (Delta/Iceberg MERGE) — only ``on_batch``
+    changes.
     """
 
     def __init__(self, key_col: str, path: str):
@@ -482,8 +490,10 @@ class ExternalQueryableState:
         self._path = path
 
     def on_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import time
+
         (
-            batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            batch_df.withColumn("__epoch", F.lit(time.time_ns() // 1_000))
             .write.mode("append")
             .parquet(self._path)
         )
@@ -497,9 +507,8 @@ class ExternalQueryableState:
             .start()
         )
 
-    def snapshot_df(self, spark) -> DataFrame:
-        """Latest row per key, as a DataFrame (any session — including a
-        fresh one after the writing process is gone)."""
+    def _latest(self, spark) -> DataFrame:
+        """Latest row per key with the commit stamp retained."""
         from pyspark.sql import Window as W
 
         log = spark.read.parquet(self._path)
@@ -507,8 +516,13 @@ class ExternalQueryableState:
         return (
             log.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__epoch")
+            .drop("__rn")
         )
+
+    def snapshot_df(self, spark) -> DataFrame:
+        """Latest row per key, as a DataFrame (any session — including a
+        fresh one after the writing process is gone)."""
+        return self._latest(spark).drop("__epoch")
 
     def get(self, spark, key):
         """Point lookup. The key predicate reaches the parquet scan
@@ -534,7 +548,9 @@ class ExternalQueryableState:
         import uuid
 
         tmp = f"{self._path}__compact_{uuid.uuid4().hex}"
-        snap = self.snapshot_df(spark).withColumn("__epoch", F.lit(0))
+        # keep each survivor's original commit stamp: compaction must not
+        # reorder the log against writers that attach later
+        snap = self._latest(spark)
         snap.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self._path)
         shutil.move(tmp, self._path)

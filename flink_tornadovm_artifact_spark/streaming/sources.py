@@ -44,13 +44,21 @@ def events_file_stream(
     The testdata generator has shipped ``ts`` both as parquet
     TIMESTAMP(NANOS) (readable only as raw int64 via ``nanosAsLong``)
     and as TIMESTAMP(MICROS) (native TimestampType). readStream needs
-    the schema up front, so probe the directory with a one-file batch
-    read — exactly the dtype guard tables.load applies — and branch:
-    int64 nanos ride as long and are truncated to micros; native
-    timestamps pass through.
+    the schema up front, so probe the directory with a batch read —
+    the same dtype guard tables.load applies — and branch: int64 nanos
+    ride as long and are truncated to micros; native timestamps pass
+    through. An EMPTY monitoring directory (the file-monitor use case:
+    start watching before any producer writes) cannot be probed; it
+    defaults to the native-timestamp schema the current generator
+    emits.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_long = dict(spark.read.parquet(directory).dtypes).get("ts") == "bigint"
+    try:
+        ts_is_long = (
+            dict(spark.read.parquet(directory).dtypes).get("ts") == "bigint"
+        )
+    except Exception:  # empty or not-yet-existing directory
+        ts_is_long = False
     reader = spark.readStream.schema(
         _events_schema(T.LongType() if ts_is_long else T.TimestampType())
     )

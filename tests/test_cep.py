@@ -246,3 +246,38 @@ def test_cep_times_stream_matches_batch(spark, tmp_path):
         == want
         == [(1, 4, 3), (1, 5, 4)]
     )
+
+
+def test_cep_times_stream_equal_timestamp_peers(spark, tmp_path):
+    """Batch RANGE frames are value-defined: two clicks at the SAME
+    timestamp are in each other's frame, so with n=3 a pair at t plus
+    one earlier click fires BOTH peers with n_in_window=3. The stream
+    twin must process tie groups atomically to agree."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_times
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_times_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "click"),
+        (2, 1, 60, "click"),   # same minute as event 3
+        (3, 1, 60, "click"),
+    ]
+    d = tmp_path / "cep_ties"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.a_event_id, r.n_in_window)
+        for r in cep_times(spark, str(d)).collect()
+    )
+    assert want == [(1, 2, 3), (1, 3, 3)]  # both peers fire, same count
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string"
+    ).parquet(str(d))
+    got = memory_sink_run(cep_times_stream(stream), "cep_ties_out")
+    assert (
+        sorted((r.user_id, r.a_event_id, r.n_in_window) for r in got.collect())
+        == want
+    )

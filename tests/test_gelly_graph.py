@@ -126,3 +126,24 @@ def test_run_library_algorithm(spark):
     g = _graph(spark)
     got = {r.vertex: r.component for r in g.run(connected_components).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_run_weighted_algorithm_sees_edge_values(spark):
+    """run() must hand the algorithm the FULL edge list so weighted
+    library algorithms (sssp reads `weight`) work through the facade."""
+    from flink_tornadovm_artifact_spark.functions.graph import sssp
+
+    g = Graph(
+        spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "id long, value long"),
+        spark.createDataFrame(
+            [(1, 2, 5), (2, 3, 7), (1, 3, 20)], "src long, dst long, value long"
+        ),
+    )
+    got = {
+        r.vertex: r.distance
+        for r in g.run(
+            lambda e, **kw: sssp(e.withColumnRenamed("value", "weight"), **kw),
+            source=1,
+        ).collect()
+    }
+    assert got == {1: 0, 2: 5, 3: 12}

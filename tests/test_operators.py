@@ -350,3 +350,27 @@ def test_parameter_tool_properties_and_merge(tmp_path):
     assert merged.get_int("retries") == 9     # other side wins
     assert merged.get("input") == "/p/in"
     assert merged.to_map()["retries"] == "9"
+
+
+def test_temporal_join_null_version_attribute_stays_null(spark):
+    """A NULL attribute in the winning version must surface as NULL —
+    not inherit the previous version's value (the whole version row is
+    picked atomically, as DuckDB's native ASOF JOIN does)."""
+    from flink_tornadovm_artifact_spark.operators.temporal import (
+        temporal_join,
+    )
+
+    versions = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, None)], "k long, vts long, val long"
+    )
+    probe = spark.createDataFrame(
+        [(1, 15, 900), (1, 25, 901)], "k long, pts long, pid long"
+    )
+    got = {
+        r.pid: r.val
+        for r in temporal_join(
+            probe, versions, on="k", probe_time="pts",
+            version_time="vts", version_cols=["val"],
+        ).collect()
+    }
+    assert got == {900: 100, 901: None}

@@ -424,3 +424,14 @@ def test_read_keyed_state_from_checkpoint(spark, tmp_path):
         for r in read_keyed_state(spark, ckpt, batch_id=0).collect()
     }
     assert first == {1: (2, 3.0), 2: (1, 10.0)}
+
+
+def test_events_file_stream_starts_on_empty_directory(spark, tmp_path):
+    """The file-monitor source must start watching an EMPTY landing
+    directory (files appear later) — the schema probe cannot require an
+    existing file."""
+    d = tmp_path / "empty_landing"
+    d.mkdir()
+    stream = events_file_stream(spark, str(d))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"].startswith("timestamp")

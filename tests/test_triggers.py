@@ -348,3 +348,25 @@ def test_external_queryable_state_survives_session_restart(spark, tmp_path):
     eqs.compact(reader)
     for k, v in expected.items():
         assert eqs.get(reader, k) == v
+
+
+def test_external_queryable_state_survives_compaction_and_reattach(
+    spark, tmp_path
+):
+    """Round-3 review finding: epoch_id restarts at 0 for every fresh
+    checkpoint, so ordering by micro-batch epoch makes a re-attached
+    stream's first write lose to compacted (or merely older) rows. The
+    wall-clock commit stamp must totally order: old write → compact →
+    new writer generation with epoch_id=0 → the NEW value wins."""
+    from flink_tornadovm_artifact_spark.streaming import (
+        ExternalQueryableState,
+    )
+
+    st = ExternalQueryableState("k", str(tmp_path / "eqs"))
+    st.on_batch(spark.createDataFrame([(1, 10)], "k long, v long"), epoch_id=7)
+    st.compact(spark)
+    # a new writer generation starts over at epoch_id=0
+    st.on_batch(spark.createDataFrame([(1, 20)], "k long, v long"), epoch_id=0)
+    assert st.get(spark, 1) == {"v": 20}
+    st.compact(spark)
+    assert st.get(spark, 1) == {"v": 20}
