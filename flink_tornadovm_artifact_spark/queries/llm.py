@@ -1032,3 +1032,62 @@ SELECT doc_id,
 FROM h
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing any word
+# 3-shingle with a benchmark/eval set — the training-pipeline step that
+# keeps test data out of the training corpus. The benchmark here is the
+# deterministic doc_id % 23 == 0 subset standing in for an eval suite.
+#
+# Scale shape: a benchmark is SMALL by definition (eval suites, not
+# corpora), so its distinct-shingle set broadcasts; the corpus side is
+# one explode + broadcast-hash semi-ish join + per-doc count — a single
+# scan of the corpus, no shuffle of the exploded shingles on a join
+# key. Output: (doc_id, n_contaminated_shingles) per flagged doc; the
+# caller thresholds or anti-joins to drop.
+# ---------------------------------------------------------------------------
+_DECON_MOD = 23
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sset")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode("sset").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id", F.explode("sset").alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+_register(
+    text_decontaminate,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled AS (
+  SELECT doc_id,
+         list_transform(range(0, len(t) - 2),
+                        i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, UNNEST(list_distinct(shingles)) AS s FROM shingled
+), bench AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % {_DECON_MOD} = 0
+)
+SELECT e.doc_id, COUNT(*) AS n_contaminated_shingles
+FROM ex e JOIN bench b ON e.s = b.s
+WHERE e.doc_id % {_DECON_MOD} <> 0
+GROUP BY e.doc_id
+""",
+)
