@@ -25,10 +25,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Iteration order is deliberate: the first 50 entries are the
-    PRIORITY_WINDOW (pkg/queries/__init__.py) — the declared set
-    q01-q22, the LLM-pipeline operators, and the procedural kernels —
-    because the verification driver oracle-checks the registry in order.
-    Every window entry has an oracle_sql() entry."""
+    PRIORITY_WINDOW (pkg/queries/__init__.py) — declared-set core,
+    LLM-pipeline operators, procedural kernels, the CEP pattern family
+    and the Gelly graph family — because the verification driver
+    oracle-checks the registry in order. Every window entry has an
+    oracle_sql() entry; overflow queries (see the window docstring) are
+    oracle-checked by pytest at the same SF."""
     return dict(QUERIES)
 
 

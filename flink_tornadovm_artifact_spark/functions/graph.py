@@ -739,3 +739,63 @@ def triadic_census(edges: DataFrame) -> DataFrame:
         t21.cast("long").alias("triads_21"),
         t30.cast("long").alias("triads_30"),
     )
+
+
+def vertex_metrics_directed(edges: DataFrame) -> DataFrame:
+    """Directed vertex metrics (``flink-gelly/.../library/metric/
+    directed/VertexMetrics.java``): on the simple directed graph
+    (duplicate edges merged, self-loops dropped), per vertex let
+    degree = distinct neighbors in either direction, out/in = out-/
+    in-neighbor counts, bidirectional = out + in − degree (neighbors
+    connected both ways). One row with the reference's accumulator set:
+    vertex count, unidirectional/bidirectional edge-pair counts (the
+    per-endpoint sums halved, as in the reference), Σ C(degree, 2)
+    triplets, and the degree/out/in/triplet maxima.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    out_d = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("outd")
+    )
+    in_d = e.groupBy(F.col("dst").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    deg = (
+        e.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
+        .unionAll(
+            e.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    per_v = (
+        deg.join(out_d, "vertex", "left")
+        .join(in_d, "vertex", "left")
+        .select(
+            "vertex",
+            "deg",
+            F.coalesce("outd", F.lit(0)).alias("outd"),
+            F.coalesce("ind", F.lit(0)).alias("ind"),
+        )
+        .withColumn("bidi", F.col("outd") + F.col("ind") - F.col("deg"))
+    )
+    trip = (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+    out = per_v.agg(
+        F.count(F.lit(1)).alias("vertex_count"),
+        (F.sum(F.col("deg") - F.col("bidi")) / 2).cast("long").alias(
+            "unidirectional_edge_count"
+        ),
+        (F.sum("bidi") / 2).cast("long").alias("bidirectional_edge_count"),
+        F.sum(trip).alias("triplet_count"),
+        F.max("deg").alias("maximum_degree"),
+        F.max("outd").alias("maximum_out_degree"),
+        F.max("ind").alias("maximum_in_degree"),
+        F.max(trip).alias("maximum_triplets"),
+    )
+    e.unpersist()
+    return out

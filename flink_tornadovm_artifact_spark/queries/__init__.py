@@ -47,9 +47,11 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: four q21 variants).
 #:
 #: Window OVERFLOW (round 3 added 19 oracle-backed queries for 17 freed
-#: slots): community_detection_labels, local/global clustering, graph_
-#: summarization, vertex_metrics_q, zip_with_index/unique_id/sample
-#: contracts, and temporal_join_events registered OUTSIDE the window —
+#: slots): community_detection_labels, local/global/average clustering,
+#: triadic_census_q, graph_summarization, vertex_metrics_q,
+#: edge_metrics_q, zip_with_index/unique_id/sample contracts,
+#: temporal_join_events, and text_decontaminate registered OUTSIDE the
+#: window —
 #: every one still runs the identical DuckDB differential at sf0.01 in
 #: pytest (test_queries_oracle.py); they rotate in next round as
 #: longer-green entries free slots.

@@ -16,7 +16,8 @@
 - ``graph_summarization``  — Summarization.java (vertex groups +
   super-edges)
 - ``vertex_metrics_q`` / ``edge_metrics_q`` — metric/undirected/
-  {Vertex,Edge}Metrics.java
+  {Vertex,Edge}Metrics.java; ``vertex_metrics_directed_q`` —
+  metric/directed/VertexMetrics.java
 - ``community_detection_labels`` — CommunityDetection.java
   (score-attenuated label propagation, Leung et al.)
 
@@ -587,5 +588,50 @@ SELECT CAST(n * (n - 1) * (n - 2) / 6
        CAST(w - 3 * t.t AS BIGINT) AS triads_21,
        CAST(t.t AS BIGINT) AS triads_30
 FROM m, t
+""",
+)
+
+
+def vertex_metrics_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed vertex metrics of the (directed) social edge list
+    (metric/directed/VertexMetrics.java)."""
+    from ..functions.graph import vertex_metrics_directed
+
+    return vertex_metrics_directed(_social_edges(spark, sf_dir))
+
+
+_register(
+    vertex_metrics_directed_q,
+    """
+WITH de AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 997 AS s, o_orderkey % 997 AS d
+  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997
+),
+outs AS (SELECT s AS vertex, COUNT(*) AS outd FROM de GROUP BY s),
+ins AS (SELECT d AS vertex, COUNT(*) AS ind FROM de GROUP BY d),
+degs AS (
+  SELECT vertex, COUNT(*) AS deg FROM (
+    SELECT DISTINCT s AS vertex, d AS nbr FROM de
+    UNION SELECT d, s FROM de
+  ) GROUP BY vertex
+),
+pv AS (
+  SELECT degs.vertex, deg,
+         COALESCE(outs.outd, 0) AS outd,
+         COALESCE(ins.ind, 0) AS ind,
+         COALESCE(outs.outd, 0) + COALESCE(ins.ind, 0) - deg AS bidi
+  FROM degs
+  LEFT JOIN outs ON degs.vertex = outs.vertex
+  LEFT JOIN ins ON degs.vertex = ins.vertex
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+       CAST(SUM(deg - bidi) / 2 AS BIGINT) AS unidirectional_edge_count,
+       CAST(SUM(bidi) / 2 AS BIGINT) AS bidirectional_edge_count,
+       CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS triplet_count,
+       CAST(MAX(deg) AS BIGINT) AS maximum_degree,
+       CAST(MAX(outd) AS BIGINT) AS maximum_out_degree,
+       CAST(MAX(ind) AS BIGINT) AS maximum_in_degree,
+       CAST(MAX(deg * (deg - 1) / 2) AS BIGINT) AS maximum_triplets
+FROM pv
 """,
 )
