@@ -207,3 +207,78 @@ def test_community_detection_tie_breaks_to_lowest_label(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 9: 1}
+
+
+def test_metrics_and_census_hand_computed(spark):
+    """K4 on {0,1,2,3} plus pendant 9-3: degrees (3,3,3,4,1), 7 edges,
+    4 triangles. Hand-checked: triplets = 3+3+3+6+0 = 15; GCC = 12/15;
+    LCC(3) = 3/C(4,2) = 0.5; census over C(5,3)=10 triples — 4
+    triangles, 21-class = 15-12 = 3, 12-class = 7·3 − 2·3 − 3·4 = 3,
+    empty = 0."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        clustering_coefficients,
+        global_clustering_coefficient,
+        triadic_census,
+        vertex_metrics,
+    )
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)]
+    df = _edges_df(spark, edges)
+
+    vm = vertex_metrics(df).collect()[0]
+    assert (vm.vertex_count, vm.edge_count, vm.triplet_count) == (5, 7, 15)
+    assert (vm.maximum_degree, vm.maximum_triplets) == (4, 6)
+
+    gcc = global_clustering_coefficient(df).collect()[0]
+    assert (gcc.triplet_count, gcc.triangle_count) == (15, 4)
+    assert abs(gcc.gcc - 12 / 15) < 1e-12
+
+    lcc = {r.vertex: r.lcc for r in clustering_coefficients(df).collect()}
+    assert lcc[9] == 0.0          # degree-1 vertex scores 0
+    assert abs(lcc[3] - 0.5) < 1e-12
+    assert lcc[0] == 1.0          # all of 0's neighbor pairs are linked
+
+    census = triadic_census(df).collect()[0]
+    assert (
+        census.triads_03,
+        census.triads_12,
+        census.triads_21,
+        census.triads_30,
+    ) == (0, 3, 3, 4)
+
+
+def test_summarization_hand_computed(spark):
+    """Vertices {1,2,3,4} grouped by parity: groups {1,3} (rep 1) and
+    {2,4} (rep 2). Directed edges 1→2, 3→2, 3→4, 1→3 condense to
+    odd→even ×3 and odd→odd ×1."""
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.functions.graph import summarize
+
+    edges = _edges_df(spark, [(1, 2), (3, 2), (3, 4), (1, 3)])
+    got = {
+        (r.src_group, r.dst_group): (r.src_rep, r.dst_rep, r.edge_count)
+        for r in summarize(edges, vertex_label=F.col("vertex") % 2).collect()
+    }
+    assert got == {(1, 0): (1, 2, 3), (1, 1): (1, 1, 1)}
+
+
+def test_vertex_metrics_directed_hand_computed(spark):
+    """Edges 1→2, 2→1 (one bidirectional pair), 1→3, 3→4: degrees
+    (1:{2,3}, 2:{1}, 3:{1,4}, 4:{3}); unidirectional pairs = 2;
+    triplets = 1+0+1+0 = 2; max out = 2 (vertex 1), max in = 1."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        vertex_metrics_directed,
+    )
+
+    df = _edges_df(spark, [(1, 2), (2, 1), (1, 3), (3, 4)])
+    r = vertex_metrics_directed(df).collect()[0]
+    assert (
+        r.vertex_count,
+        r.unidirectional_edge_count,
+        r.bidirectional_edge_count,
+        r.triplet_count,
+    ) == (4, 2, 1, 2)
+    assert (r.maximum_degree, r.maximum_out_degree, r.maximum_in_degree) == (
+        2, 2, 1,
+    )
