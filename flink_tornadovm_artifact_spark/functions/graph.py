@@ -799,3 +799,59 @@ def vertex_metrics_directed(edges: DataFrame) -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+def triangle_listing_directed(edges: DataFrame) -> DataFrame:
+    """Directed triangle listing (``flink-gelly/.../library/clustering/
+    directed/TriangleListing.java``): every triangle of the underlying
+    undirected simple graph, annotated with a 6-bit mask recording
+    which of the six possible directed edges exist — 2 bits per vertex
+    pair using the reference's EdgeOrder encoding (``EdgeOrder.java``:
+    FORWARD = 0b10 low→high, REVERSE = 0b01 high→low, MUTUAL = 0b11).
+
+    Output: (v1, v2, v3, bitmask) with v1 < v2 < v3 and bit layout
+    (v1,v2) << 4 | (v1,v3) << 2 | (v2,v3). The reference emits the same
+    mask with its vertices projected in degree order; id order is a
+    deterministic canonicalization of identical information (same
+    triangle set, same per-pair direction bits).
+
+    Plan: the undirected enumeration (degree-oriented, apex-bounded)
+    plus three equi-joins against the per-pair direction summary — each
+    a broadcast/hash join on a pair key, no extra wedge work.
+    """
+    pm = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.when(F.col("src") < F.col("dst"), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("bit"),
+        )
+        .groupBy("a", "b")
+        .agg(F.bit_or("bit").alias("m"))
+    )
+    tri = triangles(edges)
+
+    def _pair(x: str, y: str, alias: str) -> DataFrame:
+        return pm.select(
+            F.col("a").alias(x), F.col("b").alias(y), F.col("m").alias(alias)
+        )
+
+    return (
+        tri.join(_pair("v1", "v2", "m12"), ["v1", "v2"])
+        .join(_pair("v1", "v3", "m13"), ["v1", "v3"])
+        .join(_pair("v2", "v3", "m23"), ["v2", "v3"])
+        .select(
+            "v1",
+            "v2",
+            "v3",
+            (
+                F.shiftleft("m12", 4)
+                + F.shiftleft("m13", 2)
+                + F.col("m23")
+            ).alias("bitmask"),
+        )
+    )

@@ -12,7 +12,9 @@
 - ``local_clustering_coefficient`` / ``global_clustering_coefficient_q``
   / ``average_clustering_coefficient_q`` / ``triadic_census_q`` —
   clustering/undirected/{Local,Global,Average}ClusteringCoefficient.java
-  and TriadicCensus.java (TriangleListing.java ≡ ``triangle_enum``)
+  and TriadicCensus.java (TriangleListing.java ≡ ``triangle_enum``);
+  ``triangle_listing_directed_q`` — clustering/directed/
+  TriangleListing.java (EdgeOrder bitmasks)
 - ``graph_summarization``  — Summarization.java (vertex groups +
   super-edges)
 - ``vertex_metrics_q`` / ``edge_metrics_q`` — metric/undirected/
@@ -633,5 +635,37 @@ SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
        CAST(MAX(ind) AS BIGINT) AS maximum_in_degree,
        CAST(MAX(deg * (deg - 1) / 2) AS BIGINT) AS maximum_triplets
 FROM pv
+""",
+)
+
+
+def triangle_listing_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triangle listing with EdgeOrder bitmasks
+    (clustering/directed/TriangleListing.java)."""
+    from ..functions.graph import triangle_listing_directed
+
+    return triangle_listing_directed(_social_edges(spark, sf_dir))
+
+
+_register(
+    triangle_listing_directed_q,
+    f"""
+WITH de AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 997 AS s, o_orderkey % 997 AS d
+  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997
+),
+pm AS MATERIALIZED (
+  SELECT LEAST(s, d) AS a, GREATEST(s, d) AS b,
+         BIT_OR(CASE WHEN s < d THEN 2 ELSE 1 END) AS m
+  FROM de GROUP BY 1, 2
+),
+{_E_SQL},
+{_TRI_SQL}
+SELECT t.v1, t.v2, t.v3,
+       p12.m * 16 + p13.m * 4 + p23.m AS bitmask
+FROM tri t
+JOIN pm p12 ON t.v1 = p12.a AND t.v2 = p12.b
+JOIN pm p13 ON t.v1 = p13.a AND t.v3 = p13.b
+JOIN pm p23 ON t.v2 = p23.a AND t.v3 = p23.b
 """,
 )

@@ -282,3 +282,18 @@ def test_vertex_metrics_directed_hand_computed(spark):
     assert (r.maximum_degree, r.maximum_out_degree, r.maximum_in_degree) == (
         2, 2, 1,
     )
+
+
+def test_triangle_listing_directed_bitmask(spark):
+    """EdgeOrder encoding on the sorted pairs: triangle {1,2,3} with
+    1→2 (forward=0b10), 3→1 (reverse on pair (1,3)=0b01), and BOTH
+    2→3 and 3→2 (mutual=0b11) → mask 0b10_01_11 = 0x27 = 39."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        triangle_listing_directed,
+    )
+
+    df = _edges_df(spark, [(1, 2), (3, 1), (2, 3), (3, 2)])
+    rows = triangle_listing_directed(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.v1, r.v2, r.v3, r.bitmask) == (1, 2, 3, 0b100111)
