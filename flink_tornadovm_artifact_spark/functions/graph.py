@@ -855,3 +855,55 @@ def triangle_listing_directed(edges: DataFrame) -> DataFrame:
             ).alias("bitmask"),
         )
     )
+
+
+def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
+    """Directed per-vertex clustering (``flink-gelly/.../library/
+    clustering/directed/LocalClusteringCoefficient.java``): for each
+    vertex, the number of DIRECTED edges among its distinct neighbors —
+    from the directed triangle listing, each triangle credits a vertex
+    1, or 2 when the pair opposite it is MUTUAL (the reference's
+    SplitTriangles two/one emission) — scored against the
+    deg·(deg−1) ordered neighbor pairs. Returns
+    (vertex, degree, tri_count, lcc) with degree-<2 vertices at 0.
+    """
+    tl = triangle_listing_directed(edges).persist()
+    opp = lambda v, shift: tl.select(
+        F.col(v).alias("vertex"),
+        F.when(
+            F.shiftright("bitmask", shift).bitwiseAND(F.lit(3)) == 3,
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+        .alias("c"),
+    )
+    # opposite pairs in the (v1,v2)<<4 | (v1,v3)<<2 | (v2,v3) layout
+    contribs = opp("v1", 0).unionAll(opp("v2", 2)).unionAll(opp("v3", 4))
+    counts = contribs.groupBy("vertex").agg(F.sum("c").alias("tri_count"))
+    deg = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("vertex"), F.col("src").alias("nbr")
+            ).filter(F.col("vertex") != F.col("nbr"))
+        )
+        .distinct()
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = deg.join(counts, "vertex", "left").select(
+        "vertex",
+        "degree",
+        F.coalesce("tri_count", F.lit(0)).alias("tri_count"),
+        F.when(
+            F.col("degree") >= 2,
+            F.coalesce("tri_count", F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+    return out

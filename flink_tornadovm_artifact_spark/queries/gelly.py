@@ -13,8 +13,9 @@
   / ``average_clustering_coefficient_q`` / ``triadic_census_q`` —
   clustering/undirected/{Local,Global,Average}ClusteringCoefficient.java
   and TriadicCensus.java (TriangleListing.java ≡ ``triangle_enum``);
-  ``triangle_listing_directed_q`` — clustering/directed/
-  TriangleListing.java (EdgeOrder bitmasks)
+  ``triangle_listing_directed_q`` / ``local_clustering_coefficient_
+  directed_q`` — clustering/directed/TriangleListing.java (EdgeOrder
+  bitmasks) and LocalClusteringCoefficient.java
 - ``graph_summarization``  — Summarization.java (vertex groups +
   super-edges)
 - ``vertex_metrics_q`` / ``edge_metrics_q`` — metric/undirected/
@@ -667,5 +668,62 @@ FROM tri t
 JOIN pm p12 ON t.v1 = p12.a AND t.v2 = p12.b
 JOIN pm p13 ON t.v1 = p13.a AND t.v3 = p13.b
 JOIN pm p23 ON t.v2 = p23.a AND t.v3 = p23.b
+""",
+)
+
+
+def local_clustering_coefficient_directed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directed per-vertex clustering
+    (clustering/directed/LocalClusteringCoefficient.java)."""
+    from ..functions.graph import local_clustering_coefficient_directed
+
+    return local_clustering_coefficient_directed(_social_edges(spark, sf_dir))
+
+
+_register(
+    local_clustering_coefficient_directed_q,
+    f"""
+WITH de AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 997 AS s, o_orderkey % 997 AS d
+  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997
+),
+pm AS MATERIALIZED (
+  SELECT LEAST(s, d) AS a, GREATEST(s, d) AS b,
+         BIT_OR(CASE WHEN s < d THEN 2 ELSE 1 END) AS m
+  FROM de GROUP BY 1, 2
+),
+{_E_SQL},
+{_TRI_SQL},
+tl AS MATERIALIZED (
+  SELECT t.v1, t.v2, t.v3,
+         p12.m AS m12, p13.m AS m13, p23.m AS m23
+  FROM tri t
+  JOIN pm p12 ON t.v1 = p12.a AND t.v2 = p12.b
+  JOIN pm p13 ON t.v1 = p13.a AND t.v3 = p13.b
+  JOIN pm p23 ON t.v2 = p23.a AND t.v3 = p23.b
+),
+contrib AS (
+  SELECT v1 AS vertex, CASE WHEN m23 = 3 THEN 2 ELSE 1 END AS c FROM tl
+  UNION ALL
+  SELECT v2, CASE WHEN m13 = 3 THEN 2 ELSE 1 END FROM tl
+  UNION ALL
+  SELECT v3, CASE WHEN m12 = 3 THEN 2 ELSE 1 END FROM tl
+),
+counts AS (SELECT vertex, SUM(c) AS tri_count FROM contrib GROUP BY vertex),
+deg AS (
+  SELECT vertex, COUNT(*) AS degree FROM (
+    SELECT DISTINCT s AS vertex, d AS nbr FROM de
+    UNION SELECT d, s FROM de
+  ) GROUP BY vertex
+)
+SELECT d.vertex, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(c.tri_count, 0) AS BIGINT) AS tri_count,
+       CASE WHEN d.degree >= 2
+            THEN COALESCE(c.tri_count, 0)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN counts c ON d.vertex = c.vertex
 """,
 )

@@ -297,3 +297,20 @@ def test_triangle_listing_directed_bitmask(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.v1, r.v2, r.v3, r.bitmask) == (1, 2, 3, 0b100111)
+
+
+def test_directed_lcc_hand_computed(spark):
+    """Same mixed-direction triangle as the bitmask test: vertex 1's
+    opposite pair (2,3) is mutual → 2 directed edges among its 2
+    neighbors → lcc 2/(2·1) = 1.0; vertices 2 and 3 see one directed
+    edge in their opposite pairs → 0.5 each."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        local_clustering_coefficient_directed,
+    )
+
+    df = _edges_df(spark, [(1, 2), (3, 1), (2, 3), (3, 2)])
+    got = {
+        r.vertex: (r.tri_count, r.lcc)
+        for r in local_clustering_coefficient_directed(df).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (1, 0.5), 3: (1, 0.5)}
