@@ -248,7 +248,11 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 # sample (doc_id % 97 = 0); the production path is minhash-LSH candidates →
 # exact Jaccard verify on candidates only.
 # ---------------------------------------------------------------------------
-_JACCARD_THRESHOLD = 0.1
+# Fixture documents are independent random token strings — cross-doc
+# trigram Jaccard tops out at ~0.029 on the %97 sample, so the original
+# 0.1 threshold selected nothing. 0.02 keeps the scoring discriminating
+# (8 pairs at sf0.01; see tests/test_vacuity.py).
+_JACCARD_THRESHOLD = 0.02
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,7 +400,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             sim.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.9)
+        # Fixture embeddings are independent random vectors — pairwise
+        # cosine tops out at ~0.45, so the original 0.9 near-dup
+        # threshold selected nothing. 0.35 keeps the scan discriminating
+        # (24 pairs at sf0.01; see tests/test_vacuity.py).
+        .filter(F.col("cosine") >= 0.35)
     )
 
 
@@ -411,7 +419,7 @@ _register(
     f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos_sql} AS cosine
 FROM embeddings a CROSS JOIN embeddings b
-WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id AND {_cos_sql} >= 0.9
+WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id AND {_cos_sql} >= 0.35
 """,
 )
 
