@@ -422,9 +422,14 @@ def adamic_adar(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     both = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
-    # annotate each wedge center with its inverse-log-degree weight
+    # annotate each wedge center with its inverse-log-degree weight;
+    # try_divide because ln(1) = 0 for degree-1 centers — such centers
+    # can never appear in the wedge join's output (a wedge needs two
+    # incident edges), but under ANSI mode (Spark 4 default) a plain
+    # division would crash if a plan change ever materialized this
+    # projection before the join filters them out
     wb = both.join(deg, "x").select(
-        "x", "y", (F.lit(1.0) / F.log(F.col("d"))).alias("w")
+        "x", "y", F.try_divide(F.lit(1.0), F.log(F.col("d"))).alias("w")
     )
     a, b = wb.alias("a"), wb.alias("b")
     return (
@@ -446,8 +451,13 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     undirected/LocalClusteringCoefficient.java``): degree, incident
     triangle count, and the local coefficient
     triangles / C(degree, 2) — the fraction of realized links among the
-    vertex's neighbors (0.0 where degree < 2, where the reference
-    reports a 0 score too). Returns (vertex, degree, tri_count, lcc).
+    vertex's neighbors. Degree-<2 vertices score 0.0 — a DELIBERATE
+    deviation from the reference, whose per-vertex
+    getLocalClusteringCoefficientScore returns Double.NaN when
+    neighborPairs == 0; only its AverageClusteringCoefficient
+    accumulator folds those vertices in as 0. We emit the accumulator's
+    0 so downstream aggregates (and the SQL oracles) need no NaN
+    handling. Returns (vertex, degree, tri_count, lcc).
 
     Reuses the degree-oriented ``triangles`` enumeration; the per-vertex
     count is one explode + groupBy on the (at most 3·#triangles) id
@@ -865,7 +875,10 @@ def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
     1, or 2 when the pair opposite it is MUTUAL (the reference's
     SplitTriangles two/one emission) — scored against the
     deg·(deg−1) ordered neighbor pairs. Returns
-    (vertex, degree, tri_count, lcc) with degree-<2 vertices at 0.
+    (vertex, degree, tri_count, lcc). Degree-<2 vertices score 0.0 — a
+    DELIBERATE deviation from the reference's per-vertex NaN (see
+    clustering_coefficients); its AverageClusteringCoefficient treats
+    them as 0, which is the semantics we keep everywhere.
     """
     tl = triangle_listing_directed(edges).persist()
     opp = lambda v, shift: tl.select(
@@ -907,3 +920,257 @@ def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
         .alias("lcc"),
     )
     return out
+
+
+def global_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
+    """Directed whole-graph clustering (``flink-gelly/.../library/
+    clustering/directed/GlobalClusteringCoefficient.java``): one row
+    (triplet_count, triangle_count, gcc). The reference counts
+    triplets as Σ C(degree, 2) over the simple directed graph's
+    distinct-neighbor degrees (directed VertexMetrics) and triangles as
+    3 × the directed triangle listing's row count (each listed triangle
+    is counted from each of its three vertices,
+    GlobalClusteringCoefficient.java:82); the score is
+    triangle_count / triplet_count (NULL when the graph has no
+    triplets, the reference's NaN).
+
+    The listing's row count equals the underlying undirected triangle
+    count, so this needs no bitmask join — just the degree aggregate
+    and the (already apex-bounded) ``triangles`` enumeration.
+    """
+    triplets = vertex_metrics_directed(edges).select("triplet_count")
+    tri_total = triangles(edges).agg(
+        (3 * F.count(F.lit(1))).cast("long").alias("triangle_count")
+    )
+    return triplets.crossJoin(F.broadcast(tri_total)).select(
+        "triplet_count",
+        "triangle_count",
+        (
+            F.col("triangle_count")
+            / F.when(F.col("triplet_count") > 0, F.col("triplet_count"))
+        ).alias("gcc"),
+    )
+
+
+def average_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
+    """Directed mean local clustering (``flink-gelly/.../library/
+    clustering/directed/AverageClusteringCoefficient.java``): one row
+    (vertex_count, sum_lcc, acc). The reference sums the local score
+    only over vertices with degree > 1 (its helper's writeRecord guard)
+    but divides by the TOTAL vertex count; our directed local scores
+    are 0.0 for degree < 2 (a documented deviation from the reference's
+    NaN — see local_clustering_coefficient_directed), so the explicit
+    degree filter reproduces the reference sum exactly.
+    """
+    lcc = local_clustering_coefficient_directed(edges)
+    return lcc.agg(
+        F.count(F.lit(1)).alias("vertex_count"),
+        F.sum(F.when(F.col("degree") > 1, F.col("lcc")).otherwise(F.lit(0.0))).alias(
+            "sum_lcc"
+        ),
+        (
+            F.sum(F.when(F.col("degree") > 1, F.col("lcc")).otherwise(F.lit(0.0)))
+            / F.count(F.lit(1))
+        ).alias("acc"),
+    )
+
+
+#: Batagelj & Mrvar's 64-entry map from a 6-bit directed-triad adjacency
+#: mask to its triad-isomorphism class 1..16 ("A subquadratic triad
+#: census algorithm for large sparse networks with small maximum
+#: degree", the table the reference embeds at TriadicCensus.java:205).
+#: Index layout = (pair v1v2) << 4 | (pair v1v3) << 2 | (pair v2v3),
+#: two EdgeOrder bits per pair (FORWARD lo→hi = 0b10, REVERSE = 0b01) —
+#: the classes are invariant under vertex relabeling, so the table
+#: applies to id-ordered masks exactly as to the reference's
+#: degree-ordered ones.
+_TRIAD_TYPE_TABLE: tuple[int, ...] = (
+    1, 2, 2, 3, 2, 4, 6, 8,
+    2, 6, 5, 7, 3, 8, 7, 11,
+    2, 6, 4, 8, 5, 9, 9, 13,
+    6, 10, 9, 14, 7, 14, 12, 15,
+    2, 5, 6, 7, 6, 9, 10, 14,
+    4, 9, 9, 12, 8, 13, 14, 15,
+    3, 7, 8, 11, 7, 12, 14, 15,
+    8, 14, 13, 15, 11, 15, 15, 16,
+)
+
+#: class id → reference accumulator name for the 7 triangle classes
+#: (TriadicCensus.java:225-242); open/empty classes are derived closed-
+#: form below and never appear in the triangle listing.
+_TRIANGLE_CLASSES = {9: "030t", 10: "030c", 12: "120d", 13: "120u",
+                     14: "120c", 15: "210", 16: "300"}
+
+
+def triadic_census_directed(edges: DataFrame) -> DataFrame:
+    """Directed triadic census (``flink-gelly/.../library/clustering/
+    directed/TriadicCensus.java``): the 16 directed-triad class counts
+    over all C(n,3) vertex triples, computed exactly as the reference —
+    the 7 triangle classes from the directed triangle listing's bitmask
+    distribution via Batagelj-Mrvar's type table, the 6 open-triplet
+    classes from per-vertex (degree, out, in) products minus the
+    triangles they close into, the 2 one-edge classes from edge counts,
+    and 003 as the C(n,3) remainder (TriadicCensus.java:84-185's
+    BigInteger cascade, run here in decimal(38,0)).
+
+    Two aggregates total: one over per-vertex degrees, one over the
+    triangle listing; the cascade itself is a single-row expression.
+    Output columns follow the reference Result order: triads_003,
+    triads_012, triads_102, triads_021d, triads_021u, triads_021c,
+    triads_111d, triads_111u, triads_030t, triads_030c, triads_201,
+    triads_120d, triads_120u, triads_120c, triads_210, triads_300.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_d = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("outd")
+    )
+    in_d = e.groupBy(F.col("dst").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    deg = (
+        e.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
+        .unionAll(e.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr")))
+        .distinct()
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    per_v = (
+        deg.join(out_d, "vertex", "left")
+        .join(in_d, "vertex", "left")
+        .select(
+            (F.col("deg") - F.coalesce("ind", F.lit(0))).alias("us"),
+            (F.col("deg") - F.coalesce("outd", F.lit(0))).alias("ut"),
+            (
+                F.coalesce("outd", F.lit(0))
+                + F.coalesce("ind", F.lit(0))
+                - F.col("deg")
+            ).alias("bi"),
+        )
+    )
+    us, ut, bi = F.col("us"), F.col("ut"), F.col("bi")
+    vstats = per_v.agg(
+        F.count(F.lit(1)).alias("vc"),
+        (F.sum(us + ut) / 2).cast("long").alias("uec"),
+        (F.sum(bi) / 2).cast("long").alias("bec"),
+        F.sum(us * (us - 1) / 2).cast("long").alias("p021d"),
+        F.sum(ut * (ut - 1) / 2).cast("long").alias("p021u"),
+        F.sum(us * ut).cast("long").alias("p021c"),
+        F.sum(ut * bi).cast("long").alias("p111d"),
+        F.sum(us * bi).cast("long").alias("p111u"),
+        F.sum(bi * (bi - 1) / 2).cast("long").alias("p201"),
+    )
+    table = F.array(*[F.lit(t) for t in _TRIAD_TYPE_TABLE])
+    classed = triangle_listing_directed(edges).select(
+        F.element_at(table, F.col("bitmask") + 1).alias("cls")
+    )
+    tstats = classed.agg(
+        *[
+            F.sum(F.when(F.col("cls") == c, 1).otherwise(0))
+            .cast("long")
+            .alias("t" + name)
+            for c, name in _TRIANGLE_CLASSES.items()
+        ]
+    )
+    dec = "decimal(38,0)"
+    j = vstats.crossJoin(F.broadcast(tstats))
+    n = F.col("vc").cast(dec)
+    uec, bec = F.col("uec").cast(dec), F.col("bec").cast(dec)
+    t030t, t030c = F.col("t030t").cast(dec), F.col("t030c").cast(dec)
+    t120d, t120u = F.col("t120d").cast(dec), F.col("t120u").cast(dec)
+    t120c, t210 = F.col("t120c").cast(dec), F.col("t210").cast(dec)
+    t300 = F.col("t300").cast(dec)
+    # open triplets: raw per-vertex products minus the triangles that
+    # close them (TriadicCensus.java:108-131)
+    c201 = F.col("p201").cast(dec) - 3 * t300 - t210
+    c111d = F.col("p111d").cast(dec) - t210 - t120c - 2 * t120d
+    c111u = F.col("p111u").cast(dec) - t210 - t120c - 2 * t120u
+    c021c = F.col("p021c").cast(dec) - t120c - 3 * t030c - t030t
+    c021u = F.col("p021u").cast(dec) - t120u - t030t
+    c021d = F.col("p021d").cast(dec) - t120d - t030t
+    # one-edge triads (TriadicCensus.java:135-158)
+    c102 = (
+        bec * (n - 2)
+        - c111d - c111u - 2 * c201
+        - t120d - t120u - t120c - 2 * t210 - 3 * t300
+    )
+    c012 = (
+        uec * (n - 2)
+        - 2 * (c021d + c021u + c021c)
+        - c111d - c111u
+        - 3 * (t030t + t030c)
+        - 2 * (t120d + t120u + t120c)
+        - t210
+    )
+    c003 = (
+        (n * (n - 1) * (n - 2) / 6).cast(dec)
+        - c012 - c102
+        - c021d - c021u - c021c - c111d - c111u
+        - t030t - t030c - c201 - t120d - t120u - t120c - t210 - t300
+    )
+    ordered = [
+        ("triads_003", c003), ("triads_012", c012), ("triads_102", c102),
+        ("triads_021d", c021d), ("triads_021u", c021u),
+        ("triads_021c", c021c), ("triads_111d", c111d),
+        ("triads_111u", c111u), ("triads_030t", t030t),
+        ("triads_030c", t030c), ("triads_201", c201),
+        ("triads_120d", t120d), ("triads_120u", t120u),
+        ("triads_120c", t120c), ("triads_210", t210),
+        ("triads_300", t300),
+    ]
+    return j.select(*[expr.cast("long").alias(name) for name, expr in ordered])
+
+
+def edge_metrics_directed(edges: DataFrame) -> DataFrame:
+    """Directed edge metrics (``flink-gelly/.../library/metric/directed/
+    EdgeMetrics.java``): one row (triangle_triplet_count,
+    rectangle_triplet_count, maximum_triangle_triplets,
+    maximum_rectangle_triplets). Per vertex of the simple directed
+    graph, let l = the number of distinct neighbors that are
+    "higher-order" (higher distinct-neighbor degree, ties by id —
+    EdgeMetrics.java:158's low-order flag summed per vertex after the
+    mutual-pair dedup) and h = degree − l; triangle triplets = C(l, 2),
+    rectangle triplets = C(l, 2) + l·h.
+
+    Plan: one distinct-neighbor-pair expansion, a self-join on the
+    degree table, one groupBy — the same shape as the undirected
+    edge_metrics, with degrees drawn from either-direction neighbors.
+    """
+    pairs = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    und = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = und.groupBy(F.col("x").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    da = deg.select(F.col("vertex").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("vertex").alias("y"), F.col("d").alias("dy"))
+    low = F.when(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+        1,
+    ).otherwise(0)
+    per_v = (
+        und.join(da, "x")
+        .join(db, "y")
+        .groupBy("x")
+        .agg(F.first("dx").alias("d"), F.sum(low).alias("l"))
+    )
+    tri = (F.col("l") * (F.col("l") - 1) / 2).cast("long")
+    rect = (tri + F.col("l") * (F.col("d") - F.col("l"))).cast("long")
+    return per_v.agg(
+        F.sum(tri).alias("triangle_triplet_count"),
+        F.sum(rect).alias("rectangle_triplet_count"),
+        F.max(tri).alias("maximum_triangle_triplets"),
+        F.max(rect).alias("maximum_rectangle_triplets"),
+    )

@@ -727,3 +727,244 @@ SELECT d.vertex, CAST(d.degree AS BIGINT) AS degree,
 FROM deg d LEFT JOIN counts c ON d.vertex = c.vertex
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Directed clustering/metric completion (round 4): the four remaining
+# files of flink-gelly's clustering/directed and metric/directed
+# packages, closed-form over the EdgeOrder-bitmask infrastructure.
+# ---------------------------------------------------------------------------
+
+#: Shared directed-graph CTEs: simple directed edges, canonical pair
+#: direction masks, and distinct-neighbor degrees.
+_DE_SQL = """de AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 997 AS s, o_orderkey % 997 AS d
+  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997
+)"""
+
+_DDEG_SQL = """ddeg AS MATERIALIZED (
+  SELECT vertex, COUNT(*) AS deg FROM (
+    SELECT DISTINCT s AS vertex, d AS nbr FROM de
+    UNION SELECT d, s FROM de
+  ) GROUP BY vertex
+)"""
+
+
+def global_clustering_coefficient_directed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directed whole-graph clustering of the social edge list
+    (clustering/directed/GlobalClusteringCoefficient.java)."""
+    from ..functions.graph import global_clustering_coefficient_directed
+
+    return global_clustering_coefficient_directed(_social_edges(spark, sf_dir))
+
+
+_register(
+    global_clustering_coefficient_directed_q,
+    f"""
+WITH {_DE_SQL},
+{_DDEG_SQL},
+{_E_SQL},
+{_TRI_SQL},
+tp AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS triplet_count
+       FROM ddeg),
+tc AS (SELECT CAST(3 * COUNT(*) AS BIGINT) AS triangle_count FROM tri)
+SELECT triplet_count, triangle_count,
+       CASE WHEN triplet_count > 0
+            THEN triangle_count / CAST(triplet_count AS DOUBLE) END AS gcc
+FROM tp, tc
+""",
+)
+
+
+def average_clustering_coefficient_directed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directed mean local clustering of the social edge list
+    (clustering/directed/AverageClusteringCoefficient.java)."""
+    from ..functions.graph import average_clustering_coefficient_directed
+
+    return average_clustering_coefficient_directed(_social_edges(spark, sf_dir))
+
+
+_register(
+    average_clustering_coefficient_directed_q,
+    f"""
+WITH {_DE_SQL},
+pm AS MATERIALIZED (
+  SELECT LEAST(s, d) AS a, GREATEST(s, d) AS b,
+         BIT_OR(CASE WHEN s < d THEN 2 ELSE 1 END) AS m
+  FROM de GROUP BY 1, 2
+),
+{_E_SQL},
+{_TRI_SQL},
+tl AS MATERIALIZED (
+  SELECT t.v1, t.v2, t.v3, p12.m AS m12, p13.m AS m13, p23.m AS m23
+  FROM tri t
+  JOIN pm p12 ON t.v1 = p12.a AND t.v2 = p12.b
+  JOIN pm p13 ON t.v1 = p13.a AND t.v3 = p13.b
+  JOIN pm p23 ON t.v2 = p23.a AND t.v3 = p23.b
+),
+contrib AS (
+  SELECT v1 AS vertex, CASE WHEN m23 = 3 THEN 2 ELSE 1 END AS c FROM tl
+  UNION ALL SELECT v2, CASE WHEN m13 = 3 THEN 2 ELSE 1 END FROM tl
+  UNION ALL SELECT v3, CASE WHEN m12 = 3 THEN 2 ELSE 1 END FROM tl
+),
+counts AS (SELECT vertex, SUM(c) AS tri_count FROM contrib GROUP BY vertex),
+{_DDEG_SQL},
+lcc AS (
+  SELECT g.deg, CASE WHEN g.deg >= 2
+                     THEN COALESCE(c.tri_count, 0)
+                          / CAST(g.deg * (g.deg - 1) AS DOUBLE)
+                     ELSE 0.0 END AS lcc
+  FROM ddeg g LEFT JOIN counts c ON g.vertex = c.vertex
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+       SUM(CASE WHEN deg > 1 THEN lcc ELSE 0.0 END) AS sum_lcc,
+       SUM(CASE WHEN deg > 1 THEN lcc ELSE 0.0 END) / COUNT(*) AS acc
+FROM lcc
+""",
+)
+
+
+def triadic_census_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 16-class triadic census of the social edge list
+    (clustering/directed/TriadicCensus.java)."""
+    from ..functions.graph import triadic_census_directed
+
+    return triadic_census_directed(_social_edges(spark, sf_dir))
+
+
+def _triadic_census_directed_sql() -> str:
+    from ..functions.graph import _TRIAD_TYPE_TABLE
+
+    table = "[" + ", ".join(str(t) for t in _TRIAD_TYPE_TABLE) + "]"
+    return f"""
+WITH {_DE_SQL},
+pm AS MATERIALIZED (
+  SELECT LEAST(s, d) AS a, GREATEST(s, d) AS b,
+         BIT_OR(CASE WHEN s < d THEN 2 ELSE 1 END) AS m
+  FROM de GROUP BY 1, 2
+),
+{_E_SQL},
+{_TRI_SQL},
+cls AS MATERIALIZED (
+  SELECT ({table})[p12.m * 16 + p13.m * 4 + p23.m + 1] AS cls
+  FROM tri t
+  JOIN pm p12 ON t.v1 = p12.a AND t.v2 = p12.b
+  JOIN pm p13 ON t.v1 = p13.a AND t.v3 = p13.b
+  JOIN pm p23 ON t.v2 = p23.a AND t.v3 = p23.b
+),
+ts AS (
+  SELECT SUM(CASE WHEN cls = 9 THEN 1 ELSE 0 END) AS t030t,
+         SUM(CASE WHEN cls = 10 THEN 1 ELSE 0 END) AS t030c,
+         SUM(CASE WHEN cls = 12 THEN 1 ELSE 0 END) AS t120d,
+         SUM(CASE WHEN cls = 13 THEN 1 ELSE 0 END) AS t120u,
+         SUM(CASE WHEN cls = 14 THEN 1 ELSE 0 END) AS t120c,
+         SUM(CASE WHEN cls = 15 THEN 1 ELSE 0 END) AS t210,
+         SUM(CASE WHEN cls = 16 THEN 1 ELSE 0 END) AS t300
+  FROM cls
+),
+outs AS (SELECT s AS vertex, COUNT(*) AS outd FROM de GROUP BY s),
+ins AS (SELECT d AS vertex, COUNT(*) AS ind FROM de GROUP BY d),
+{_DDEG_SQL},
+pv AS (
+  SELECT g.deg - COALESCE(i.ind, 0) AS us,
+         g.deg - COALESCE(o.outd, 0) AS ut,
+         COALESCE(o.outd, 0) + COALESCE(i.ind, 0) - g.deg AS bi
+  FROM ddeg g
+  LEFT JOIN outs o ON g.vertex = o.vertex
+  LEFT JOIN ins i ON g.vertex = i.vertex
+),
+vs AS (
+  SELECT COUNT(*) AS n,
+         SUM(us + ut) / 2 AS uec, SUM(bi) / 2 AS bec,
+         SUM(us * (us - 1) / 2) AS p021d,
+         SUM(ut * (ut - 1) / 2) AS p021u,
+         SUM(us * ut) AS p021c,
+         SUM(ut * bi) AS p111d,
+         SUM(us * bi) AS p111u,
+         SUM(bi * (bi - 1) / 2) AS p201
+  FROM pv
+),
+open_t AS (
+  SELECT n, uec, bec, t030t, t030c, t120d, t120u, t120c, t210, t300,
+         p201 - 3 * t300 - t210 AS c201,
+         p111d - t210 - t120c - 2 * t120d AS c111d,
+         p111u - t210 - t120c - 2 * t120u AS c111u,
+         p021c - t120c - 3 * t030c - t030t AS c021c,
+         p021u - t120u - t030t AS c021u,
+         p021d - t120d - t030t AS c021d
+  FROM vs, ts
+),
+edge_t AS (
+  SELECT *,
+         bec * (n - 2) - c111d - c111u - 2 * c201
+           - t120d - t120u - t120c - 2 * t210 - 3 * t300 AS c102,
+         uec * (n - 2) - 2 * (c021d + c021u + c021c) - c111d - c111u
+           - 3 * (t030t + t030c) - 2 * (t120d + t120u + t120c)
+           - t210 AS c012
+  FROM open_t
+)
+SELECT CAST(n * (n - 1) * (n - 2) / 6 - c012 - c102
+            - c021d - c021u - c021c - c111d - c111u - t030t - t030c
+            - c201 - t120d - t120u - t120c - t210 - t300 AS BIGINT)
+         AS triads_003,
+       CAST(c012 AS BIGINT) AS triads_012,
+       CAST(c102 AS BIGINT) AS triads_102,
+       CAST(c021d AS BIGINT) AS triads_021d,
+       CAST(c021u AS BIGINT) AS triads_021u,
+       CAST(c021c AS BIGINT) AS triads_021c,
+       CAST(c111d AS BIGINT) AS triads_111d,
+       CAST(c111u AS BIGINT) AS triads_111u,
+       CAST(t030t AS BIGINT) AS triads_030t,
+       CAST(t030c AS BIGINT) AS triads_030c,
+       CAST(c201 AS BIGINT) AS triads_201,
+       CAST(t120d AS BIGINT) AS triads_120d,
+       CAST(t120u AS BIGINT) AS triads_120u,
+       CAST(t120c AS BIGINT) AS triads_120c,
+       CAST(t210 AS BIGINT) AS triads_210,
+       CAST(t300 AS BIGINT) AS triads_300
+FROM edge_t
+"""
+
+
+_register(triadic_census_directed_q, _triadic_census_directed_sql())
+
+
+def edge_metrics_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge metrics of the social edge list
+    (metric/directed/EdgeMetrics.java)."""
+    from ..functions.graph import edge_metrics_directed
+
+    return edge_metrics_directed(_social_edges(spark, sf_dir))
+
+
+_register(
+    edge_metrics_directed_q,
+    f"""
+WITH {_DE_SQL},
+und2 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(s, d) AS x, GREATEST(s, d) AS y FROM de
+),
+w AS (SELECT x, y FROM und2 UNION ALL SELECT y, x FROM und2),
+dg AS (SELECT x AS vertex, COUNT(*) AS dd FROM w GROUP BY x),
+pv AS (
+  SELECT w.x AS vertex, ANY_VALUE(da.dd) AS d,
+         SUM(CASE WHEN da.dd < db.dd OR (da.dd = db.dd AND w.x < w.y)
+                  THEN 1 ELSE 0 END) AS l
+  FROM w
+  JOIN dg da ON w.x = da.vertex
+  JOIN dg db ON w.y = db.vertex
+  GROUP BY w.x
+)
+SELECT CAST(SUM(l * (l - 1) / 2) AS BIGINT) AS triangle_triplet_count,
+       CAST(SUM(l * (l - 1) / 2 + l * (d - l)) AS BIGINT)
+         AS rectangle_triplet_count,
+       CAST(MAX(l * (l - 1) / 2) AS BIGINT) AS maximum_triangle_triplets,
+       CAST(MAX(l * (l - 1) / 2 + l * (d - l)) AS BIGINT)
+         AS maximum_rectangle_triplets
+FROM pv
+""",
+)

@@ -314,3 +314,77 @@ def test_directed_lcc_hand_computed(spark):
         for r in local_clustering_coefficient_directed(df).collect()
     }
     assert got == {1: (2, 1.0), 2: (1, 0.5), 3: (1, 0.5)}
+
+
+def test_global_and_average_cc_directed_hand_computed(spark):
+    """Mixed-direction triangle 1→2, 3→1, 2↔3: every vertex has the
+    two others as neighbors (deg 2 → one triplet each, 3 total);
+    triangle count = 3·1; gcc = 1.0. Directed lcc = (1.0, 0.5, 0.5)
+    → sum 2.0, acc = 2/3."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        average_clustering_coefficient_directed,
+        global_clustering_coefficient_directed,
+    )
+
+    df = _edges_df(spark, [(1, 2), (3, 1), (2, 3), (3, 2)])
+    g = global_clustering_coefficient_directed(df).collect()[0]
+    assert (g.triplet_count, g.triangle_count, g.gcc) == (3, 3, 1.0)
+    a = average_clustering_coefficient_directed(df).collect()[0]
+    assert a.vertex_count == 3
+    assert abs(a.sum_lcc - 2.0) < 1e-12
+    assert abs(a.acc - 2.0 / 3.0) < 1e-12
+
+
+def test_edge_metrics_directed_hand_computed(spark):
+    """Same triangle: all degrees 2, so low-order is decided by id —
+    vertex 1 is lower than both neighbors (l=2), vertex 2 lower than 3
+    (l=1), vertex 3 lowest-order nowhere (l=0). Triangle triplets
+    C(l,2) = (1,0,0) → 1; rectangle triplets C(l,2)+l·(d−l) =
+    (1,1,0) → 2."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        edge_metrics_directed,
+    )
+
+    df = _edges_df(spark, [(1, 2), (3, 1), (2, 3), (3, 2)])
+    r = edge_metrics_directed(df).collect()[0]
+    assert (
+        r.triangle_triplet_count,
+        r.rectangle_triplet_count,
+        r.maximum_triangle_triplets,
+        r.maximum_rectangle_triplets,
+    ) == (1, 2, 1, 1)
+
+
+def test_triadic_census_directed_vs_brute_force(spark):
+    """Differential against a brute-force classifier that looks up
+    EVERY C(n,3) triple's 6-bit mask in the Batagelj-Mrvar table —
+    the implementation derives the 9 non-triangle classes from degree
+    arithmetic instead, so agreement is a genuine cross-check. Graph
+    mixes mutual pairs, chains, and a triangle."""
+    from itertools import combinations
+
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        _TRIAD_TYPE_TABLE,
+        triadic_census_directed,
+    )
+
+    edges = [(1, 2), (2, 1), (1, 3), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6), (6, 1)]
+    eset = set(edges)
+    verts = sorted({v for e in edges for v in e})
+    names = [
+        "triads_003", "triads_012", "triads_102", "triads_021d",
+        "triads_021u", "triads_021c", "triads_111d", "triads_111u",
+        "triads_030t", "triads_030c", "triads_201", "triads_120d",
+        "triads_120u", "triads_120c", "triads_210", "triads_300",
+    ]
+    expected = dict.fromkeys(names, 0)
+    for a, b, c in combinations(verts, 3):
+        bits = lambda x, y: (2 if (x, y) in eset else 0) | (
+            1 if (y, x) in eset else 0
+        )
+        mask = (bits(a, b) << 4) | (bits(a, c) << 2) | bits(b, c)
+        expected[names[_TRIAD_TYPE_TABLE[mask] - 1]] += 1
+
+    got = triadic_census_directed(_edges_df(spark, edges)).collect()[0].asDict()
+    assert got == expected
+    assert sum(got.values()) == len(verts) * (len(verts) - 1) * (len(verts) - 2) // 6
