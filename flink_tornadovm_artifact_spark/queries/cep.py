@@ -268,3 +268,187 @@ QUERIES = {
     "cep_not_followed_by": cep_not_followed_by,
     "cep_next": cep_next,
 }
+
+
+# ---------------------------------------------------------------------------
+# oneOrMore(): the looping quantifier (Pattern.java:352, Quantifier.java
+# looping state). Batch form of
+# ``begin(A).oneOrMore().consecutive().greedy().next(B)``: every B
+# event preceded immediately by a maximal run of one-or-more consecutive
+# A events for its key. Greedy + consecutive + head-skip collapse the
+# reference's per-prefix match set to the maximal run — the analytic
+# form is gaps-and-islands: number the per-key stream, group consecutive
+# same-type islands, and join each A-island's end position to the event
+# right after it.
+# ---------------------------------------------------------------------------
+ONE_A_TYPE, ONE_B_TYPE = "click", "purchase"
+
+
+def cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(order)
+    # two passes: window functions can't nest, so the boundary flag
+    # (LAG) materializes first and the running SUM numbers the islands
+    # in a second pass over the same partitioning — no extra shuffle,
+    # the sort order is reused
+    flagged = ev.withColumn("rn", F.row_number().over(order)).withColumn(
+        "is_new",
+        (prev_type.isNull() | (prev_type != F.col("event_type"))).cast("int"),
+    )
+    ev2 = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(
+            W.partitionBy("user_id").orderBy("rn")
+        ),
+    )
+    runs = (
+        ev2.filter(F.col("event_type") == ONE_A_TYPE)
+        .groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("a_first_ts"),
+            F.max("rn").alias("end_rn"),
+        )
+    )
+    b = ev2.filter(F.col("event_type") == ONE_B_TYPE).select(
+        "user_id",
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+        "rn",
+    )
+    return (
+        b.join(
+            runs,
+            (b.user_id == runs.user_id) & (b.rn == runs.end_rn + 1),
+        )
+        .select(
+            "b_event_id",
+            b.user_id.alias("user_id"),
+            "a_first_ts",
+            "b_ts",
+            "run_len",
+        )
+    )
+
+
+ORACLE["cep_one_or_more"] = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+numbered AS (
+  SELECT event_id, user_id, ts, event_type, rn,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len, MIN(ts) AS a_first_ts,
+         MAX(rn) AS end_rn
+  FROM numbered WHERE event_type = '{ONE_A_TYPE}'
+  GROUP BY user_id, island
+)
+SELECT n.event_id AS b_event_id, n.user_id, r.a_first_ts,
+       n.ts AS b_ts, r.run_len
+FROM numbered n
+JOIN runs r ON n.user_id = r.user_id AND n.rn = r.end_rn + 1
+WHERE n.event_type = '{ONE_B_TYPE}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# optional(): the 0-or-1 quantifier (Pattern.java:333). Batch form of
+# ``begin(V).next(C).optional().next(B)`` — strict contiguity with an
+# optional middle element: a B immediately preceded by (view, click) or
+# by just a view. One LAG pass over the full per-key stream; the
+# optional branch surfaces as a nullable click_event_id.
+# ---------------------------------------------------------------------------
+OPT_V_TYPE, OPT_C_TYPE, OPT_B_TYPE = "view", "click", "purchase"
+
+
+def cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p1t, p1i = F.lag("event_type").over(order), F.lag("event_id").over(order)
+    p2t = F.lag("event_type", 2).over(order)
+    p2i = F.lag("event_id", 2).over(order)
+    with_click = (p1t == OPT_C_TYPE) & (p2t == OPT_V_TYPE)
+    without = p1t == OPT_V_TYPE
+    return (
+        ev.withColumn(
+            "view_event_id",
+            F.when(with_click, p2i).when(without, p1i),
+        )
+        .withColumn("click_event_id", F.when(with_click, p1i))
+        .filter(
+            (F.col("event_type") == OPT_B_TYPE)
+            & F.col("view_event_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("b_event_id"),
+            "user_id",
+            "view_event_id",
+            "click_event_id",
+            F.col("ts").alias("b_ts"),
+        )
+    )
+
+
+ORACLE["cep_optional"] = f"""
+WITH scanned AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         LAG(event_type) OVER w AS p1t, LAG(event_id) OVER w AS p1i,
+         LAG(event_type, 2) OVER w AS p2t, LAG(event_id, 2) OVER w AS p2i
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT event_id AS b_event_id, user_id,
+       CASE WHEN p1t = '{OPT_C_TYPE}' AND p2t = '{OPT_V_TYPE}' THEN p2i
+            WHEN p1t = '{OPT_V_TYPE}' THEN p1i END AS view_event_id,
+       CASE WHEN p1t = '{OPT_C_TYPE}' AND p2t = '{OPT_V_TYPE}' THEN p1i
+            END AS click_event_id,
+       ts AS b_ts
+FROM scanned
+WHERE event_type = '{OPT_B_TYPE}'
+  AND (p1t = '{OPT_V_TYPE}'
+       OR (p1t = '{OPT_C_TYPE}' AND p2t = '{OPT_V_TYPE}'))
+"""
+
+
+# ---------------------------------------------------------------------------
+# times(from, to): the bounded-range quantifier (Pattern.java:400,
+# Quantifier.times(from, to)). Batch form of
+# ``begin(A).times(FROM, TO).consecutive().greedy().next(B)``: a B whose
+# immediately-preceding maximal consecutive A-run has length in
+# [FROM, TO]. Same gaps-and-islands pass as cep_one_or_more with the
+# range filter on the run length.
+# ---------------------------------------------------------------------------
+RANGE_FROM, RANGE_TO = 2, 4
+
+
+def cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cep_one_or_more(spark, sf_dir).filter(
+        F.col("run_len").between(RANGE_FROM, RANGE_TO)
+    )
+
+
+ORACLE["cep_times_range"] = (
+    ORACLE["cep_one_or_more"].rstrip()
+    + f"\n  AND r.run_len BETWEEN {RANGE_FROM} AND {RANGE_TO}\n"
+)
+
+QUERIES["cep_one_or_more"] = cep_one_or_more
+QUERIES["cep_optional"] = cep_optional
+QUERIES["cep_times_range"] = cep_times_range

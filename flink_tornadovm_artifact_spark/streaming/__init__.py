@@ -19,7 +19,7 @@ from .core import (
     windowed_cogroup,
     windowed_join_streams,
 )
-from .cep import cep_followed_by_stream, cep_times_stream
+from .cep import cep_followed_by_stream, cep_one_or_more_stream, cep_times_stream
 from .savepoint import read_keyed_state
 from .sources import events_file_stream, memory_sink_run, with_ingestion_time
 from .triggers import (
@@ -59,6 +59,7 @@ __all__ = [
     "LateRowTracker",
     "QueryableState",
     "cep_followed_by_stream",
+    "cep_one_or_more_stream",
     "cep_times_stream",
     "events_file_stream",
     "read_keyed_state",

@@ -141,6 +141,17 @@ def cep_times_stream(
 
     State per key is bounded by the As inside one T span; cleanup uses
     the same deadline timeout as ``cep_followed_by_stream``.
+
+    ORDERING CAVEAT: events are sorted by event time only WITHIN each
+    micro-batch. A late-but-within-watermark A arriving in a later
+    batch is counted against a window that already advanced past it —
+    its frame may include later-timestamped peers and may have lost
+    entries an earlier, larger timestamp already evicted — which can
+    diverge from the batch oracle and from Flink's NFA (which buffers
+    by event time up to the watermark). The twins therefore assume
+    per-key in-order arrival across micro-batches (exact for the
+    file-replay sources used here; a fully late-tolerant variant would
+    buffer rows in state and process them at watermark timeout).
     """
     within_us = _interval_ms(within) * 1000
 
@@ -199,4 +210,78 @@ def cep_times_stream(
         stateStructType="win_ts_us array<long>, max_ts long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def cep_one_or_more_stream(
+    events: DataFrame,
+    a_type: str = "click",
+    b_type: str = "purchase",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_one_or_more`` — the
+    ``begin(A).oneOrMore().consecutive().greedy().next(B)`` looping
+    quantifier. Keyed state is the NFA's looping-state summary: the
+    trailing run of consecutive A events (length + first timestamp).
+    Any non-A event resets it (strict contiguity); a B with a non-empty
+    run emits one match carrying the full run — the greedy collapse of
+    the reference's per-prefix match set.
+
+    The pattern has no within() bound, so state never expires on a
+    deadline — it is O(1) per key (three longs), the degenerate best
+    case of Flink's NFA buffer. Processes the FULL event stream (every
+    type can break a run), in (ts, event_id) order within each
+    micro-batch; like the other twins it assumes per-key in-order
+    arrival ACROSS micro-batches (see module caveat on
+    cep_times_stream).
+    """
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            run_len, first_ts, last_seen = (int(x) for x in state.get)
+        else:
+            run_len, first_ts, last_seen = 0, 0, 0
+        out = []  # (b_event_id, b_ts, a_first_ts, run_len)
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
+                t = int(t)
+                last_seen = max(last_seen, t)
+                if typ == a_type:
+                    if run_len == 0:
+                        first_ts = t
+                    run_len += 1
+                else:
+                    if typ == b_type and run_len >= 1:
+                        out.append((int(eid), t, first_ts, run_len))
+                    run_len, first_ts = 0, 0
+        state.update((run_len, first_ts, last_seen))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "b_event_id": [o[0] for o in out],
+                    "b_ts": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "a_first_ts": pd.to_datetime(
+                        [o[2] for o in out], unit="us"
+                    ),
+                    "run_len": [o[3] for o in out],
+                }
+            )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, b_event_id long, b_ts timestamp, "
+            "a_first_ts timestamp, run_len long"
+        ),
+        stateStructType="run_len long, first_ts_us long, last_seen_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

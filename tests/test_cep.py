@@ -281,3 +281,129 @@ def test_cep_times_stream_equal_timestamp_peers(spark, tmp_path):
         sorted((r.user_id, r.a_event_id, r.n_in_window) for r in got.collect())
         == want
     )
+
+
+def test_cep_one_or_more_hand_computed(spark, tmp_path):
+    """oneOrMore().consecutive().greedy().next(B): user 1's run of 3
+    clicks ends at the purchase (run_len=3); the view at minute 3
+    breaks user 2's run, so only the single click after it matches;
+    user 3's purchase has no preceding click."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_one_or_more
+
+    rows = [
+        (1, 1, 0, "click"),
+        (2, 1, 1, "click"),
+        (3, 1, 2, "click"),
+        (4, 1, 3, "purchase"),
+        (5, 2, 0, "click"),
+        (6, 2, 3, "view"),
+        (7, 2, 5, "click"),
+        (8, 2, 6, "purchase"),
+        (9, 3, 0, "view"),
+        (10, 3, 1, "purchase"),
+    ]
+    d = tmp_path / "cep_oom"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    got = sorted(
+        (r.user_id, r.b_event_id, r.run_len, _minutes(r.a_first_ts))
+        for r in cep_one_or_more(spark, str(d)).collect()
+    )
+    assert got == [(1, 4, 3, 0), (2, 8, 1, 5)]
+
+
+def test_cep_one_or_more_stream_matches_batch(spark, tmp_path):
+    """Differential: the stream twin's looping-run state must survive a
+    micro-batch boundary that splits user 1's run mid-pattern."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_one_or_more
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_one_or_more_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "click"),
+        (2, 1, 1, "click"),
+        (3, 1, 2, "click"),
+        (4, 1, 3, "purchase"),
+        (5, 2, 0, "click"),
+        (6, 2, 3, "view"),
+        (7, 2, 5, "click"),
+        (8, 2, 6, "purchase"),
+        (9, 3, 0, "view"),
+        (10, 3, 1, "purchase"),
+    ]
+    d = tmp_path / "cep_oom_batchref"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.b_event_id, r.run_len, _minutes(r.a_first_ts))
+        for r in cep_one_or_more(spark, str(d)).collect()
+    )
+
+    d2 = tmp_path / "cep_oom_stream"
+    d2.mkdir()
+    cut = 2  # user 1's 3-click run spans the boundary
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(cep_one_or_more_stream(stream), "cep_oom_out")
+    assert (
+        sorted(
+            (r.user_id, r.b_event_id, r.run_len, _minutes(r.a_first_ts))
+            for r in got.collect()
+        )
+        == want
+    )
+
+
+def test_cep_optional_hand_computed(spark, tmp_path):
+    """begin(view).next(click optional).next(purchase): user 1 matches
+    WITH the click, user 2 matches without (view immediately before
+    purchase), user 3 has an intervening error -> no match."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_optional
+
+    rows = [
+        (1, 1, 0, "view"),
+        (2, 1, 1, "click"),
+        (3, 1, 2, "purchase"),
+        (4, 2, 0, "view"),
+        (5, 2, 1, "purchase"),
+        (6, 3, 0, "view"),
+        (7, 3, 1, "error"),
+        (8, 3, 2, "purchase"),
+    ]
+    d = tmp_path / "cep_opt"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    got = sorted(
+        (r.user_id, r.b_event_id, r.view_event_id, r.click_event_id)
+        for r in cep_optional(spark, str(d)).collect()
+    )
+    assert got == [(1, 3, 1, 2), (2, 5, 4, None)]
+
+
+def test_cep_times_range_hand_computed(spark, tmp_path):
+    """times(2,4): run of 1 is too short, run of 5 too long, runs of 2
+    and 4 match."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_times_range
+
+    def burst(uid, n, eid0):
+        rows = [(eid0 + i, uid, i, "click") for i in range(n)]
+        rows.append((eid0 + n, uid, n, "purchase"))
+        return rows
+
+    rows = burst(1, 1, 100) + burst(2, 2, 200) + burst(3, 4, 300) + burst(4, 5, 400)
+    d = tmp_path / "cep_range"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    got = sorted(
+        (r.user_id, r.run_len) for r in cep_times_range(spark, str(d)).collect()
+    )
+    assert got == [(2, 2), (3, 4)]
