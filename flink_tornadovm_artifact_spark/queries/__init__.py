@@ -31,90 +31,88 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #:    full 80-oracle pytest sweep at sf0.01 (test_queries_oracle.py runs
 #:    every oracle regardless of the window).
 #:
-#: Round-3 rotation: IN — the 7 de-hinted TPC-H shapes (q24, q41-q43,
-#: q45, q46, q51: join plans changed this round), q19 (predicate widened
-#: after the vacuous-green verdict finding — kept in), kmeans_pipeline
-#: (oracle existed, never driver-checked), cep_followed_by +
-#: sssp_pipeline (new), and the 5 new Gelly-library queries
-#: (triangle_enum, label_propagation_communities, hits_scores,
-#: jaccard_similarity, adamic_adar_similarity) and 3 more CEP patterns
-#: (cep_times, cep_not_followed_by, cep_next). OUT — q01/q02/q05/q09/
-#: q10/q11/q12_topk_global/q13/q16/q17 and q06/q07/q08/q12_topk_per_
-#: group/q14/q04/q15/q18 (driver-green in rounds 1 AND 2; filters/
-#: projections/joins/set-ops/top-k/grouping-set surfaces remain covered
-#: by q03/q23/q30/q50 and the TPC-H extras now in the window; the
-#: over-window surface by the four CEP patterns; group windows by the
-#: four q21 variants).
+#: Round-4 rotation: IN — the 5 de-vacuized queries (q51's LIKE, q44's
+#: anti-join cutoff, q48's revenue threshold, ngram-jaccard and
+#: embedding-cosine thresholds: predicates changed, so their topologies
+#: are exercised with data for the first time), the 4 new directed
+#: Gelly analytics (global/average CC, 16-class triadic census, edge
+#: metrics), the 3 new CEP quantifiers (oneOrMore / optional /
+#: times(from,to)), adamic_adar_similarity (weight projection moved to
+#: try_divide — plan changed), the full round-3 overflow backlog of 16
+#: never-driver-checked queries (community detection, the undirected
+#: clustering/census/metrics family, the round-3 directed trio,
+#: summarization, zip/sample contracts, temporal as-of join,
+#: decontamination), and 5 more never-driver-checked entries
+#: (similarity_ivf, multimodal_feature_extract, q53/q55 TPC-H shapes,
+#: q32 correlated subquery). OUT — everything driver-green in BOTH
+#: rounds 2 and 3: q03, q19-q22 window family, the 13 LLM-suite
+#: entries, the 4 kernels, CC/PageRank/logreg pipelines, and the
+#: held-over q36/q29/q23/q30 (all remain under the identical DuckDB
+#: differential at sf0.01 in pytest, which runs every oracle regardless
+#: of the window).
 #:
-#: Window OVERFLOW (round 3 added 19 oracle-backed queries for 17 freed
-#: slots): community_detection_labels, local/global/average clustering,
-#: triadic_census_q, graph_summarization, vertex_metrics_q,
-#: edge_metrics_q, zip_with_index/unique_id/sample contracts,
-#: temporal_join_events, and text_decontaminate registered OUTSIDE the
-#: window —
-#: every one still runs the identical DuckDB differential at sf0.01 in
-#: pytest (test_queries_oracle.py); they rotate in next round as
-#: longer-green entries free slots.
+#: KEPT (single-round-green, per policy rule 3): kmeans/sssp, the 6
+#: round-3 TPC-H extras, the 4 round-3 CEP patterns, and the 5 round-3
+#: Gelly queries.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # declared-set core still in rotation (8)
-    "q03_tpch_q1",
-    "q19_iot_outliers",
-    "q20_kmeans_assign",
-    "q21_tumbling_window",
-    "q21_sliding_window",
-    "q21_session_window",
-    "q21_session_window_dynamic",
-    "q22_interval_join",
-    # LLM-pipeline operators with oracles (13)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_lsh_verified",
-    "similarity_topk",
-    "similarity_lsh_bucketed",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_udtf_ngrams",
-    "multimodal_binary_meta",
-    # procedural kernels + bulk/delta iterations with oracles (9)
-    "vector_add_kernel",
-    "matmul_rows_kernel",
-    "pi_estimation_weyl",
-    "dft_events",
-    "connected_components_pipeline",
-    "pagerank_pipeline",
-    "logreg_pipeline",
+    # kept: single-round-green iterations + TPC-H extras (8)
     "kmeans_pipeline",
     "sssp_pipeline",
-    # changed-this-round TPC-H shapes + CEP (8)
     "q24_promo_revenue",
     "q41_tpch_q16",
     "q42_tpch_q17",
     "q43_tpch_q19",
     "q45_tpch_q7",
     "q46_tpch_q8",
+    # de-vacuized this round (5)
     "q51_tpch_q9",
-    # CEP pattern family, new this round (4)
+    "q44_tpch_q22",
+    "q48_tpch_q11",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # kept: round-3 CEP patterns (4) + new quantifiers (3)
     "cep_followed_by",
     "cep_times",
     "cep_not_followed_by",
     "cep_next",
-    # Gelly library family, new this round (5)
+    "cep_one_or_more",
+    "cep_optional",
+    "cep_times_range",
+    # kept: round-3 Gelly queries (5; adamic_adar also changed — try_divide)
     "triangle_enum",
     "label_propagation_communities",
     "hits_scores",
     "jaccard_similarity",
     "adamic_adar_similarity",
-    # held over from round 2 (4): q36 was round 1's only red row, q29's
-    # reduceGroup sort contract and q23/q30's join hints changed in
-    # round 2 — one more green round each before rotating out
-    "q36_json_extract",
-    "q29_reduce_group",
-    "q23_tpch_q10",
-    "q30_tpch_q5",
+    # new directed Gelly analytics (4)
+    "global_clustering_coefficient_directed_q",
+    "average_clustering_coefficient_directed_q",
+    "triadic_census_directed_q",
+    "edge_metrics_directed_q",
+    # round-3 overflow: graph library (11)
+    "community_detection_labels",
+    "local_clustering_coefficient",
+    "global_clustering_coefficient_q",
+    "average_clustering_coefficient_q",
+    "triadic_census_q",
+    "graph_summarization",
+    "vertex_metrics_q",
+    "edge_metrics_q",
+    "vertex_metrics_directed_q",
+    "triangle_listing_directed_q",
+    "local_clustering_coefficient_directed_q",
+    # round-3 overflow: utils/temporal/LLM (5)
+    "zip_with_index_contract",
+    "zip_with_unique_id_contract",
+    "sample_with_size_contract",
+    "temporal_join_events",
+    "text_decontaminate",
+    # never-driver-checked backlog (5)
+    "similarity_ivf",
+    "multimodal_feature_extract",
+    "q53_tpch_q2",
+    "q55_tpch_q21",
+    "q32_correlated_subquery",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
