@@ -1,0 +1,154 @@
+"""Kafka-shaped file-backed source: the connector-semantics tests the
+reference keeps in flink-connector-kafka, ported to the stand-in —
+offset-addressed replay, [start, end) slicing, dense per-partition
+offsets, exactly-once across a query restart, and partition pruning in
+the scan plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from flink_tornadovm_artifact_spark.sources.kafka_shaped import (
+    KAFKA_SCHEMA,
+    current_offsets,
+    produce,
+    read_batch,
+    read_stream,
+)
+
+
+def _values(df):
+    return sorted(bytes(r.value).decode() for r in df.collect())
+
+
+def _by_partition(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.partition, []).append((r.offset, bytes(r.value).decode()))
+    return {p: sorted(v) for p, v in out.items()}
+
+
+def _keyed(i: int) -> tuple[bytes, bytes]:
+    return (f"k{i}".encode(), f"v{i}".encode())
+
+
+def test_produce_read_roundtrip_schema_and_offsets(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    produce(broker, "clicks", [_keyed(i) for i in range(20)], num_partitions=3)
+    df = read_batch(spark, broker, "clicks")
+    # the seven Kafka reader columns, in Kafka's order and types
+    assert [f.name for f in df.schema.fields] == [
+        s.split()[0] for s in KAFKA_SCHEMA.split(",")
+    ]
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert got == {
+        "key": "binary", "value": "binary", "topic": "string",
+        "partition": "int", "offset": "bigint",
+        "timestamp": "timestamp", "timestampType": "int",
+    }
+    assert _values(df) == sorted(f"v{i}" for i in range(20))
+    # offsets are dense 0..n-1 per partition (the broker log contract)
+    for p, rows in _by_partition(df).items():
+        assert [o for o, _ in rows] == list(range(len(rows)))
+    assert df.filter("topic <> 'clicks'").count() == 0
+
+
+def test_offset_slice_and_replay(spark, tmp_path):
+    """[start, end) JSON offsets — and re-reading any slice is
+    bit-identical (immutable segments = Kafka's replayability)."""
+    broker = str(tmp_path / "broker")
+    # single partition so the slice is deterministic
+    produce(broker, "t", [_keyed(i) for i in range(10)],
+            num_partitions=1, partition_of=lambda k: 0)
+    sl = read_batch(
+        spark, broker, "t",
+        starting_offsets='{"t": {"0": 3}}',
+        ending_offsets='{"t": {"0": 7}}',
+    )
+    assert [(r.offset, bytes(r.value).decode()) for r in
+            sorted(sl.collect(), key=lambda r: r.offset)] == [
+        (3, "v3"), (4, "v4"), (5, "v5"), (6, "v6"),
+    ]
+    # append more data, replay the same slice: unchanged
+    produce(broker, "t", [_keyed(i) for i in range(10, 15)],
+            num_partitions=1, partition_of=lambda k: 0)
+    sl2 = read_batch(
+        spark, broker, "t",
+        starting_offsets='{"t": {"0": 3}}',
+        ending_offsets='{"t": {"0": 7}}',
+    )
+    assert sorted(map(tuple, sl.collect())) == sorted(map(tuple, sl2.collect()))
+    assert current_offsets(broker, "t") == {0: 15}
+
+
+def test_multi_topic_subscribe(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    produce(broker, "a", [(None, b"a1"), (None, b"a2")], num_partitions=1,
+            partition_of=lambda k: 0)
+    produce(broker, "b", [(None, b"b1")], num_partitions=1,
+            partition_of=lambda k: 0)
+    df = read_batch(spark, broker, "a, b")
+    assert sorted((r.topic, bytes(r.value).decode()) for r in df.collect()) == [
+        ("a", "a1"), ("a", "a2"), ("b", "b1"),
+    ]
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    """topic= and partition= are hive partition columns: a partition
+    filter must reach the scan as a PartitionFilter (directory pruning),
+    not a post-scan Filter — the analog of Kafka partition assignment."""
+    broker = str(tmp_path / "broker")
+    produce(broker, "t", [_keyed(i) for i in range(8)], num_partitions=2)
+    df = read_batch(spark, broker, "t").filter("partition = 0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "partition" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_stream_exactly_once_across_restart(spark, tmp_path):
+    """The FlinkKafkaConsumer guarantee: a checkpointed query restarted
+    after a stop resumes from its offsets — every produced record
+    appears in the sink exactly once, across produce/restart cycles."""
+    broker = str(tmp_path / "broker")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    produce(broker, "t", [_keyed(i) for i in range(5)],
+            num_partitions=1, partition_of=lambda k: 0)
+
+    def run_once():
+        q = (
+            read_stream(spark, broker, "t")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    produce(broker, "t", [_keyed(i) for i in range(5, 9)],
+            num_partitions=1, partition_of=lambda k: 0)
+    run_once()  # restart from the same checkpoint
+    got = spark.read.parquet(sink)
+    assert _values(got) == sorted(f"v{i}" for i in range(9))
+    assert got.count() == 9  # no duplicates, no loss
+
+
+def test_stream_starting_offsets_latest_skips_log(spark, tmp_path):
+    from flink_tornadovm_artifact_spark.streaming import memory_sink_run
+
+    broker = str(tmp_path / "broker")
+    produce(broker, "t", [_keyed(i) for i in range(4)],
+            num_partitions=1, partition_of=lambda k: 0)
+    stream = read_stream(spark, broker, "t", starting_offsets="latest")
+    # "latest" resolved to the log end at stream definition: the
+    # pre-existing 4 records filter out; records appended after the
+    # stream starts flow through
+    produce(broker, "t", [_keyed(i) for i in range(4, 6)],
+            num_partitions=1, partition_of=lambda k: 0)
+    got = memory_sink_run(stream, "kafka_latest_out")
+    assert _values(got) == ["v4", "v5"]
