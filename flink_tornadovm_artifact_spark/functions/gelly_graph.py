@@ -206,3 +206,31 @@ class Graph:
         algorithms like sssp read the edge value; unweighted ones select
         src/dst and ignore it)."""
         return algorithm(self.edges, *args, **kwargs)
+
+
+def checksum_hash_code(graph: Graph) -> DataFrame:
+    """Graph checksum (``flink-gelly/.../library/metric/
+    ChecksumHashCode.java`` over ``asm/dataset/ChecksumHashCode.java``):
+    one row (count, checksum) where count = |V| + |E| and checksum is
+    the sum over elements of an unsigned 32-bit row hash — the same
+    order-independent fingerprint contract as the reference (its
+    accumulator sums ``record.hashCode() & 0xffffffff``). The hash
+    function itself is Spark's Murmur3 ``F.hash`` rather than Java's
+    ``Tuple.hashCode`` — checksums are comparable between runs of THIS
+    engine (the fingerprint's purpose), not bit-equal to Flink's.
+    """
+    mask = F.lit(0xFFFFFFFF).cast("long")
+    parts = [
+        graph.vertices.select(
+            (F.hash(*graph.vertices.columns).cast("long")
+             .bitwiseAND(mask)).alias("h")
+        ),
+        graph.edges.select(
+            (F.hash(*graph.edges.columns).cast("long")
+             .bitwiseAND(mask)).alias("h")
+        ),
+    ]
+    allh = parts[0].unionAll(parts[1])
+    return allh.agg(
+        F.count(F.lit(1)).alias("count"), F.sum("h").alias("checksum")
+    )
