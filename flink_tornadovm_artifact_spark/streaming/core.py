@@ -466,14 +466,19 @@ class ExternalQueryableState:
     survive a restart of the reading session (the round-2 verdict's
     scale gap for per-document state at 100 TB).
 
-    Upsert layout: append-only delta files stamped with a wall-clock
-    COMMIT SEQUENCE (``__epoch``, µs); "current value of key" = the row
-    with the highest stamp for that key. The stamp is deliberately NOT
-    the micro-batch epoch_id: epoch ids restart at 0 for every fresh
-    checkpoint, so a re-attached stream's first batches would lose
-    against older rows — the wall clock totally orders commits across
-    writer generations and across ``compact()`` (single-writer
-    discipline is already required). A checkpoint-replayed batch
+    Upsert layout: append-only delta files stamped with a MONOTONIC
+    COMMIT SEQUENCE (``__epoch``): each writer batch stamps
+    ``max(previous stamp + 1, wall clock µs)``, where a fresh writer
+    initializes "previous" from the existing log's maximum stamp. The
+    stamp is deliberately NOT the micro-batch epoch_id: epoch ids
+    restart at 0 for every fresh checkpoint, so a re-attached stream's
+    first batches would lose against older rows. Nor is it raw wall
+    clock: an NTP step-back (or a successor writer on a machine with a
+    lagging clock) could stamp newer values behind older rows and
+    silently serve stale state — the log-max floor makes the sequence
+    strictly increasing across batches, writer generations, and
+    ``compact()`` (single-writer discipline is already required). A
+    checkpoint-replayed batch
     re-appends its rows with a later stamp; values for a key are
     identical on replay, so latest-per-key stays correct. Appends keep
     the hot path write-only (no read-modify-write per trigger — the
@@ -488,12 +493,30 @@ class ExternalQueryableState:
     def __init__(self, key_col: str, path: str):
         self._key_col = key_col
         self._path = path
+        self._seq: int | None = None  # last stamp issued by THIS writer
 
-    def on_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _next_stamp(self, spark) -> int:
         import time
 
+        if self._seq is None:
+            # writer startup: floor at the existing log's max stamp so a
+            # lagging clock can never stamp behind a prior generation
+            try:
+                row = (
+                    spark.read.parquet(self._path)
+                    .agg(F.max("__epoch"))
+                    .collect()[0]
+                )
+                self._seq = int(row[0] or 0)
+            except Exception:  # noqa: BLE001 — no log yet
+                self._seq = 0
+        self._seq = max(self._seq + 1, time.time_ns() // 1_000)
+        return self._seq
+
+    def on_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        stamp = self._next_stamp(batch_df.sparkSession)
         (
-            batch_df.withColumn("__epoch", F.lit(time.time_ns() // 1_000))
+            batch_df.withColumn("__epoch", F.lit(stamp))
             .write.mode("append")
             .parquet(self._path)
         )

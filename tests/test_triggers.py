@@ -370,3 +370,33 @@ def test_external_queryable_state_survives_compaction_and_reattach(
     assert st.get(spark, 1) == {"v": 20}
     st.compact(spark)
     assert st.get(spark, 1) == {"v": 20}
+
+
+def test_external_queryable_state_monotone_across_clock_stepback(
+    spark, tmp_path, monkeypatch
+):
+    """Round-3 ADVICE finding: raw wall-clock stamps are not monotonic —
+    an NTP step-back (or a successor writer with a lagging clock) could
+    stamp new values BEHIND old rows and serve stale state. The commit
+    sequence must floor at the log's max stamp: a new writer generation
+    whose clock reads an hour earlier still wins with its newer write."""
+    import time
+
+    from flink_tornadovm_artifact_spark.streaming import (
+        ExternalQueryableState,
+    )
+
+    path = str(tmp_path / "eqs")
+    st = ExternalQueryableState("k", path)
+    st.on_batch(spark.createDataFrame([(1, 10)], "k long, v long"), epoch_id=0)
+
+    # successor writer on a machine whose clock lags the first writer's
+    lagging = time.time_ns() - 3_600 * 10**9
+    monkeypatch.setattr(time, "time_ns", lambda: lagging)
+    st2 = ExternalQueryableState("k", path)
+    st2.on_batch(spark.createDataFrame([(1, 20)], "k long, v long"), epoch_id=0)
+    assert st2.get(spark, 1) == {"v": 20}
+
+    # and within one writer, a mid-run step-back must not reorder either
+    st2.on_batch(spark.createDataFrame([(1, 30)], "k long, v long"), epoch_id=1)
+    assert st2.get(spark, 1) == {"v": 30}
