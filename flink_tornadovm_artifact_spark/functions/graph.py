@@ -825,9 +825,16 @@ def triangle_listing_directed(edges: DataFrame) -> DataFrame:
     deterministic canonicalization of identical information (same
     triangle set, same per-pair direction bits).
 
-    Plan: the undirected enumeration (degree-oriented, apex-bounded)
-    plus three equi-joins against the per-pair direction summary — each
-    a broadcast/hash join on a pair key, no extra wedge work.
+    Plan: the per-pair direction masks ride ALONG the degree-oriented
+    wedge join (the reference's TriadBuilder carries its edge bitmasks
+    the same way, TriangleListing.java:110-127) — the two spoke masks
+    annotate the oriented edges, and the closing-edge semi join becomes
+    an inner join that returns the third mask. Join count is identical
+    to the undirected ``triangles`` enumeration (degree agg, wedge
+    build, closing join); the naive alternative — three post-joins of
+    the triangle list against the pair summary — re-shuffles the
+    O(#triangles) output three times and measured 5× slower on the
+    saturated sf0.1 graph.
     """
     pm = (
         edges.select("src", "dst")
@@ -843,27 +850,62 @@ def triangle_listing_directed(edges: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.bit_or("bit").alias("m"))
     )
-    tri = triangles(edges)
+    deg = (
+        pm.select(F.col("a").alias("x"))
+        .unionAll(pm.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        pm.join(deg.withColumnRenamed("x", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
+        F.col("m"),
+    )
+    ea, eb = oriented.alias("ea"), oriented.alias("eb")
+    spoke_lt = (F.col("ea.dt") < F.col("eb.dt")) | (
+        (F.col("ea.dt") == F.col("eb.dt")) & (F.col("ea.t") < F.col("eb.t"))
+    )
+    triads = ea.join(eb, (F.col("ea.s") == F.col("eb.s")) & spoke_lt).select(
+        F.col("ea.s").alias("apex"),
+        F.col("ea.t").alias("p"),
+        F.col("eb.t").alias("q"),
+        F.col("ea.m").alias("m_ap"),
+        F.col("eb.m").alias("m_aq"),
+    )
+    closing = oriented.select(
+        F.col("s").alias("p"), F.col("t").alias("q"), F.col("m").alias("m_pq")
+    )
+    tri = triads.join(closing, ["p", "q"])
+    ids = F.array_sort(F.array("apex", "p", "q"))
+    v1, v2, v3 = ids[0], ids[1], ids[2]
 
-    def _pair(x: str, y: str, alias: str) -> DataFrame:
-        return pm.select(
-            F.col("a").alias(x), F.col("b").alias(y), F.col("m").alias(alias)
+    # each mask belongs to an unordered pair; place it by sorted position
+    def _mask_for(lo, hi):
+        ap_lo, ap_hi = F.least("apex", "p"), F.greatest("apex", "p")
+        aq_lo, aq_hi = F.least("apex", "q"), F.greatest("apex", "q")
+        return (
+            F.when((ap_lo == lo) & (ap_hi == hi), F.col("m_ap"))
+            .when((aq_lo == lo) & (aq_hi == hi), F.col("m_aq"))
+            .otherwise(F.col("m_pq"))
         )
 
-    return (
-        tri.join(_pair("v1", "v2", "m12"), ["v1", "v2"])
-        .join(_pair("v1", "v3", "m13"), ["v1", "v3"])
-        .join(_pair("v2", "v3", "m23"), ["v2", "v3"])
-        .select(
-            "v1",
-            "v2",
-            "v3",
-            (
-                F.shiftleft("m12", 4)
-                + F.shiftleft("m13", 2)
-                + F.col("m23")
-            ).alias("bitmask"),
-        )
+    return tri.select(
+        v1.alias("v1"),
+        v2.alias("v2"),
+        v3.alias("v3"),
+        (
+            F.shiftleft(_mask_for(v1, v2), 4)
+            + F.shiftleft(_mask_for(v1, v3), 2)
+            + _mask_for(v2, v3)
+        ).alias("bitmask"),
     )
 
 
