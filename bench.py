@@ -62,6 +62,13 @@ HEADLINE = [
     "sssp_pipeline",
     "cep_followed_by",
     "triangle_enum",
+    # round-4 additions: the gaps-and-islands CEP looping quantifier,
+    # the 16-class directed triadic census (the heaviest new operator —
+    # measures the mask-carrying wedge join on the saturated graph),
+    # and the shuffle-free per-document repetition metrics pass
+    "cep_one_or_more",
+    "triadic_census_directed_q",
+    "text_repetition_metrics",
 ]
 
 

@@ -285,3 +285,133 @@ def cep_one_or_more_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cep_times_range_stream(
+    events: DataFrame,
+    a_type: str = "click",
+    b_type: str = "purchase",
+    n_from: int = 2,
+    n_to: int = 4,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_times_range`` — the
+    ``times(from, to).consecutive().greedy().next(B)`` bounded-range
+    quantifier. Identical looping-run state to
+    ``cep_one_or_more_stream`` with the range check at match time (the
+    NFA's accepting condition); same O(1)-per-key state and the same
+    cross-batch in-order assumption.
+    """
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            run_len, first_ts, last_seen = (int(x) for x in state.get)
+        else:
+            run_len, first_ts, last_seen = 0, 0, 0
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
+                t = int(t)
+                last_seen = max(last_seen, t)
+                if typ == a_type:
+                    if run_len == 0:
+                        first_ts = t
+                    run_len += 1
+                else:
+                    if typ == b_type and n_from <= run_len <= n_to:
+                        out.append((int(eid), t, first_ts, run_len))
+                    run_len, first_ts = 0, 0
+        state.update((run_len, first_ts, last_seen))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "b_event_id": [o[0] for o in out],
+                    "b_ts": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "a_first_ts": pd.to_datetime(
+                        [o[2] for o in out], unit="us"
+                    ),
+                    "run_len": [o[3] for o in out],
+                }
+            )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, b_event_id long, b_ts timestamp, "
+            "a_first_ts timestamp, run_len long"
+        ),
+        stateStructType="run_len long, first_ts_us long, last_seen_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cep_optional_stream(
+    events: DataFrame,
+    v_type: str = "view",
+    c_type: str = "click",
+    b_type: str = "purchase",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_optional`` — the
+    ``begin(V).next(C).optional().next(B)`` 0-or-1 quantifier under
+    strict contiguity. Keyed state is the last TWO events' (type, id):
+    the optional middle element means a B matches on (V, C, B) or
+    (·, V, B). O(1) per key; same cross-batch in-order assumption as
+    the other twins.
+    """
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            p1t, p1i, p2t, p2i = state.get
+        else:
+            p1t, p1i, p2t, p2i = "", 0, "", 0
+        out = []  # (b_event_id, b_ts, view_id, click_id_or_None)
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
+                eid, t = int(eid), int(t)
+                if typ == b_type:
+                    if p1t == c_type and p2t == v_type:
+                        out.append((eid, t, int(p2i), int(p1i)))
+                    elif p1t == v_type:
+                        out.append((eid, t, int(p1i), None))
+                p2t, p2i, p1t, p1i = p1t, p1i, typ, eid
+        state.update((p1t, p1i, p2t, p2i))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "b_event_id": [o[0] for o in out],
+                    "b_ts": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "view_event_id": [o[2] for o in out],
+                    "click_event_id": pd.array(
+                        [o[3] for o in out], dtype="Int64"
+                    ),
+                }
+            )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, b_event_id long, b_ts timestamp, "
+            "view_event_id long, click_event_id long"
+        ),
+        stateStructType="p1t string, p1i long, p2t string, p2i long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -407,3 +407,97 @@ def test_cep_times_range_hand_computed(spark, tmp_path):
         (r.user_id, r.run_len) for r in cep_times_range(spark, str(d)).collect()
     )
     assert got == [(2, 2), (3, 4)]
+
+
+def test_cep_times_range_stream_matches_batch(spark, tmp_path):
+    """times(2,4) stream twin vs batch on runs of 1/2/4/5 clicks, with
+    user 3's 4-click run split across the micro-batch boundary."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_times_range
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_times_range_stream,
+        memory_sink_run,
+    )
+
+    def burst(uid, n, eid0):
+        rows = [(eid0 + i, uid, i, "click") for i in range(n)]
+        rows.append((eid0 + n, uid, n, "purchase"))
+        return rows
+
+    rows = burst(1, 1, 100) + burst(2, 2, 200) + burst(3, 4, 300) + burst(4, 5, 400)
+    d = tmp_path / "cep_range_ref"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.b_event_id, r.run_len)
+        for r in cep_times_range(spark, str(d)).collect()
+    )
+
+    d2 = tmp_path / "cep_range_stream"
+    d2.mkdir()
+    cut = len(rows) - 4  # user 4 split; user 3's run intact in batch 0
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(cep_times_range_stream(stream), "cep_range_out")
+    assert (
+        sorted((r.user_id, r.b_event_id, r.run_len) for r in got.collect())
+        == want
+        == [(2, 202, 2), (3, 304, 4)]
+    )
+
+
+def test_cep_optional_stream_matches_batch(spark, tmp_path):
+    """optional() stream twin vs batch: with-click, without-click, and
+    broken-contiguity users; user 1's view-click-purchase spans the
+    micro-batch boundary so the two-event state must carry over."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_optional
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_optional_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "view"),
+        (2, 1, 1, "click"),
+        (3, 1, 2, "purchase"),
+        (4, 2, 0, "view"),
+        (5, 2, 1, "purchase"),
+        (6, 3, 0, "view"),
+        (7, 3, 1, "error"),
+        (8, 3, 2, "purchase"),
+    ]
+    d = tmp_path / "cep_opt_ref"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.b_event_id, r.view_event_id, r.click_event_id)
+        for r in cep_optional(spark, str(d)).collect()
+    )
+
+    d2 = tmp_path / "cep_opt_stream"
+    d2.mkdir()
+    cut = 2  # user 1's pattern spans the boundary
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(cep_optional_stream(stream), "cep_opt_out")
+    assert (
+        sorted(
+            (r.user_id, r.b_event_id, r.view_event_id, r.click_event_id)
+            for r in got.collect()
+        )
+        == want
+        == [(1, 3, 1, 2), (2, 5, 4, None)]
+    )
