@@ -1,6 +1,7 @@
 """Structured Streaming mirrors of the reference's DataStream surface
 (SURVEY.md §2.G)."""
 
+from .iterate import StreamIteration
 from .core import (
     ExternalQueryableState,
     LateRowTracker,
@@ -69,6 +70,7 @@ __all__ = [
     "cep_optional_stream",
     "cep_times_range_stream",
     "cep_times_stream",
+    "StreamIteration",
     "events_file_stream",
     "read_keyed_state",
     "memory_sink_run",
