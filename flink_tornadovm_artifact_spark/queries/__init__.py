@@ -54,6 +54,9 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: KEPT (single-round-green, per policy rule 3): kmeans/sssp, the 6
 #: round-3 TPC-H extras, the 4 round-3 CEP patterns, and the 5 round-3
 #: Gelly queries.
+#:
+#: Round-4 OVERFLOW (registered outside the window, oracle-green in
+#: pytest, rotates in round 5): text_repetition_metrics.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # kept: single-round-green iterations + TPC-H extras (8)
     "kmeans_pipeline",
