@@ -9,10 +9,11 @@ offline — no running query needed — exactly the reference's
 read-a-savepoint-as-a-DataSet workflow. Each call is a normal batch scan,
 so the result joins/filters/aggregates like any DataFrame.
 
-Reading covers the ExistingSavepoint surface; WritableSavepoint
-(bootstrapping NEW state into a checkpoint) has no Spark equivalent and
-is documented out of scope — a migration would instead replay a batch
-source through the streaming query to rebuild state.
+Reading covers the ExistingSavepoint surface. WritableSavepoint
+(bootstrapping NEW state) cannot write Spark's internal checkpoint
+files, but the capability itself is covered by the bootstrap section
+below: persist keyed state as a plain table and seed the stream with
+tagged init rows (the KeyedStateBootstrapFunction contract).
 
 At scale: the state store is partitioned exactly like the streaming
 shuffle (one store per shuffle partition), and the reader exposes
@@ -60,3 +61,59 @@ def read_keyed_state(
         for c in df.schema["value"].dataType.names
     ]
     return df.select(*cols, "partition_id")
+
+
+# ---------------------------------------------------------------------------
+# WritableSavepoint analog (round 4): state BOOTSTRAP.
+#
+# The reference's flink-state-processing-api also WRITES savepoints
+# (Savepoint.create().withOperator(uid, transformation).write(path)):
+# batch-build keyed state offline, then start a streaming job FROM it.
+# Spark cannot write a checkpoint's internal state files, but the same
+# capability is expressible natively: persist the keyed state as an
+# ordinary table (write_keyed_state), then feed it into the stream as
+# one-time tagged init rows that the stateful function applies before
+# any live event for the key (bootstrap_union). The state function
+# initializes from init rows exactly as Flink's
+# KeyedStateBootstrapFunction does — and because the bootstrap table
+# shuffles on the same key as the stream, initialization is co-located
+# with the state it seeds, never driver-bound.
+# ---------------------------------------------------------------------------
+def write_keyed_state(state_df: DataFrame, path: str) -> None:
+    """``Savepoint.create().write`` analog: persist a keyed-state table
+    (one row per key) built by any batch computation."""
+    state_df.write.mode("overwrite").parquet(path)
+
+
+def bootstrap_union(
+    spark: SparkSession,
+    events: DataFrame,
+    bootstrap_path: str,
+    schema: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Union the bootstrap table into the live stream as init rows.
+
+    The bootstrap parquet directory is read as a file stream (static
+    contents → delivered once, in the first micro-batch) with
+    ``__init = true``; live rows carry ``__init = false``. ``schema``
+    is the bootstrap table's schema; columns absent from either side
+    are null-filled. Init rows get the MINIMUM timestamp so any
+    event-time ordering inside the stateful function applies them
+    first — the KeyedStateBootstrapFunction contract.
+    """
+    boot = (
+        spark.readStream.schema(schema)
+        .parquet(bootstrap_path)
+        .withColumn("__init", F.lit(True))
+        .withColumn(ts_col, F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    )
+    live = events.withColumn("__init", F.lit(False))
+    all_cols = list(dict.fromkeys(live.columns + boot.columns))
+    fill = lambda df: df.select(
+        *[
+            (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+            for c in all_cols
+        ]
+    )
+    return fill(live).unionByName(fill(boot))

@@ -435,3 +435,77 @@ def test_events_file_stream_starts_on_empty_directory(spark, tmp_path):
     stream = events_file_stream(spark, str(d))
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"].startswith("timestamp")
+
+
+def test_writable_savepoint_analog_bootstraps_state(spark, tmp_path):
+    """WritableSavepoint analog: batch-built keyed state seeds a
+    stateful stream via tagged init rows — keys with live traffic
+    continue FROM the bootstrapped value, bootstrap-only keys surface
+    with their seeded state, fresh keys start from zero."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flink_tornadovm_artifact_spark.streaming.savepoint import (
+        bootstrap_union,
+        write_keyed_state,
+    )
+
+    boot_path = str(tmp_path / "savepoint")
+    write_keyed_state(
+        spark.createDataFrame(
+            [(1, 100.0), (2, 200.0)], "user_id long, value double"
+        ),
+        boot_path,
+    )
+
+    live_dir = tmp_path / "live"
+    live_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 3], pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(3)],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([5.0, 7.0, 1.0], pa.float64()),
+            }
+        ),
+        str(live_dir / "b0.parquet"),
+    )
+    live = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(live_dir))
+    unioned = bootstrap_union(
+        spark, live, boot_path, "user_id long, value double"
+    )
+
+    def running_sum(key, pdfs, state: GroupState):
+        total = float(state.get[0]) if state.exists else 0.0
+        rows = pd.concat([p for p in pdfs if len(p)], ignore_index=True)
+        # init rows first — the KeyedStateBootstrapFunction ordering
+        rows = rows.sort_values("__init", ascending=False)
+        for v, is_init in zip(rows["value"], rows["__init"]):
+            total = float(v) if is_init else total + float(v)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total]})
+
+    out = (
+        unioned.groupBy("user_id")
+        .applyInPandasWithState(
+            running_sum,
+            outputStructType="user_id long, total double",
+            stateStructType="total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    from flink_tornadovm_artifact_spark.streaming import memory_sink_run
+
+    got = {
+        r.user_id: r.total
+        for r in memory_sink_run(out, "bootstrap_out").collect()
+    }
+    assert got == {1: 112.0, 2: 200.0, 3: 1.0}
