@@ -152,3 +152,34 @@ def test_stream_starting_offsets_latest_skips_log(spark, tmp_path):
             num_partitions=1, partition_of=lambda k: 0)
     got = memory_sink_run(stream, "kafka_latest_out")
     assert _values(got) == ["v4", "v5"]
+
+
+def test_stream_multi_partition_exactly_once(spark, tmp_path):
+    """Exactly-once must hold across partitions too: records routed to
+    3 partitions, a restart mid-log, per-partition offsets dense in the
+    sink, no loss or duplication anywhere."""
+    broker = str(tmp_path / "broker")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    produce(broker, "t", [_keyed(i) for i in range(12)], num_partitions=3)
+
+    def run_once():
+        q = (
+            read_stream(spark, broker, "t")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    produce(broker, "t", [_keyed(i) for i in range(12, 20)], num_partitions=3)
+    run_once()
+    got = spark.read.parquet(sink)
+    assert _values(got) == sorted(f"v{i}" for i in range(20))
+    for p, rows in _by_partition(got).items():
+        assert [o for o, _ in rows] == list(range(len(rows)))
