@@ -452,3 +452,254 @@ ORACLE["cep_times_range"] = (
 QUERIES["cep_one_or_more"] = cep_one_or_more
 QUERIES["cep_optional"] = cep_optional
 QUERIES["cep_times_range"] = cep_times_range
+
+
+# ---------------------------------------------------------------------------
+# AfterMatchSkipStrategy (flink-cep/.../nfa/aftermatch/
+# AfterMatchSkipStrategy.java and its subclasses NoSkipStrategy,
+# SkipPastLastStrategy, SkipToLastStrategy): which of the overlapping
+# candidate matches survive after one is emitted. For the looping
+# pattern ``A.oneOrMore().consecutive().greedy().next(B)`` over a
+# maximal A-run a_1..a_n followed by B, the candidate matches are the
+# n suffixes (a_i..a_n, B) — greedy always extends each start to the
+# run end, so greedy ≡ reluctant under consecutive+next (a shorter
+# loop would have to stop at an A, which strict next(B) rejects).
+#
+# - NO_SKIP          → all n candidates survive (every start position);
+# - SKIP_PAST_LAST_EVENT → prune starts before the emitted match's last
+#   event → only the maximal match (start = a_1) survives — exactly the
+#   one row per run that ``cep_one_or_more`` emits (asserted in
+#   tests/test_cep.py);
+# - SKIP_TO_LAST("a") → prune starts before the emitted match's last A
+#   → the maximal match plus the single-element suffix (start = a_n)
+#   survive (one match when n == 1).
+#
+# The island numbering is one analytic pass; the per-run start position
+# makes every strategy a plain filter — no per-strategy rescan.
+# ---------------------------------------------------------------------------
+SKIP_STRATEGIES = ("no_skip", "skip_past_last_event", "skip_to_last")
+
+
+def _numbered_islands(
+    spark: SparkSession, sf_dir: str, with_value: bool = False
+) -> DataFrame:
+    """Per-key stream with row numbers and consecutive same-type
+    island ids (the gaps-and-islands frame shared by the looping
+    quantifier family). ``with_value`` carries the ``value`` column
+    for until() conditions; off by default so 4-column test fixtures
+    (and column pruning) stay minimal."""
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    if with_value:
+        cols.append("value")
+    ev = load(spark, sf_dir, "events").select(*cols)
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(order)
+    flagged = ev.withColumn("rn", F.row_number().over(order)).withColumn(
+        "is_new",
+        (prev_type.isNull() | (prev_type != F.col("event_type"))).cast("int"),
+    )
+    return flagged.withColumn(
+        "island",
+        F.sum("is_new").over(W.partitionBy("user_id").orderBy("rn")),
+    )
+
+
+def cep_after_match(
+    spark: SparkSession, sf_dir: str, strategy: str = "no_skip"
+) -> DataFrame:
+    if strategy not in SKIP_STRATEGIES:
+        raise ValueError(
+            f"unknown AfterMatchSkipStrategy {strategy!r}; "
+            f"expected one of {SKIP_STRATEGIES}"
+        )
+    ev2 = _numbered_islands(spark, sf_dir)
+    a = ev2.filter(F.col("event_type") == ONE_A_TYPE)
+    runs = a.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("rn").alias("start_rn"),
+        F.max("rn").alias("end_rn"),
+    )
+    b = ev2.filter(F.col("event_type") == ONE_B_TYPE).select(
+        "user_id",
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+        "rn",
+    )
+    completed = runs.join(
+        b, (runs.user_id == b.user_id) & (b.rn == runs.end_rn + 1)
+    ).select(
+        runs.user_id.alias("user_id"),
+        "island",
+        "run_len",
+        "start_rn",
+        "b_event_id",
+        "b_ts",
+    )
+    starts = a.select(
+        "user_id",
+        "island",
+        F.col("rn").alias("a_rn"),
+        F.col("ts").alias("a_start_ts"),
+    )
+    cand = starts.join(completed, ["user_id", "island"]).withColumn(
+        "pos", F.col("a_rn") - F.col("start_rn") + 1
+    )
+    if strategy == "skip_past_last_event":
+        cand = cand.filter(F.col("pos") == 1)
+    elif strategy == "skip_to_last":
+        cand = cand.filter(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("run_len"))
+        )
+    return cand.select(
+        "b_event_id",
+        "user_id",
+        "a_start_ts",
+        "b_ts",
+        (F.col("run_len") - F.col("pos") + 1).alias("match_len"),
+    )
+
+
+def cep_after_match_no_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cep_after_match(spark, sf_dir, "no_skip")
+
+
+def cep_after_match_skip_to_last(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return cep_after_match(spark, sf_dir, "skip_to_last")
+
+
+def _after_match_oracle(strategy_filter: str) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+numbered AS (
+  SELECT event_id, user_id, ts, event_type, rn,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len,
+         MIN(rn) AS start_rn, MAX(rn) AS end_rn
+  FROM numbered WHERE event_type = '{ONE_A_TYPE}'
+  GROUP BY user_id, island
+),
+completed AS (
+  SELECT r.user_id, r.island, r.run_len, r.start_rn,
+         n.event_id AS b_event_id, n.ts AS b_ts
+  FROM runs r
+  JOIN numbered n ON n.user_id = r.user_id AND n.rn = r.end_rn + 1
+  WHERE n.event_type = '{ONE_B_TYPE}'
+),
+cand AS (
+  SELECT c.b_event_id, s.user_id, s.ts AS a_start_ts, c.b_ts,
+         s.rn - c.start_rn + 1 AS pos, c.run_len
+  FROM numbered s
+  JOIN completed c ON s.user_id = c.user_id AND s.island = c.island
+  WHERE s.event_type = '{ONE_A_TYPE}'
+)
+SELECT b_event_id, user_id, a_start_ts, b_ts,
+       run_len - pos + 1 AS match_len
+FROM cand{strategy_filter}
+"""
+
+
+ORACLE["cep_after_match_no_skip"] = _after_match_oracle("")
+ORACLE["cep_after_match_skip_to_last"] = _after_match_oracle(
+    "\nWHERE pos = 1 OR pos = run_len"
+)
+
+
+# ---------------------------------------------------------------------------
+# until() (Pattern.java until — the loop-break condition, checked
+# BEFORE each element is consumed by the loop). For
+# ``A.oneOrMore().consecutive().until(value > X).next(B)``: if any A in
+# the run triggers the condition, the loop stops without consuming it;
+# that A then sits between the consumed prefix and B, so strict next(B)
+# can never complete — the whole run produces no match. If the
+# condition never triggers, the match is the maximal run as before.
+# Net: the one-or-more output filtered to runs with no triggering A.
+# UNTIL_X is the fixture's click-value p90 (~123) so roughly 10% of A
+# events trigger — excluded and surviving runs both exist at every SF
+# (vacuity-guard discipline).
+# ---------------------------------------------------------------------------
+UNTIL_X = 123.0
+
+
+def cep_one_or_more_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev2 = _numbered_islands(spark, sf_dir, with_value=True)
+    a = ev2.filter(F.col("event_type") == ONE_A_TYPE)
+    runs = a.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("ts").alias("a_first_ts"),
+        F.max("rn").alias("end_rn"),
+        F.max((F.col("value") > UNTIL_X).cast("int")).alias("triggered"),
+    )
+    b = ev2.filter(F.col("event_type") == ONE_B_TYPE).select(
+        "user_id",
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+        "rn",
+    )
+    return (
+        b.join(
+            runs,
+            (b.user_id == runs.user_id)
+            & (b.rn == runs.end_rn + 1)
+            & (runs.triggered == 0),
+        )
+        .select(
+            "b_event_id",
+            b.user_id.alias("user_id"),
+            "a_first_ts",
+            "b_ts",
+            "run_len",
+        )
+    )
+
+
+ORACLE["cep_one_or_more_until"] = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+numbered AS (
+  SELECT event_id, user_id, ts, event_type, value, rn,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len, MIN(ts) AS a_first_ts,
+         MAX(rn) AS end_rn,
+         MAX(CASE WHEN value > {UNTIL_X} THEN 1 ELSE 0 END) AS triggered
+  FROM numbered WHERE event_type = '{ONE_A_TYPE}'
+  GROUP BY user_id, island
+)
+SELECT n.event_id AS b_event_id, n.user_id, r.a_first_ts,
+       n.ts AS b_ts, r.run_len
+FROM numbered n
+JOIN runs r ON n.user_id = r.user_id AND n.rn = r.end_rn + 1
+WHERE n.event_type = '{ONE_B_TYPE}' AND r.triggered = 0
+"""
+
+QUERIES["cep_after_match_no_skip"] = cep_after_match_no_skip
+QUERIES["cep_after_match_skip_to_last"] = cep_after_match_skip_to_last
+QUERIES["cep_one_or_more_until"] = cep_one_or_more_until

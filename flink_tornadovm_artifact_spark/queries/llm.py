@@ -1190,3 +1190,152 @@ SELECT doc_id,
 FROM g
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram language-model scoring (round 4) — the KenLM-style
+# quality filter of CCNet/Gopher pipelines (Wenzek et al. 2019 §4.3):
+# score each document by the average log-probability its own corpus's
+# bigram model assigns to it; low scores flag incoherent or
+# out-of-distribution text. Two passes over the exploded bigrams:
+# (1) model build — bigram and first-word counts plus vocabulary size,
+# (2) scoring — join each document's bigrams to the model and average
+# add-one-smoothed log P(w2|w1) = ln((c(w1 w2)+1)/(c(w1 ·)+V)).
+# At 100 TB the model tables are corpus-sized aggregates, so the joins
+# shuffle on the bigram/first-word keys (no broadcast hint — AQE picks
+# broadcast when a real deployment's model fits); documents with fewer
+# than two tokens have no bigrams and drop out in both engines.
+# ---------------------------------------------------------------------------
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    grams2 = F.array_compact(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(grams2).alias("bg"),
+    ).withColumn("w1", F.split("bg", " ")[0])
+    lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    fc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    logp = F.log(
+        (F.col("c_bg") + F.lit(1.0)) / (F.col("c_w1") + F.col("vocab"))
+    )
+    return (
+        bg.join(lm, "bg")
+        .join(fc, "w1")
+        .crossJoin(vocab)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("lm_logprob"),
+        )
+    )
+
+
+_register(
+    text_bigram_lm_score,
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(t) - 1),
+                               i -> t[i + 1] || ' ' || t[i + 2])) AS bg
+  FROM toks
+),
+withw1 AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg
+),
+lm AS (SELECT bg, COUNT(*) AS c_bg FROM withw1 GROUP BY bg),
+fc AS (SELECT w1, COUNT(*) AS c_w1 FROM withw1 GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(t) AS tok FROM toks)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       AVG(ln((c_bg + 1.0) / (c_w1 + vocab))) AS lm_logprob
+FROM withw1
+JOIN lm USING (bg)
+JOIN fc USING (w1)
+CROSS JOIN v
+GROUP BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (round 4): top-3 terms per document by
+# tf·idf with the smooth idf = ln((N+1)/(df+1)) + 1 (scikit-learn's
+# formulation, public knowledge). Three shuffles total — (doc, token)
+# counts, token document-frequencies, and the per-document top-k window
+# — all keyed aggregations that scale linearly; the 1-row corpus-size
+# aggregate rides along as a crossJoin that AQE turns into a broadcast.
+# Ties break on the token string so the rank column is deterministic
+# and oracle-checkable.
+# ---------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    ranked = (
+        tf.join(dfreq, "token")
+        .crossJoin(n)
+        .withColumn("score", score)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("token")
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= TFIDF_TOP_K).select(
+        "doc_id", "token", "tf", "score", "rk"
+    )
+
+
+_register(
+    text_tfidf_keywords,
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, score, rk FROM (
+  SELECT t.doc_id, t.token, t.tf,
+         t.tf * (ln((n_docs + 1.0) / (d.df_t + 1.0)) + 1.0) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * (ln((n_docs + 1.0) / (d.df_t + 1.0)) + 1.0) DESC,
+                    t.token
+         ) AS rk
+  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+) WHERE rk <= {TFIDF_TOP_K}
+""",
+)

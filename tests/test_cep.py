@@ -501,3 +501,108 @@ def test_cep_optional_stream_matches_batch(spark, tmp_path):
         == want
         == [(1, 3, 1, 2), (2, 5, 4, None)]
     )
+
+
+def _write_valued(path: str, rows, mtime: int) -> None:
+    """5-column fixture: (event_id, user_id, minute, event_type, value)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [BASE + dt.timedelta(minutes=r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        path,
+    )
+    os.utime(path, (mtime, mtime))
+
+
+#: Looping-pattern fixture for the AfterMatchSkipStrategy family:
+#: user 1 has a 3-click run before its purchase, user 2 a 1-click run,
+#: user 3's run is broken by a view (no match), user 4's single click
+#: carries an until()-triggering value.
+_SKIP_ROWS = [
+    (1, 1, 0, "click", 10.0),
+    (2, 1, 1, "click", 20.0),
+    (3, 1, 2, "click", 130.0),  # > UNTIL_X: breaks the until() run
+    (4, 1, 3, "purchase", 0.0),
+    (5, 2, 0, "click", 5.0),
+    (6, 2, 1, "purchase", 0.0),
+    (7, 3, 0, "click", 5.0),
+    (8, 3, 1, "view", 0.0),
+    (9, 3, 2, "purchase", 0.0),
+    (10, 4, 0, "click", 200.0),  # > UNTIL_X
+    (11, 4, 1, "purchase", 0.0),
+]
+
+
+def test_cep_after_match_strategies_hand_computed(spark, tmp_path):
+    """NO_SKIP emits every start position of user 1's 3-run (lengths
+    3,2,1); SKIP_TO_LAST keeps the maximal match and the last-element
+    suffix (3,1); SKIP_PAST_LAST_EVENT only the maximal — which must
+    equal cep_one_or_more's per-run output."""
+    import pytest
+
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_after_match,
+        cep_one_or_more,
+    )
+
+    d = tmp_path / "cep_skip"
+    d.mkdir()
+    _write_valued(str(d / "events.parquet"), _SKIP_ROWS, 1_700_000_000)
+
+    def got(strategy):
+        return sorted(
+            (r.user_id, r.b_event_id, r.match_len, _minutes(r.a_start_ts))
+            for r in cep_after_match(spark, str(d), strategy).collect()
+        )
+
+    assert got("no_skip") == [
+        (1, 4, 1, 2),
+        (1, 4, 2, 1),
+        (1, 4, 3, 0),
+        (2, 6, 1, 0),
+        (4, 11, 1, 0),
+    ]
+    assert got("skip_to_last") == [
+        (1, 4, 1, 2),
+        (1, 4, 3, 0),
+        (2, 6, 1, 0),
+        (4, 11, 1, 0),
+    ]
+    past_last = got("skip_past_last_event")
+    assert past_last == [(1, 4, 3, 0), (2, 6, 1, 0), (4, 11, 1, 0)]
+    # SKIP_PAST_LAST_EVENT ≡ the greedy maximal-run query
+    oom = sorted(
+        (r.user_id, r.b_event_id, r.run_len, _minutes(r.a_first_ts))
+        for r in cep_one_or_more(spark, str(d)).collect()
+    )
+    assert oom == past_last
+    with pytest.raises(ValueError, match="AfterMatchSkipStrategy"):
+        cep_after_match(spark, str(d), "skip_sideways")
+
+
+def test_cep_until_hand_computed(spark, tmp_path):
+    """until(value > X) stops the loop WITHOUT consuming the trigger,
+    so strict next(B) can never complete for a run containing one:
+    user 1 (trigger mid-run) and user 4 (trigger is the whole run) are
+    excluded; user 2's clean run still matches."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_one_or_more_until,
+    )
+
+    d = tmp_path / "cep_until"
+    d.mkdir()
+    _write_valued(str(d / "events.parquet"), _SKIP_ROWS, 1_700_000_000)
+    got = sorted(
+        (r.user_id, r.b_event_id, r.run_len, _minutes(r.a_first_ts))
+        for r in cep_one_or_more_until(spark, str(d)).collect()
+    )
+    assert got == [(2, 6, 1, 0)]
