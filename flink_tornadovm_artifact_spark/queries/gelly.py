@@ -968,3 +968,48 @@ SELECT CAST(SUM(l * (l - 1) / 2) AS BIGINT) AS triangle_triplet_count,
 FROM pv
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection (bipartite/BipartiteGraph.java
+# projectionTopSimple): the part ↔ supplier bipartite graph from
+# lineitem, projected onto suppliers — two suppliers are linked iff
+# they ship at least one common part, weighted by the number of shared
+# parts. One self-join of the distinct edge set on the part key, then a
+# groupBy on the supplier pair: both shuffles are keyed and the src<dst
+# canonicalization emits each pair once.
+# ---------------------------------------------------------------------------
+def bipartite_projection_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.bipartite import BipartiteGraph
+
+    e = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("top_id"),
+            F.col("l_partkey").alias("bottom_id"),
+        )
+        .distinct()
+    )
+    g = BipartiteGraph.from_edges(e).projection_top_simple()
+    return g.edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("supp_a"),
+        F.col("dst").alias("supp_b"),
+        F.col("value").alias("shared_parts"),
+    )
+
+
+_register(
+    bipartite_projection_suppliers,
+    """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+)
+SELECT a.supp AS supp_a, b.supp AS supp_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_parts
+FROM e a
+JOIN e b ON a.part = b.part AND a.supp < b.supp
+GROUP BY a.supp, b.supp
+""",
+)
