@@ -210,3 +210,124 @@ def test_generator_mappings_resolve():
         assert callable(getattr(mods[mod], name, None)), (
             f"{ref} maps to missing {target}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Third sweep (round 4): asm/ building blocks and the three iteration
+# models (gsa/, pregel/, spargel/).
+# ---------------------------------------------------------------------------
+_GRAPH_ROOT = (
+    "/root/reference/Flink-TornadoVM/flink-libraries/flink-gelly/"
+    "src/main/java/org/apache/flink/graph"
+)
+
+ASM_IMPLEMENTED = {
+    "asm/dataset/ChecksumHashCode.java": "gelly_graph.checksum_hash_code",
+    "asm/degree/annotate/directed/EdgeDegreesPair.java":
+        "asm.edge_degrees_pair",
+    "asm/degree/annotate/directed/EdgeSourceDegrees.java":
+        "asm.edge_source_degrees",
+    "asm/degree/annotate/directed/EdgeTargetDegrees.java":
+        "asm.edge_target_degrees",
+    "asm/degree/annotate/directed/VertexDegrees.java": "asm.vertex_degrees",
+    "asm/degree/annotate/directed/VertexInDegree.java":
+        "asm.vertex_in_degree",
+    "asm/degree/annotate/directed/VertexOutDegree.java":
+        "asm.vertex_out_degree",
+    "asm/degree/annotate/undirected/EdgeDegreePair.java":
+        "asm.edge_degree_pair",
+    "asm/degree/annotate/undirected/EdgeSourceDegree.java":
+        "asm.edge_source_degree",
+    "asm/degree/annotate/undirected/EdgeTargetDegree.java":
+        "asm.edge_target_degree",
+    "asm/degree/annotate/undirected/VertexDegree.java": "asm.vertex_degree",
+    "asm/degree/filter/undirected/MaximumDegree.java":
+        "asm.maximum_degree_filter",
+    "asm/simple/directed/Simplify.java": "asm.simplify_directed",
+    "asm/simple/undirected/Simplify.java": "asm.simplify_undirected",
+    "asm/translate/Translate.java": "asm.translate_graph_ids",
+    "asm/translate/TranslateEdgeValues.java": "asm.translate_edge_values",
+    "asm/translate/TranslateGraphIds.java": "asm.translate_graph_ids",
+    "asm/translate/TranslateVertexValues.java":
+        "asm.translate_vertex_values",
+    "gsa/GatherSumApplyIteration.java":
+        "iteration_models.gather_sum_apply_iteration",
+    "pregel/VertexCentricIteration.java":
+        "iteration_models.vertex_centric_iteration",
+    "spargel/ScatterGatherIteration.java":
+        "iteration_models.scatter_gather_iteration",
+}
+
+ASM_NOT_ALGORITHMS = {
+    # function/value-type scaffolding subsumed by DataFrame schemas and
+    # Column-expression callbacks
+    "asm/dataset/Collect.java",  # = DataFrame.collect()
+    "asm/dataset/Count.java",  # = DataFrame.count()
+    "asm/dataset/DataSetAnalytic.java",
+    "asm/dataset/DataSetAnalyticBase.java",
+    "asm/degree/annotate/DegreeAnnotationFunctions.java",
+    "asm/degree/annotate/package-info.java",
+    "asm/result/BinaryResult.java",
+    "asm/result/BinaryResultBase.java",
+    "asm/result/PrintableResult.java",
+    "asm/result/ResultBase.java",
+    "asm/result/TertiaryResult.java",
+    "asm/result/TertiaryResultBase.java",
+    "asm/result/TranslatableResult.java",
+    "asm/result/UnaryResult.java",
+    "asm/result/UnaryResultBase.java",
+    "asm/translate/RichTranslateFunction.java",
+    "asm/translate/TranslateFunction.java",  # = the callable contract
+    # shipped translators = one-line lambdas (asm.translate_graph_ids
+    # docstring maps each)
+    "asm/translate/translators/LongToLongValue.java",
+    "asm/translate/translators/LongValueAddOffset.java",
+    "asm/translate/translators/LongValueToSignedIntValue.java",
+    "asm/translate/translators/LongValueToStringValue.java",
+    "asm/translate/translators/LongValueToUnsignedIntValue.java",
+    "asm/translate/translators/ToNullValue.java",
+    # iteration-model function objects / config / iterators: the
+    # operator signatures in iteration_models.py
+    "gsa/ApplyFunction.java",
+    "gsa/GSAConfiguration.java",
+    "gsa/GatherFunction.java",
+    "gsa/Neighbor.java",
+    "gsa/SumFunction.java",
+    "pregel/ComputeFunction.java",
+    "pregel/MessageCombiner.java",
+    "pregel/MessageIterator.java",
+    "pregel/VertexCentricConfiguration.java",
+    "spargel/GatherFunction.java",
+    "spargel/MessageIterator.java",
+    "spargel/ScatterFunction.java",
+    "spargel/ScatterGatherConfiguration.java",
+}
+
+
+def test_asm_and_iteration_files_accounted_for():
+    if not os.path.isdir(_GRAPH_ROOT):
+        pytest.skip("reference tree not mounted")
+    files = set()
+    for pkg in ("asm", "gsa", "pregel", "spargel"):
+        files |= {
+            f"{pkg}/{p}"
+            for p in _files_under(os.path.join(_GRAPH_ROOT, pkg))
+        }
+    accounted = set(ASM_IMPLEMENTED) | ASM_NOT_ALGORITHMS
+    missing = sorted(files - accounted)
+    stale = sorted(accounted - files)
+    assert not missing, f"unmapped asm/iteration files: {missing}"
+    assert not stale, f"mappings to nonexistent reference files: {stale}"
+
+
+def test_asm_mappings_resolve():
+    import flink_tornadovm_artifact_spark.functions.asm as asm
+    import flink_tornadovm_artifact_spark.functions.gelly_graph as gelly_graph
+    import flink_tornadovm_artifact_spark.functions.iteration_models as im
+
+    mods = {"asm": asm, "gelly_graph": gelly_graph, "iteration_models": im}
+    for ref, target in ASM_IMPLEMENTED.items():
+        mod, _, name = target.partition(".")
+        assert callable(getattr(mods[mod], name, None)), (
+            f"{ref} maps to missing {target}"
+        )
