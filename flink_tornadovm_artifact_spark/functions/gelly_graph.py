@@ -234,3 +234,21 @@ def checksum_hash_code(graph: Graph) -> DataFrame:
     return allh.agg(
         F.count(F.lit(1)).alias("count"), F.sum("h").alias("checksum")
     )
+
+
+def validate_vertex_ids(graph: Graph) -> bool:
+    """``validation/InvalidVertexIdsValidator.java`` (the one shipped
+    ``GraphValidator``): true iff every edge endpoint id appears in the
+    vertex set. Two anti-joins against the vertex ids — each a
+    broadcast-able semi-join shape, no row explosion — then an
+    emptiness probe (the reference coGroups and collects the first
+    invalid id; ``isEmpty`` is Spark's LIMIT-1 short-circuit form of
+    the same check)."""
+    ids = graph.vertices.select("id")
+    bad_src = graph.edges.join(
+        ids.withColumnRenamed("id", "src"), "src", "left_anti"
+    )
+    bad_dst = graph.edges.join(
+        ids.withColumnRenamed("id", "dst"), "dst", "left_anti"
+    )
+    return bad_src.isEmpty() and bad_dst.isEmpty()

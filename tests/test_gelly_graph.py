@@ -147,3 +147,20 @@ def test_run_weighted_algorithm_sees_edge_values(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 5, 3: 12}
+
+
+def test_validate_vertex_ids(spark):
+    """InvalidVertexIdsValidator: edges referencing a vertex missing
+    from the vertex set fail validation."""
+    from flink_tornadovm_artifact_spark.functions.gelly_graph import (
+        Graph,
+        validate_vertex_ids,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ok = Graph.from_edges(edges)
+    assert validate_vertex_ids(ok)
+    clipped = Graph(
+        ok.vertices.filter("id != 3"), ok.edges
+    )
+    assert not validate_vertex_ids(clipped)
