@@ -69,6 +69,11 @@ HEADLINE = [
     "cep_one_or_more",
     "triadic_census_directed_q",
     "text_repetition_metrics",
+    # round-4 additions (second batch): the two-pass corpus bigram-LM
+    # scorer (model build + scoring joins on n-gram keys) and the
+    # bipartite self-join projection (supplier pairs via shared parts)
+    "text_bigram_lm_score",
+    "bipartite_projection_suppliers",
 ]
 
 
