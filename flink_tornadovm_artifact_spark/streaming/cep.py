@@ -415,3 +415,92 @@ def cep_optional_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cep_after_match_stream(
+    events: DataFrame,
+    strategy: str = "no_skip",
+    a_type: str = "click",
+    b_type: str = "purchase",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_after_match`` — the
+    AfterMatchSkipStrategy family over the looping
+    ``A.oneOrMore().consecutive().greedy().next(B)`` pattern
+    (``flink-cep/.../nfa/aftermatch/AfterMatchSkipStrategy.java``).
+
+    Keyed state is the full start-timestamp list of the trailing
+    consecutive A-run — exactly the NFA's partial-match buffer for this
+    pattern (one live start per run position; Flink keeps the same
+    per-start entries in its SharedBuffer). When B arrives, the
+    candidate matches are the run's suffixes; the strategy picks which
+    survive:
+
+    - ``no_skip``: all start positions;
+    - ``skip_past_last_event``: only the maximal match (position 0);
+    - ``skip_to_last``: position 0 plus the final single-A suffix.
+
+    State is O(run length) — bounded by the longest consecutive A-run,
+    the same bound as the reference's buffer (no within() bound on this
+    pattern, so no deadline pruning). Same cross-batch in-order
+    assumption as the other twins (module caveat on cep_times_stream).
+    """
+    from ..queries.cep import SKIP_STRATEGIES
+
+    if strategy not in SKIP_STRATEGIES:
+        raise ValueError(
+            f"unknown AfterMatchSkipStrategy {strategy!r}; "
+            f"expected one of {SKIP_STRATEGIES}"
+        )
+
+    def run(key, pdfs, state: GroupState):
+        starts: list[int] = list(state.get[0]) if state.exists else []
+        out = []  # (b_event_id, b_ts, a_start_ts, match_len)
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
+                t = int(t)
+                if typ == a_type:
+                    starts.append(t)
+                else:
+                    if typ == b_type and starts:
+                        n = len(starts)
+                        if strategy == "no_skip":
+                            picks = range(n)
+                        elif strategy == "skip_past_last_event":
+                            picks = [0]
+                        else:  # skip_to_last
+                            picks = [0] if n == 1 else [0, n - 1]
+                        for i in picks:
+                            out.append((int(eid), t, starts[i], n - i))
+                    starts = []
+        state.update((starts,))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "b_event_id": [o[0] for o in out],
+                    "b_ts": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "a_start_ts": pd.to_datetime(
+                        [o[2] for o in out], unit="us"
+                    ),
+                    "match_len": [o[3] for o in out],
+                }
+            )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, b_event_id long, b_ts timestamp, "
+            "a_start_ts timestamp, match_len long"
+        ),
+        stateStructType="starts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -606,3 +606,54 @@ def test_cep_until_hand_computed(spark, tmp_path):
         for r in cep_one_or_more_until(spark, str(d)).collect()
     )
     assert got == [(2, 6, 1, 0)]
+
+
+def test_cep_after_match_stream_matches_batch(spark, tmp_path):
+    """The skip-strategy twin's start-list state must survive a
+    micro-batch boundary splitting user 1's 3-run; differential against
+    the batch cep_after_match for all three strategies."""
+    from flink_tornadovm_artifact_spark.queries.cep import cep_after_match
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_after_match_stream,
+        memory_sink_run,
+    )
+
+    rows = [(r[0], r[1], r[2], r[3]) for r in _SKIP_ROWS]
+    d = tmp_path / "cep_skip_batch"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    d2 = tmp_path / "cep_skip_stream"
+    d2.mkdir()
+    cut = 2  # user 1's run spans the boundary
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+
+    for strategy in ("no_skip", "skip_past_last_event", "skip_to_last"):
+        want = sorted(
+            (r.user_id, r.b_event_id, _minutes(r.a_start_ts), r.match_len)
+            for r in cep_after_match(spark, str(d), strategy).collect()
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d2))
+        )
+        got = memory_sink_run(
+            cep_after_match_stream(stream, strategy),
+            f"cep_skip_{strategy}_out",
+        )
+        assert (
+            sorted(
+                (r.user_id, r.b_event_id, _minutes(r.a_start_ts), r.match_len)
+                for r in got.collect()
+            )
+            == want
+        ), strategy
+    import pytest
+
+    with pytest.raises(ValueError, match="AfterMatchSkipStrategy"):
+        cep_after_match_stream(spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        ).parquet(str(d2)), "skip_sideways")
