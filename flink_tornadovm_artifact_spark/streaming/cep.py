@@ -504,3 +504,73 @@ def cep_after_match_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cep_one_or_more_until_stream(
+    events: DataFrame,
+    until_x: float = 123.0,
+    a_type: str = "click",
+    b_type: str = "purchase",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_one_or_more_until`` —
+    ``oneOrMore().consecutive().until(value > X).next(B)``. Same
+    O(1)-per-key looping-run summary as ``cep_one_or_more_stream``
+    plus one ``triggered`` bit: the until() condition is evaluated as
+    each A arrives (the reference checks it BEFORE consuming the
+    element into the loop), and a triggered run can never complete —
+    its B is swallowed and the run resets.
+    """
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            run_len, first_ts, triggered = (int(x) for x in state.get)
+        else:
+            run_len, first_ts, triggered = 0, 0, 0
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ, val in zip(
+                rows["event_id"], ts_us, rows["event_type"], rows["value"]
+            ):
+                t = int(t)
+                if typ == a_type:
+                    if run_len == 0:
+                        first_ts = t
+                    run_len += 1
+                    if val is not None and float(val) > until_x:
+                        triggered = 1
+                else:
+                    if typ == b_type and run_len >= 1 and not triggered:
+                        out.append((int(eid), t, first_ts, run_len))
+                    run_len, first_ts, triggered = 0, 0, 0
+        state.update((run_len, first_ts, triggered))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "b_event_id": [o[0] for o in out],
+                    "b_ts": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "a_first_ts": pd.to_datetime(
+                        [o[2] for o in out], unit="us"
+                    ),
+                    "run_len": [o[3] for o in out],
+                }
+            )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, b_event_id long, b_ts timestamp, "
+            "a_first_ts timestamp, run_len long"
+        ),
+        stateStructType="run_len long, first_ts_us long, triggered long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -657,3 +657,47 @@ def test_cep_after_match_stream_matches_batch(spark, tmp_path):
         cep_after_match_stream(spark.readStream.schema(
             "event_id long, user_id long, ts timestamp, event_type string"
         ).parquet(str(d2)), "skip_sideways")
+
+
+def test_cep_until_stream_matches_batch(spark, tmp_path):
+    """until() twin: the triggered bit must survive the micro-batch
+    boundary (user 1's trigger arrives in batch 0, its B in batch 1)."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_one_or_more_until,
+    )
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_one_or_more_until_stream,
+        memory_sink_run,
+    )
+
+    d = tmp_path / "cep_until_batch"
+    d.mkdir()
+    _write_valued(str(d / "events.parquet"), _SKIP_ROWS, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.b_event_id, r.run_len, _minutes(r.a_first_ts))
+        for r in cep_one_or_more_until(spark, str(d)).collect()
+    )
+    d2 = tmp_path / "cep_until_stream"
+    d2.mkdir()
+    cut = 3  # user 1's trigger (event 3) lands in batch 0, B in batch 1
+    _write_valued(str(d2 / "b0.parquet"), _SKIP_ROWS[:cut], 1_700_000_000)
+    _write_valued(str(d2 / "b1.parquet"), _SKIP_ROWS[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(
+        cep_one_or_more_until_stream(stream), "cep_until_out"
+    )
+    assert (
+        sorted(
+            (r.user_id, r.b_event_id, r.run_len, _minutes(r.a_first_ts))
+            for r in got.collect()
+        )
+        == want
+        == [(2, 6, 1, 0)]
+    )
