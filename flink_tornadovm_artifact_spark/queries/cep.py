@@ -703,3 +703,79 @@ WHERE n.event_type = '{ONE_B_TYPE}' AND r.triggered = 0
 QUERIES["cep_after_match_no_skip"] = cep_after_match_no_skip
 QUERIES["cep_after_match_skip_to_last"] = cep_after_match_skip_to_last
 QUERIES["cep_one_or_more_until"] = cep_one_or_more_until
+
+
+# ---------------------------------------------------------------------------
+# followedByAny (Pattern.java followedByAny — NON-DETERMINISTIC relaxed
+# contiguity): unlike followedBy's head-match collapse, EVERY B within
+# the bound completes a match with each preceding A, so the output is
+# the full (A, B) pair set. The scale-safe form is the bucketed-grid
+# interval join proven by q22: bucket length = the within() bound, the
+# A side explodes to its {g, g+1} forward cells, the join keys on
+# (user, cell) — never a per-user cartesian. Output volume is the
+# pattern's own semantics (each A can match many Bs), not a plan
+# artifact.
+# ---------------------------------------------------------------------------
+ANY_WITHIN_SEC = 1800  # 30 minutes, matching the followedBy pattern
+
+
+def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        (F.unix_timestamp("ts") / ANY_WITHIN_SEC).cast("bigint").alias("g"),
+    )
+    a = (
+        ev.filter(F.col("event_type") == A_TYPE)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.explode(F.array(F.col("g"), F.col("g") + 1)).alias("g"),
+        )
+        .alias("a")
+    )
+    b = ev.filter(F.col("event_type") == B_TYPE).alias("b")
+    follows = (F.col("b.ts") > F.col("a.ts")) | (
+        (F.col("b.ts") == F.col("a.ts"))
+        & (F.col("b.event_id") > F.col("a.event_id"))
+    )
+    return (
+        a.join(b, ["user_id", "g"])
+        .filter(
+            follows
+            & (
+                F.col("b.ts")
+                <= F.col("a.ts") + F.expr(f"INTERVAL {ANY_WITHIN_SEC} SECONDS")
+            )
+        )
+        .select(
+            F.col("a.event_id").alias("a_event_id"),
+            F.col("b.event_id").alias("b_event_id"),
+            "user_id",
+            F.col("a.ts").alias("a_ts"),
+            F.col("b.ts").alias("b_ts"),
+        )
+    )
+
+
+ORACLE["cep_followed_by_any"] = f"""
+WITH a AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = '{A_TYPE}'
+),
+b AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = '{B_TYPE}'
+)
+SELECT a.event_id AS a_event_id, b.event_id AS b_event_id, a.user_id,
+       a.ts AS a_ts, b.ts AS b_ts
+FROM a JOIN b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL {ANY_WITHIN_SEC} SECONDS
+"""
+
+QUERIES["cep_followed_by_any"] = cep_followed_by_any
