@@ -1339,3 +1339,51 @@ SELECT doc_id, token, tf, score, rk FROM (
 ) WHERE rk <= {TFIDF_TOP_K}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic importance sampling (round 4): keep each document with
+# probability proportional to its token count — the mixture-reweighting
+# primitive of training-data pipelines (upsample long documents /
+# downsample boilerplate without a separate pass to materialize
+# weights). The Bernoulli draw is the md5-of-doc_id uniform (13 hex
+# digits = a double's full 52-bit mantissa), so the sample is a pure
+# function of the corpus: reproducible across cluster layouts, re-runs,
+# and engines — which is also what makes it fully oracle-checkable,
+# unlike rand()-based sampling. One scan + a 1-row max crossJoin (AQE
+# broadcast); no shuffle of the corpus itself.
+# ---------------------------------------------------------------------------
+def text_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    mx = base.agg(F.max("n_tokens").alias("max_tokens"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("double") / float(16**13)
+    return (
+        base.crossJoin(mx)
+        .withColumn("p_keep", F.col("n_tokens") / F.col("max_tokens"))
+        .filter(u < F.col("p_keep"))
+        .select("doc_id", "n_tokens", "p_keep")
+    )
+
+
+_register(
+    text_importance_sample,
+    """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+mx AS (SELECT MAX(n_tokens) AS max_tokens FROM base)
+SELECT doc_id, n_tokens, n_tokens / max_tokens AS p_keep
+FROM base CROSS JOIN mx
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+           AS BIGINT) / 4503599627370496.0
+      < n_tokens / max_tokens
+""",
+)
