@@ -80,20 +80,23 @@ class BipartiteGraph:
             "src", "dst", "shared_id", "src_edge_value", "dst_edge_value"
         )
 
-    def projection_top_simple(self) -> Graph:
+    def projection_top_simple(self, canonical: bool = False) -> Graph:
         """Unipartite graph over the top vertices; edge value = shared
-        bottom-neighbor count."""
-        edges = (
-            self._full("bottom_id", "top_id")
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("value"))
-        )
-        return Graph(self.top, edges)
+        bottom-neighbor count. ``canonical=True`` keeps only src < dst
+        BEFORE the pair aggregation — half the shuffled volume when the
+        caller wants each pair once (a deliberate superset of the
+        reference, which always emits both orientations)."""
+        return Graph(self.top, self._simple("bottom_id", "top_id", canonical))
 
-    def projection_bottom_simple(self) -> Graph:
-        edges = (
-            self._full("top_id", "bottom_id")
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("value"))
+    def projection_bottom_simple(self, canonical: bool = False) -> Graph:
+        return Graph(
+            self.bottom, self._simple("top_id", "bottom_id", canonical)
         )
-        return Graph(self.bottom, edges)
+
+    def _simple(self, shared: str, kept: str, canonical: bool) -> DataFrame:
+        pairs = self._full(shared, kept)
+        if canonical:
+            pairs = pairs.filter(F.col("src") < F.col("dst"))
+        return pairs.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).alias("value")
+        )

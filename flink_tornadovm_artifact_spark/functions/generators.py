@@ -64,13 +64,18 @@ def circulant_graph(
     for (o1, l1), (o2, _l2) in zip(srt, srt[1:]):
         if o1 + l1 > o2:
             raise ValueError(f"overlapping ranges {(o1, l1)} and {(o2, _l2)}")
-    offsets = [off + i for off, length in ranges for i in range(length)]
-    # the offset list is configuration (like the reference's
-    # OffsetRange list shipped inside the flatMap closure), never data:
-    # a broadcast-joined literal table of |offsets| rows
-    off_df = spark.createDataFrame(
-        [(o,) for o in offsets], "off long"
+    # only the COMPACT (offset, length) pairs touch the driver (the
+    # reference ships the same OffsetRange list inside its flatMap
+    # closure); each range expands to offsets at scan parallelism via
+    # spark.range, so complete_graph(2^30) never materializes a
+    # 2^30-element list driver-side
+    off_df = spark.range(ranges[0][0], ranges[0][0] + ranges[0][1]).select(
+        F.col("id").alias("off")
     )
+    for off, length in ranges[1:]:
+        off_df = off_df.unionAll(
+            spark.range(off, off + length).select(F.col("id").alias("off"))
+        )
     edges = (
         spark.range(vertex_count)
         .select(F.col("id").alias("src"))
@@ -95,6 +100,10 @@ def echo_graph(
     ``vertex_degree`` offsets centered at n/2. Exactly one of n, d must
     be even (EchoGraph.java:67) — that parity is what makes the offset
     set symmetric mod n, hence the graph undirected."""
+    if vertex_degree < 1:
+        raise ValueError("vertex degree must be at least 1")
+    if vertex_degree >= vertex_count:
+        raise ValueError("vertex degree must be less than the vertex count")
     if not ((vertex_count % 2 == 0) ^ (vertex_degree % 2 == 0)):
         raise ValueError(
             "exactly one of vertex count and vertex degree must be even"

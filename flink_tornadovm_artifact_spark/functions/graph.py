@@ -1079,9 +1079,11 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
     """
     # all three per-vertex quantities come straight off the shared
     # (a, b, m) pair-mask frame — for endpoint a the out/in bits are
-    # (m & 2, m & 1), for b they flip — so the census shares ONE edge
-    # dedup shuffle with the triangle listing below instead of four
-    # separate scans of the raw edge set (ReuseExchange serves both)
+    # (m & 2, m & 1), for b they flip — so the census's degree stats
+    # and the triangle listing below are two column-pruned rescans of
+    # ONE frame shape instead of four independent scans of the raw
+    # edge set (see the _pair_masks docstring for why ReuseExchange
+    # does NOT collapse the two rescans further)
     pm = _pair_masks(edges)
 
     def _flags(v, out_bit, in_bit):

@@ -285,25 +285,7 @@ ONE_A_TYPE, ONE_B_TYPE = "click", "purchase"
 
 
 def cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_type = F.lag("event_type").over(order)
-    # two passes: window functions can't nest, so the boundary flag
-    # (LAG) materializes first and the running SUM numbers the islands
-    # in a second pass over the same partitioning — no extra shuffle,
-    # the sort order is reused
-    flagged = ev.withColumn("rn", F.row_number().over(order)).withColumn(
-        "is_new",
-        (prev_type.isNull() | (prev_type != F.col("event_type"))).cast("int"),
-    )
-    ev2 = flagged.withColumn(
-        "island",
-        F.sum("is_new").over(
-            W.partitionBy("user_id").orderBy("rn")
-        ),
-    )
+    ev2 = _numbered_islands(spark, sf_dir)
     runs = (
         ev2.filter(F.col("event_type") == ONE_A_TYPE)
         .groupBy("user_id", "island")
@@ -643,7 +625,13 @@ def cep_one_or_more_until(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("run_len"),
         F.min("ts").alias("a_first_ts"),
         F.max("rn").alias("end_rn"),
-        F.max((F.col("value") > UNTIL_X).cast("int")).alias("triggered"),
+        # coalesce: a NULL value never triggers (matches the oracle's
+        # CASE WHEN ... ELSE 0 and the stream twin's NaN comparison);
+        # without it an all-NULL run would aggregate to NULL and the
+        # triggered == 0 join predicate would silently drop the run
+        F.max(
+            F.coalesce((F.col("value") > UNTIL_X).cast("int"), F.lit(0))
+        ).alias("triggered"),
     )
     b = ev2.filter(F.col("event_type") == ONE_B_TYPE).select(
         "user_id",

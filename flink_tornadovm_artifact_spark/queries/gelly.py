@@ -992,8 +992,8 @@ def bipartite_projection_suppliers(
         )
         .distinct()
     )
-    g = BipartiteGraph.from_edges(e).projection_top_simple()
-    return g.edges.filter(F.col("src") < F.col("dst")).select(
+    g = BipartiteGraph.from_edges(e).projection_top_simple(canonical=True)
+    return g.edges.select(
         F.col("src").alias("supp_a"),
         F.col("dst").alias("supp_b"),
         F.col("value").alias("shared_parts"),

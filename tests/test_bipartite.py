@@ -54,3 +54,10 @@ def test_projection_bottom_full(spark):
     rows = _bg(spark).projection_bottom_full().collect()
     assert len(rows) == 4
     assert {(r.src, r.dst) for r in rows} == {(10, 20), (20, 10)}
+
+
+def test_projection_simple_canonical(spark):
+    g = _bg(spark).projection_top_simple(canonical=True)
+    assert sorted((r.src, r.dst, r.value) for r in g.edges.collect()) == [
+        (1, 2, 2)
+    ]
