@@ -574,3 +574,90 @@ def cep_one_or_more_until_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cep_followed_by_any_stream(
+    events: DataFrame,
+    a_type: str = "click",
+    b_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_followed_by_any`` —
+    ``followedByAny`` (non-deterministic relaxed contiguity): every B
+    pairs with EVERY pending A inside the within() bound, and — unlike
+    ``cep_followed_by_stream``'s head-match — a completed A stays
+    pending for later Bs until its deadline passes. State is the same
+    pending-(a_event_id, a_ts) buffer with the same deadline pruning
+    and watermark-timeout cleanup; only the completion rule differs
+    (emit without remove), exactly how the reference's NFA models the
+    strategy (the partial match branches instead of advancing).
+    """
+    within_us = _interval_ms(within) * 1000
+
+    def run(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, ts_list, max_ts = state.get
+            pending = list(zip(ids, ts_list))
+            max_ts = int(max_ts)
+        else:
+            pending, max_ts = [], 0
+        out: list[tuple[int, int, int, int]] = []
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ in zip(
+                rows["event_id"], ts_us, rows["event_type"]
+            ):
+                t = int(t)
+                max_ts = max(max_ts, t)
+                if typ == a_type:
+                    pending.append((int(eid), t))
+                elif typ == b_type:
+                    out.extend(
+                        (aid, int(eid), ats, t)
+                        for aid, ats in pending
+                        if ats + within_us >= t
+                    )
+            pending = [p for p in pending if p[1] + within_us >= max_ts]
+        state.update(
+            (
+                [p[0] for p in pending],
+                [p[1] for p in pending],
+                max_ts,
+            )
+        )
+        state.setTimeoutTimestamp((max_ts + within_us) // 1000 + 1)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "a_event_id": [o[0] for o in out],
+                    "b_event_id": [o[1] for o in out],
+                    "a_ts": pd.to_datetime([o[2] for o in out], unit="us"),
+                    "b_ts": pd.to_datetime([o[3] for o in out], unit="us"),
+                }
+            )
+
+    keyed = (
+        events.filter(F.col("event_type").isin(a_type, b_type))
+        .withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, a_event_id long, b_event_id long, "
+            "a_ts timestamp, b_ts timestamp"
+        ),
+        stateStructType=(
+            "ids array<long>, ts_list array<long>, max_ts long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -701,3 +701,56 @@ def test_cep_until_stream_matches_batch(spark, tmp_path):
         == want
         == [(2, 6, 1, 0)]
     )
+
+
+def test_cep_followed_by_any_stream_matches_batch(spark, tmp_path):
+    """followedByAny twin: a completed A must STAY pending and match a
+    second B arriving in a later micro-batch (the behavior that
+    distinguishes it from the head-match followedBy twin)."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_followed_by_any,
+    )
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_followed_by_any_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "click"),
+        (2, 1, 5, "purchase"),   # pairs with click@0
+        (3, 1, 20, "purchase"),  # ALSO pairs with click@0 (any-match)
+        (4, 1, 40, "purchase"),  # outside 30 min of click@0: no pair
+        (5, 2, 0, "click"),
+        (6, 2, 10, "click"),
+        (7, 2, 15, "purchase"),  # pairs with BOTH pending clicks
+    ]
+    d = tmp_path / "cep_any_batch"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.a_event_id, r.b_event_id)
+        for r in cep_followed_by_any(spark, str(d)).collect()
+    )
+    assert want == [(1, 1, 2), (1, 1, 3), (2, 5, 7), (2, 6, 7)]
+
+    d2 = tmp_path / "cep_any_stream"
+    d2.mkdir()
+    cut = 2  # click@0's SECOND purchase arrives in the next micro-batch
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(
+        cep_followed_by_any_stream(stream), "cep_any_out"
+    )
+    assert (
+        sorted(
+            (r.user_id, r.a_event_id, r.b_event_id) for r in got.collect()
+        )
+        == want
+    )
