@@ -390,3 +390,53 @@ def test_triangle_enumeration_no_cartesian(spark):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_cep_followed_by_any_no_cartesian(spark):
+    """followedByAny must stay the bucketed equi-join (user, cell) — a
+    range-only formulation degenerates to a per-user nested loop."""
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_followed_by_any,
+    )
+
+    plan = explain_str(cep_followed_by_any(spark, SF_ORACLE), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bipartite_projection_canonical_filters_before_agg(spark):
+    """The supplier projection must filter src < dst BELOW the pair
+    aggregation (half the shuffled volume) and stay equi-join shaped."""
+    from flink_tornadovm_artifact_spark.plans.inspect import explain_str
+    from flink_tornadovm_artifact_spark.queries.gelly import (
+        bipartite_projection_suppliers,
+    )
+
+    import re
+
+    df = bipartite_projection_suppliers(spark, SF_ORACLE)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the optimized plan prints top-down, so the pair Aggregate must
+    # appear BEFORE (above) the src<dst canonicalization predicate —
+    # i.e. the filter runs below the aggregation, not after it
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"src#\d+L? < dst#\d+L?", opt)
+    assert m, opt
+    assert opt.index("Aggregate") < m.start()
+
+
+def test_bigram_lm_no_broadcast_hint(spark):
+    """The LM-model joins must carry NO explicit broadcast hint — at
+    web scale the model tables are corpus-sized aggregates; AQE decides
+    (the SF-linear-hint discipline from the round-2 verdict)."""
+    from flink_tornadovm_artifact_spark.plans.inspect import (
+        broadcast_hint_count,
+    )
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        text_bigram_lm_score,
+    )
+
+    assert broadcast_hint_count(text_bigram_lm_score(spark, SF_ORACLE)) == 0
