@@ -767,3 +767,87 @@ FROM a JOIN b
 """
 
 QUERIES["cep_followed_by_any"] = cep_followed_by_any
+
+
+# ---------------------------------------------------------------------------
+# GroupPattern (flink-cep/.../pattern/GroupPattern.java): a nested
+# pattern treated as a unit and quantified —
+# ``begin(group(V.next(C))).followedBy(group).times(2).within(T)``
+# analog: the group (view immediately followed by click) matches as a
+# derived event, and the times() quantifier runs on the GROUP MATCH
+# stream. Two composed passes, each already proven on the primitive
+# patterns: a LEAD scan detects the group matches (cep_next's shape),
+# then the interval-RANGE count quantifier (cep_times's shape) fires at
+# every group match that is the 2nd-or-later within T for its key. The
+# composition is the point: quantifying a group needs no new machinery,
+# just the group-match stream fed to the same analytic quantifier —
+# which is exactly how the reference's NFACompiler expands a quantified
+# GroupPattern into the inner pattern's states repeated.
+# ---------------------------------------------------------------------------
+GRP_V, GRP_C = "view", "click"
+GRP_TIMES_N, GRP_WITHIN = 2, "7 DAY"
+
+
+def cep_group_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(order))
+        .withColumn("next_id", F.lead("event_id").over(order))
+        .filter(
+            (F.col("event_type") == GRP_V) & (F.col("next_type") == GRP_C)
+        )
+        .select(
+            F.col("event_id").alias("v_event_id"),
+            F.col("next_id").alias("c_event_id"),
+            "user_id",
+            "ts",
+        )
+    )
+    n_in_window = F.expr(
+        f"""count(1) OVER (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL {GRP_WITHIN} PRECEDING AND CURRENT ROW
+            )"""
+    )
+    return (
+        pairs.withColumn("n_groups", n_in_window)
+        .filter(F.col("n_groups") >= GRP_TIMES_N)
+        .select(
+            "v_event_id",
+            "c_event_id",
+            "user_id",
+            F.col("ts").alias("group_ts"),
+            "n_groups",
+        )
+    )
+
+
+ORACLE["cep_group_followed_by"] = f"""
+WITH scanned AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         LEAD(event_type) OVER w AS next_type,
+         LEAD(event_id) OVER w AS next_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+pairs AS (
+  SELECT event_id AS v_event_id, next_id AS c_event_id, user_id, ts
+  FROM scanned
+  WHERE event_type = '{GRP_V}' AND next_type = '{GRP_C}'
+),
+counted AS (
+  SELECT v_event_id, c_event_id, user_id, ts,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL {GRP_WITHIN} PRECEDING AND CURRENT ROW
+         ) AS n_groups
+  FROM pairs
+)
+SELECT v_event_id, c_event_id, user_id, ts AS group_ts, n_groups
+FROM counted WHERE n_groups >= {GRP_TIMES_N}
+"""
+
+QUERIES["cep_group_followed_by"] = cep_group_followed_by
