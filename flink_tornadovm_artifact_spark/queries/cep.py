@@ -851,3 +851,46 @@ FROM counted WHERE n_groups >= {GRP_TIMES_N}
 """
 
 QUERIES["cep_group_followed_by"] = cep_group_followed_by
+
+
+# ---------------------------------------------------------------------------
+# notNext (Pattern.java:273 — strict absence): A whose IMMEDIATE
+# successor in the per-key stream is not B (including A as the last
+# event). The complement of cep_next over the same single LEAD scan.
+# ---------------------------------------------------------------------------
+def cep_not_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(order))
+        .filter(
+            (F.col("event_type") == NEXT_A_TYPE)
+            & (
+                F.col("next_type").isNull()
+                | (F.col("next_type") != NEXT_B_TYPE)
+            )
+        )
+        .select(
+            F.col("event_id").alias("a_event_id"),
+            "user_id",
+            F.col("ts").alias("a_ts"),
+        )
+    )
+
+
+ORACLE["cep_not_next"] = f"""
+WITH scanned AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         LEAD(event_type) OVER w AS next_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT event_id AS a_event_id, user_id, ts AS a_ts
+FROM scanned
+WHERE event_type = '{NEXT_A_TYPE}'
+  AND (next_type IS NULL OR next_type <> '{NEXT_B_TYPE}')
+"""
+
+QUERIES["cep_not_next"] = cep_not_next
