@@ -59,8 +59,9 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: pytest, rotates in round 5): text_repetition_metrics, the
 #: AfterMatchSkipStrategy family (cep_after_match_no_skip,
 #: cep_after_match_skip_to_last), cep_one_or_more_until,
-#: cep_followed_by_any, text_bigram_lm_score, text_tfidf_keywords,
-#: text_importance_sample, bipartite_projection_suppliers.
+#: cep_followed_by_any, cep_group_followed_by, cep_not_next,
+#: text_bigram_lm_score, text_tfidf_keywords, text_importance_sample,
+#: bipartite_projection_suppliers.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # kept: single-round-green iterations + TPC-H extras (8)
     "kmeans_pipeline",
