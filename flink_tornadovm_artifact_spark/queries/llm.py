@@ -1387,3 +1387,50 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
       < n_tokens / max_tokens
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier scoring (round 4): squared distance of each vector
+# to its label's centroid — the embedding-space curation primitive
+# (drop far-from-centroid documents as probable mislabels/noise before
+# training; cluster-and-filter in the Gopher/DataComp pipelines). One
+# posexplode (map-side, no shuffle) → a (label, dim) centroid aggregate
+# whose cardinality is labels x dims (tiny — AQE broadcasts it back)
+# → one keyed re-aggregation per vector. Everything JVM expressions;
+# floats widen to double identically in both engines (CAST to
+# DOUBLE[] in the oracle), keeping the 4dp differential stable.
+# ---------------------------------------------------------------------------
+def embedding_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    d = F.col("val") - F.col("c")
+    return (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(d * d).alias("dist2"))
+    )
+
+
+_register(
+    embedding_outlier_score,
+    """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, AVG(val) AS c FROM ex GROUP BY label, pos
+)
+SELECT e.vec_id, e.label, SUM((e.val - c.c) * (e.val - c.c)) AS dist2
+FROM ex e
+JOIN cent c ON e.label = c.label AND e.pos = c.pos
+GROUP BY e.vec_id, e.label
+""",
+)
