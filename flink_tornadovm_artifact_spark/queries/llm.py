@@ -1434,3 +1434,60 @@ JOIN cent c ON e.label = c.label AND e.pos = c.pos
 GROUP BY e.vec_id, e.label
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate n-grams (round 4): word 5-grams appearing
+# in >= BOILERPLATE_MIN_DOCS distinct documents — the C4-style
+# repeated-content detector (Raffel et al. 2020 §2.2 deduplicate
+# three-sentence spans repeated across documents; the n-gram doc
+# frequency is its scalable form). Per-doc distinct 5-grams come from a
+# chained zip_with (each zip references the token array a constant
+# number of times — the per-lambda re-evaluation trap measured on
+# text_repetition_metrics), then ONE shuffle on the n-gram key. The
+# output (a boilerplate lexicon) is corpus-profiling metadata, small
+# enough to broadcast back into a removal pass.
+# ---------------------------------------------------------------------------
+BOILERPLATE_N, BOILERPLATE_MIN_DOCS = 5, 3
+
+
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    grams = toks
+    for k in range(1, BOILERPLATE_N):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, F.size(toks)),
+            # concat propagates the null padding of the shorter side,
+            # so incomplete windows drop in array_compact below
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    per_doc = F.array_distinct(F.array_compact(grams))
+    return (
+        docs.select(F.explode(per_doc).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
+_register(
+    text_boilerplate_ngrams,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, len(t) - {BOILERPLATE_N - 1}),
+           i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+                t[i + 4] || ' ' || t[i + 5]))) AS ngram
+  FROM toks
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM g GROUP BY ngram
+HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+""",
+)
