@@ -362,3 +362,80 @@ def test_community_detection_matches_simulation(spark, edges, iterations):
         for r in community_detection(df, iterations=iterations).collect()
     }
     assert got == {v: lab for v, (lab, _) in state.items()}
+
+
+# random per-user event streams for the CEP looping family: types drawn
+# from {a, b, x} so A-runs, breaks, and completions all occur
+_cep_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # user_id
+        st.sampled_from("abx"),     # event type
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _brute_force_after_match(rows, strategy):
+    """Reference simulation: per user in arrival order, track the
+    trailing consecutive a-run; on b emit the suffixes the strategy
+    keeps (match_len per surviving start)."""
+    by_user: dict[int, list[int]] = {}
+    out = []
+    for eid, (u, typ) in enumerate(rows):
+        run = by_user.setdefault(u, [])
+        if typ == "a":
+            run.append(eid)
+        else:
+            if typ == "b" and run:
+                n = len(run)
+                picks = (
+                    range(n)
+                    if strategy == "no_skip"
+                    else [0]
+                    if strategy == "skip_past_last_event"
+                    else ([0] if n == 1 else [0, n - 1])
+                )
+                out.extend((u, eid, n - i) for i in picks)
+            by_user[u] = []
+    return sorted(out)
+
+
+@given(_cep_events)
+@settings(**SETTINGS)
+def test_cep_after_match_matches_bruteforce(spark, tmp_path_factory, rows):
+    """The islands-based batch skip-strategy family vs a direct NFA
+    simulation, for all three strategies on one random stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.queries.cep import cep_after_match
+
+    d = tmp_path_factory.mktemp("cep_prop")
+    # the registered query's pattern symbols are click/purchase (view =
+    # the run-breaking other type)
+    name = {"a": "click", "b": "purchase", "x": "view"}
+    data = [
+        (eid, u, _EPOCH + dt.timedelta(minutes=eid), name[typ])
+        for eid, (u, typ) in enumerate(rows)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in data], pa.int64()),
+                "user_id": pa.array([r[1] for r in data], pa.int64()),
+                "ts": pa.array([r[2] for r in data], pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in data], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    for strategy in ("no_skip", "skip_past_last_event", "skip_to_last"):
+        got = sorted(
+            (r.user_id, r.b_event_id, r.match_len)
+            for r in cep_after_match(
+                spark, str(d), strategy
+            ).collect()
+        )
+        want = _brute_force_after_match(rows, strategy)
+        assert got == want, strategy
