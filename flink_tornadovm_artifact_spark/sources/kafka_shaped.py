@@ -173,8 +173,12 @@ def read_batch(
     subscribe: str,
     starting_offsets: str | dict = "earliest",
     ending_offsets: str | dict = "latest",
+    starting_offsets_by_timestamp: str | dict | None = None,
 ) -> DataFrame:
     """Bounded read — the ``spark.read.format("kafka")`` analog.
+    ``starting_offsets_by_timestamp`` (JSON or dict
+    {topic: {partition: epoch_ms}}) takes precedence over
+    ``starting_offsets``, matching the connector's option precedence.
 
     Offsets are [start, end) per partition, Kafka's convention. The
     topic/partition/offset predicates are ordinary column filters on a
@@ -184,7 +188,17 @@ def read_batch(
     frames = []
     for topic in subscribe.split(","):
         topic = topic.strip()
-        start = _offset_bounds(starting_offsets, topic, broker_dir, -2)
+        if starting_offsets_by_timestamp is not None:
+            spec = (
+                json.loads(starting_offsets_by_timestamp)
+                if isinstance(starting_offsets_by_timestamp, str)
+                else starting_offsets_by_timestamp
+            )
+            start = offsets_for_times(
+                broker_dir, topic, spec.get(topic, {})
+            )
+        else:
+            start = _offset_bounds(starting_offsets, topic, broker_dir, -2)
         end = _offset_bounds(ending_offsets, topic, broker_dir, -1)
         tdir = os.path.join(broker_dir, f"topic={topic}")
         if not os.path.isdir(tdir) or not start:
@@ -266,3 +280,39 @@ def read_stream(
         F.col("timestamp").cast("timestamp").alias("timestamp"),
         "timestampType",
     )
+
+
+def offsets_for_times(
+    broker_dir: str, topic: str, ts_ms_by_partition: dict
+) -> dict[int, int]:
+    """``startingOffsetsByTimestamp`` resolution — the
+    ``KafkaConsumer.offsetsForTimes`` contract the real connector
+    delegates to the broker: per partition, the EARLIEST offset whose
+    record timestamp is >= the requested epoch-millis; partitions with
+    no such record start at log end (Kafka returns null → the source
+    falls back to latest). Partitions absent from the spec start at
+    earliest. Reads only the (offset, timestamp) columns of the
+    partition's segments via parquet column pruning — the stand-in's
+    equivalent of the broker's time index."""
+    import pyarrow.dataset as pds
+
+    out = {}
+    for p, end in current_offsets(broker_dir, topic).items():
+        ts_ms = ts_ms_by_partition.get(p, ts_ms_by_partition.get(str(p)))
+        if ts_ms is None:
+            out[p] = 0
+            continue
+        dataset = pds.dataset(
+            _partition_dir(broker_dir, topic, p), format="parquet"
+        )
+        import pyarrow.compute as pc
+
+        tbl = dataset.to_table(
+            columns=["offset"],
+            filter=pds.field("timestamp")
+            >= pc.scalar(int(ts_ms) * 1000).cast("timestamp[us]"),
+        )
+        out[p] = (
+            min(tbl.column("offset").to_pylist()) if tbl.num_rows else end
+        )
+    return out

@@ -183,3 +183,41 @@ def test_stream_multi_partition_exactly_once(spark, tmp_path):
     assert _values(got) == sorted(f"v{i}" for i in range(20))
     for p, rows in _by_partition(got).items():
         assert [o for o, _ in rows] == list(range(len(rows)))
+
+
+def test_starting_offsets_by_timestamp(spark, tmp_path):
+    """offsetsForTimes contract: start at the earliest offset whose
+    record timestamp >= the requested epoch-ms; a time past the log
+    end resolves to latest (empty read); an absent partition spec
+    starts at earliest."""
+    import time
+
+    from flink_tornadovm_artifact_spark.sources.kafka_shaped import (
+        offsets_for_times,
+    )
+
+    broker = str(tmp_path / "broker")
+    produce(broker, "t", [_keyed(i) for i in range(4)],
+            num_partitions=1, partition_of=lambda k: 0)
+    time.sleep(0.01)
+    t_mid_ms = int(time.time() * 1000)
+    time.sleep(0.01)
+    produce(broker, "t", [_keyed(i) for i in range(4, 7)],
+            num_partitions=1, partition_of=lambda k: 0)
+
+    assert offsets_for_times(broker, "t", {0: t_mid_ms}) == {0: 4}
+    got = read_batch(
+        spark, broker, "t",
+        starting_offsets_by_timestamp={"t": {"0": t_mid_ms}},
+    )
+    assert _values(got) == ["v4", "v5", "v6"]
+    # beyond log end → latest → empty
+    future_ms = int(time.time() * 1000) + 60_000
+    assert offsets_for_times(broker, "t", {0: future_ms}) == {0: 7}
+    empty = read_batch(
+        spark, broker, "t",
+        starting_offsets_by_timestamp='{"t": {"0": %d}}' % future_ms,
+    )
+    assert empty.count() == 0
+    # absent partition spec → earliest
+    assert offsets_for_times(broker, "t", {}) == {0: 0}
