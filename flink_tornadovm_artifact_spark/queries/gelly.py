@@ -1013,3 +1013,76 @@ JOIN e b ON a.part = b.part AND a.supp < b.supp
 GROUP BY a.supp, b.supp
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# asm degree annotation as a driver-checkable query
+# (asm/degree/annotate/directed/VertexDegrees.java): the per-vertex
+# (degree, out, in) triple on the social graph — degree counts DISTINCT
+# neighbors (a mutual pair is one neighbor), out/in count simple
+# directed edges.
+# ---------------------------------------------------------------------------
+def asm_vertex_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.asm import vertex_degrees
+
+    return vertex_degrees(_social_edges(spark, sf_dir))
+
+
+_register(
+    asm_vertex_degrees,
+    f"""
+WITH {_DE_SQL},
+nbr AS (
+  SELECT vertex, COUNT(*) AS degree FROM (
+    SELECT DISTINCT s AS vertex, d AS nbr FROM de
+    UNION SELECT d, s FROM de
+  ) GROUP BY vertex
+),
+outd AS (SELECT s AS vertex, COUNT(*) AS out_degree FROM de GROUP BY s),
+ind AS (SELECT d AS vertex, COUNT(*) AS in_degree FROM de GROUP BY d)
+SELECT n.vertex AS id, n.degree,
+       COALESCE(o.out_degree, 0) AS out_degree,
+       COALESCE(i.in_degree, 0) AS in_degree
+FROM nbr n
+LEFT JOIN outd o ON n.vertex = o.vertex
+LEFT JOIN ind i ON n.vertex = i.vertex
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Generator differential (generator/HypercubeGraph.java): our
+# grid-composition construction of the d-cube vs DuckDB's INDEPENDENT
+# definition (vertices adjacent iff their ids differ in exactly one
+# bit). 2^10 vertices, each with out-degree 10 — the query emits every
+# (vertex, out_degree) row, so the edge set itself is differentially
+# pinned (a wrong increment or a dropped dimension changes some
+# vertex's degree or the vertex set).
+# ---------------------------------------------------------------------------
+_HYPERCUBE_DIMS = 10
+
+
+def generator_hypercube_degrees(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.generators import hypercube_graph
+
+    g = hypercube_graph(spark, _HYPERCUBE_DIMS)
+    return (
+        g.edges.groupBy(F.col("src").alias("vertex_id"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+    )
+
+
+_register(
+    generator_hypercube_degrees,
+    f"""
+WITH v AS (SELECT i FROM range({2 ** _HYPERCUBE_DIMS}) t(i)),
+e AS (
+  SELECT a.i AS src, b.i AS dst
+  FROM v a JOIN v b ON bit_count(xor(a.i, b.i)) = 1
+)
+SELECT src AS vertex_id, CAST(COUNT(*) AS BIGINT) AS out_degree
+FROM e GROUP BY src
+""",
+)
