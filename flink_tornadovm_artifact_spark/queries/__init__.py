@@ -61,7 +61,9 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: cep_after_match_skip_to_last), cep_one_or_more_until,
 #: cep_followed_by_any, cep_group_followed_by, cep_not_next,
 #: text_bigram_lm_score, text_tfidf_keywords, text_importance_sample,
-#: bipartite_projection_suppliers.
+#: text_boilerplate_ngrams, embedding_outlier_score,
+#: bipartite_projection_suppliers, asm_vertex_degrees,
+#: generator_hypercube_degrees.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # kept: single-round-green iterations + TPC-H extras (8)
     "kmeans_pipeline",
