@@ -1030,20 +1030,18 @@ def asm_vertex_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register(
     asm_vertex_degrees,
+    # ddeg is the SHARED distinct-neighbor degree CTE (_DDEG_SQL) the
+    # directed metric oracles already use — one definition to fix if
+    # e.g. self-loop handling ever changes
     f"""
 WITH {_DE_SQL},
-nbr AS (
-  SELECT vertex, COUNT(*) AS degree FROM (
-    SELECT DISTINCT s AS vertex, d AS nbr FROM de
-    UNION SELECT d, s FROM de
-  ) GROUP BY vertex
-),
+{_DDEG_SQL},
 outd AS (SELECT s AS vertex, COUNT(*) AS out_degree FROM de GROUP BY s),
 ind AS (SELECT d AS vertex, COUNT(*) AS in_degree FROM de GROUP BY d)
-SELECT n.vertex AS id, n.degree,
+SELECT n.vertex AS id, n.deg AS degree,
        COALESCE(o.out_degree, 0) AS out_degree,
        COALESCE(i.in_degree, 0) AS in_degree
-FROM nbr n
+FROM ddeg n
 LEFT JOIN outd o ON n.vertex = o.vertex
 LEFT JOIN ind i ON n.vertex = i.vertex
 """,

@@ -185,17 +185,17 @@ def read_batch(
     hive-partitioned scan, so topic and partition prune directories and
     the offset range pushes to parquet row groups.
     """
+    ts_spec = (
+        json.loads(starting_offsets_by_timestamp)
+        if isinstance(starting_offsets_by_timestamp, str)
+        else starting_offsets_by_timestamp
+    )
     frames = []
     for topic in subscribe.split(","):
         topic = topic.strip()
-        if starting_offsets_by_timestamp is not None:
-            spec = (
-                json.loads(starting_offsets_by_timestamp)
-                if isinstance(starting_offsets_by_timestamp, str)
-                else starting_offsets_by_timestamp
-            )
+        if ts_spec is not None:
             start = offsets_for_times(
-                broker_dir, topic, spec.get(topic, {})
+                broker_dir, topic, ts_spec.get(topic, {})
             )
         else:
             start = _offset_bounds(starting_offsets, topic, broker_dir, -2)
@@ -294,6 +294,7 @@ def offsets_for_times(
     earliest. Reads only the (offset, timestamp) columns of the
     partition's segments via parquet column pruning — the stand-in's
     equivalent of the broker's time index."""
+    import pyarrow.compute as pc
     import pyarrow.dataset as pds
 
     out = {}
@@ -305,14 +306,12 @@ def offsets_for_times(
         dataset = pds.dataset(
             _partition_dir(broker_dir, topic, p), format="parquet"
         )
-        import pyarrow.compute as pc
-
         tbl = dataset.to_table(
             columns=["offset"],
             filter=pds.field("timestamp")
             >= pc.scalar(int(ts_ms) * 1000).cast("timestamp[us]"),
         )
-        out[p] = (
-            min(tbl.column("offset").to_pylist()) if tbl.num_rows else end
-        )
+        # aggregate, don't materialize: a timestamp near the log start
+        # would otherwise pull the whole offset column driver-side
+        out[p] = pc.min(tbl.column("offset")).as_py() if tbl.num_rows else end
     return out

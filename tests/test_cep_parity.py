@@ -75,9 +75,11 @@ def test_every_pattern_combinator_accounted_for():
 
 
 def test_named_query_analogs_exist():
+    """EVERY cep_* analog named anywhere in a mapping string must
+    exist (multi-target mappings like times → cep_times /
+    cep_times_range check all of them)."""
     from flink_tornadovm_artifact_spark.queries import cep
 
     for target in IMPLEMENTED.values():
-        name = target.split(" ")[0].split("(")[0]
-        if name.startswith("cep_"):
+        for name in re.findall(r"cep_\w+", target):
             assert callable(getattr(cep, name, None)), name
