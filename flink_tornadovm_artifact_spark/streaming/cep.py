@@ -661,3 +661,73 @@ def cep_followed_by_any_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def cep_next_stream(
+    events: DataFrame,
+    a_type: str = "view",
+    b_type: str = "purchase",
+    watermark: str = "10 minutes",
+    negate: bool = False,
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_next`` (strict
+    contiguity) and, with ``negate=True``, of ``cep_not_next`` (strict
+    absence). Keyed state is the single previous event — the NFA's
+    one-slot buffer for a strict-contiguity edge. Each arriving event
+    resolves the pending A: for ``next`` it emits the (A, B) pair when
+    it IS a B; for ``notNext`` it emits the A when it is NOT a B. An A
+    still pending at stream end never resolves (the batch form's
+    next_type IS NULL rows are a bounded-input artifact a stream cannot
+    observe — documented asymmetry, tested)."""
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            prev_id, prev_ts, prev_is_a = (int(x) for x in state.get)
+        else:
+            prev_id, prev_ts, prev_is_a = 0, 0, 0
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ in zip(
+                rows["event_id"], ts_us, rows["event_type"]
+            ):
+                t = int(t)
+                if prev_is_a:
+                    is_b = typ == b_type
+                    if is_b and not negate:
+                        out.append((prev_id, int(eid), prev_ts, t))
+                    elif not is_b and negate:
+                        out.append((prev_id, 0, prev_ts, 0))
+                prev_id, prev_ts, prev_is_a = (
+                    int(eid),
+                    t,
+                    int(typ == a_type),
+                )
+        state.update((prev_id, prev_ts, prev_is_a))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "a_event_id": [o[0] for o in out],
+                    "b_event_id": [o[1] for o in out],
+                    "a_ts": pd.to_datetime([o[2] for o in out], unit="us"),
+                    "b_ts": pd.to_datetime([o[3] for o in out], unit="us"),
+                }
+            )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, a_event_id long, b_event_id long, "
+            "a_ts timestamp, b_ts timestamp"
+        ),
+        stateStructType="prev_id long, prev_ts long, prev_is_a long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

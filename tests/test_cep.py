@@ -754,3 +754,70 @@ def test_cep_followed_by_any_stream_matches_batch(spark, tmp_path):
         )
         == want
     )
+
+
+def test_cep_next_stream_matches_batch(spark, tmp_path):
+    """next/notNext twins: the one-slot previous-event state must carry
+    a pending A across the micro-batch boundary; notNext differs from
+    batch only on the stream-end A (documented asymmetry)."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_next,
+        cep_not_next,
+    )
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_next_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "view"),
+        (2, 1, 1, "purchase"),  # match (next)
+        (3, 1, 2, "view"),
+        (4, 1, 3, "click"),     # match (notNext)
+        (5, 2, 0, "view"),      # pending at stream end: batch notNext
+                                # emits it, the stream twin cannot
+    ]
+    d = tmp_path / "cep_next_batch"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want_next = sorted(
+        (r.user_id, r.a_event_id, r.b_event_id)
+        for r in cep_next(spark, str(d)).collect()
+    )
+    assert want_next == [(1, 1, 2)]
+    want_not = sorted(
+        (r.user_id, r.a_event_id)
+        for r in cep_not_next(spark, str(d)).collect()
+    )
+    assert want_not == [(1, 3), (2, 5)]
+
+    d2 = tmp_path / "cep_next_stream"
+    d2.mkdir()
+    cut = 1  # user 1's A and its B arrive in different micro-batches
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d2))
+        )
+
+    got_next = memory_sink_run(cep_next_stream(stream()), "cep_next_out")
+    assert (
+        sorted(
+            (r.user_id, r.a_event_id, r.b_event_id)
+            for r in got_next.collect()
+        )
+        == want_next
+    )
+    got_not = memory_sink_run(
+        cep_next_stream(stream(), negate=True), "cep_not_next_out"
+    )
+    # the stream twin resolves every A except event 5 (still pending)
+    assert sorted(
+        (r.user_id, r.a_event_id) for r in got_not.collect()
+    ) == [(1, 3)]
