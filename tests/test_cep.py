@@ -821,3 +821,111 @@ def test_cep_next_stream_matches_batch(spark, tmp_path):
     assert sorted(
         (r.user_id, r.a_event_id) for r in got_not.collect()
     ) == [(1, 3)]
+
+
+def test_cep_not_followed_by_stream_matches_batch(spark, tmp_path):
+    """Absence twin = the NFA timeout path: an A with no B must emit
+    once the watermark passes its deadline (sentinel events push the
+    watermark); an A whose B arrives in a LATER batch must not."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_not_followed_by,
+    )
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_not_followed_by_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "error"),
+        (2, 1, 20, "purchase"),   # within 30 min: matched, NO absence row
+        (3, 2, 0, "error"),
+        (4, 2, 45, "purchase"),   # first B too late: absence row
+        (5, 3, 0, "error"),       # no B at all: absence row via watermark
+        # sentinels (other type) only advance the watermark
+        (6, 9, 180, "signup"),
+        (7, 9, 240, "signup"),
+    ]
+    d = tmp_path / "cep_nf_batch"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.a_event_id)
+        for r in cep_not_followed_by(spark, str(d)).collect()
+    )
+    assert want == [(2, 3), (3, 5)]
+
+    d2 = tmp_path / "cep_nf_stream"
+    d2.mkdir()
+    # split so user 1's B and the watermark-pushing sentinels arrive in
+    # later batches than the pending As
+    _write(str(d2 / "b0.parquet"), rows[:3], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[3:6], 1_700_000_060)
+    _write(str(d2 / "b2.parquet"), rows[6:], 1_700_000_120)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(
+        cep_not_followed_by_stream(stream), "cep_nf_out"
+    )
+    assert sorted(
+        (r.user_id, r.a_event_id) for r in got.collect()
+    ) == want
+
+
+def test_cep_group_followed_by_stream_matches_batch(spark, tmp_path):
+    """GroupPattern twin: the previous-event slot AND the group-match
+    history must both survive a micro-batch boundary (user 1's second
+    (view, click) pair spans it)."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_group_followed_by,
+    )
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_group_followed_by_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "view"),
+        (2, 1, 1, "click"),    # pair 1
+        (3, 1, 10, "view"),
+        (4, 1, 11, "click"),   # pair 2 → n_groups=2 fires
+        (5, 2, 0, "view"),
+        (6, 2, 2, "purchase"), # broken pair: purchase is not a click
+        (7, 2, 3, "view"),
+        (8, 2, 4, "click"),    # only pair for user 2: no fire
+    ]
+    d = tmp_path / "cep_grp_batch"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.v_event_id, r.c_event_id, r.n_groups)
+        for r in cep_group_followed_by(spark, str(d)).collect()
+    )
+    assert want == [(1, 3, 4, 2)]
+
+    d2 = tmp_path / "cep_grp_stream"
+    d2.mkdir()
+    cut = 3  # user 1's second pair spans the boundary
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(
+        cep_group_followed_by_stream(stream), "cep_grp_out"
+    )
+    assert (
+        sorted(
+            (r.user_id, r.v_event_id, r.c_event_id, r.n_groups)
+            for r in got.collect()
+        )
+        == want
+    )
