@@ -834,14 +834,13 @@ def cep_group_followed_by_stream(
     previous event (group detection, as in cep_next_stream) plus the
     trailing window of group-match timestamps (the times() quantifier,
     as in cep_times_stream), pruned to the within() span — state is
-    O(group matches in one span).
+    O(group matches in one span). Group matches completing at the same
+    VIEW timestamp are counted as ONE peer group (the batch RANGE
+    frame is value-defined, so equal-ts peers see each other —
+    cep_times_stream's peer-grouping discipline); like the other
+    twins, cross-batch arrival is assumed per-key in-order."""
+    from itertools import groupby as _groupby
 
-    Caveat: group matches are counted one-by-one in arrival order, so
-    two group matches whose VIEW events share an exact timestamp would
-    each need the other in its RANGE frame to match the batch oracle
-    (the peer-grouping fix cep_times_stream applies); the twin assumes
-    distinct group timestamps per key — exact for the testdata, where
-    a same-µs view pair for one user does not occur."""
     within_us = _interval_ms(within) * 1000
 
     def run(key, pdfs, state: GroupState):
@@ -859,24 +858,32 @@ def cep_group_followed_by_stream(
         if rows is not None:
             rows = rows.sort_values(["ts", "event_id"])
             ts_us = rows["ts"].astype("int64") // 1_000
+            # phase 1: detect group matches with the one-slot state;
+            # strict contiguity means v_ts is non-decreasing in
+            # detection order, so the phase-2 groupby is a single pass
+            new_pairs = []  # (v_id, c_id, v_ts)
             for eid, t, typ in zip(
                 rows["event_id"], ts_us, rows["event_type"]
             ):
                 t = int(t)
                 if prev_is_v and typ == c_type:
-                    # group match, stamped at the V (the batch form
-                    # counts pairs by their view timestamp)
-                    pairs = [
-                        p for p in pairs if p[1] >= prev_ts - within_us
-                    ]
-                    pairs.append((prev_id, prev_ts))
-                    if len(pairs) >= times_n:
-                        out.append(
-                            (prev_id, int(eid), prev_ts, len(pairs))
-                        )
+                    new_pairs.append((prev_id, int(eid), prev_ts))
                 prev_id, prev_ts, prev_is_v = (
                     int(eid), t, int(typ == v_type),
                 )
+            # phase 2: the times() quantifier over the group-match
+            # stream, equal-v_ts peers processed as one group (each
+            # peer's RANGE frame contains all of them)
+            for v_ts, grp_it in _groupby(new_pairs, key=lambda p: p[2]):
+                grp = list(grp_it)
+                pairs = [p for p in pairs if p[1] >= v_ts - within_us]
+                total = len(pairs) + len(grp)
+                if total >= times_n:
+                    out.extend(
+                        (v_id, c_id, v_ts, total)
+                        for v_id, c_id, _ in grp
+                    )
+                pairs.extend((v_id, v_ts) for v_id, _c, _t in grp)
         state.update(
             (
                 prev_id, prev_ts, prev_is_v,

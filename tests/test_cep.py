@@ -929,3 +929,52 @@ def test_cep_group_followed_by_stream_matches_batch(spark, tmp_path):
         )
         == want
     )
+
+
+def test_cep_group_stream_equal_timestamp_peers(spark, tmp_path):
+    """Two group matches whose views share an exact timestamp (two
+    users' interleaved? no — same user, same µs) must each count the
+    other: both emit with n_groups=2, exactly the batch RANGE frame."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_group_followed_by,
+    )
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_group_followed_by_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        # two (view, click) pairs for user 1 whose VIEWS share minute 0
+        # (event_id breaks the stream order)
+        (1, 1, 0, "view"),
+        (2, 1, 0, "click"),
+        (3, 1, 0, "view"),
+        (4, 1, 0, "click"),
+    ]
+    d = tmp_path / "cep_grp_peer_batch"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.v_event_id, r.n_groups)
+        for r in cep_group_followed_by(spark, str(d)).collect()
+    )
+    assert want == [(1, 1, 2), (1, 3, 2)]
+
+    d2 = tmp_path / "cep_grp_peer_stream"
+    d2.mkdir()
+    _write(str(d2 / "b0.parquet"), rows, 1_700_000_000)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(
+        cep_group_followed_by_stream(stream), "cep_grp_peer_out"
+    )
+    assert (
+        sorted(
+            (r.user_id, r.v_event_id, r.n_groups) for r in got.collect()
+        )
+        == want
+    )
