@@ -37,6 +37,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .core import _interval_ms
 
 
+def _batch_rows(pdfs):
+    """Concatenate a state-function's chunk iterator into one frame in
+    (ts, event_id) order with a µs epoch column, or None when the
+    invocation carries no data (timeout path). ONE definition of the
+    module's ordering and precision conventions — every stateful twin
+    routes through it, so a tiebreak or precision change cannot drift
+    between twins."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None, None
+    rows = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "event_id"]
+    )
+    return rows, rows["ts"].astype("int64") // 1_000
+
+
 def cep_followed_by_stream(
     events: DataFrame,
     a_type: str = "click",
@@ -60,14 +76,11 @@ def cep_followed_by_stream(
         else:
             pending, max_ts = [], 0
         out: list[tuple[int, int, int]] = []  # (a_event_id, a_ts, b_ts)
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
             # full µs precision: the batch twin compares at µs, and a
             # ms truncation would accept pairs sitting within 1 ms past
-            # the within() bound
-            ts_us = rows["ts"].astype("int64") // 1_000
+            # the within() bound (enforced inside _batch_rows)
             for eid, t, typ in zip(
                 rows["event_id"], ts_us, rows["event_type"]
             ):
@@ -166,11 +179,8 @@ def cep_times_stream(
         else:
             window, max_ts = [], 0
         out: list[tuple[int, int, int]] = []  # (a_event_id, a_ts, count)
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             # process same-timestamp events as ONE group: the batch
             # RANGE frame is value-defined, so every peer at time t sees
             # ALL peers at t in its frame — counting one-by-one would
@@ -242,11 +252,8 @@ def cep_one_or_more_stream(
         else:
             run_len, first_ts, last_seen = 0, 0, 0
         out = []  # (b_event_id, b_ts, a_first_ts, run_len)
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
                 t = int(t)
                 last_seen = max(last_seen, t)
@@ -309,11 +316,8 @@ def cep_times_range_stream(
         else:
             run_len, first_ts, last_seen = 0, 0, 0
         out = []
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
                 t = int(t)
                 last_seen = max(last_seen, t)
@@ -375,11 +379,8 @@ def cep_optional_stream(
         else:
             p1t, p1i, p2t, p2i = "", 0, "", 0
         out = []  # (b_event_id, b_ts, view_id, click_id_or_None)
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
                 eid, t = int(eid), int(t)
                 if typ == b_type:
@@ -456,11 +457,8 @@ def cep_after_match_stream(
     def run(key, pdfs, state: GroupState):
         starts: list[int] = list(state.get[0]) if state.exists else []
         out = []  # (b_event_id, b_ts, a_start_ts, match_len)
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
                 t = int(t)
                 if typ == a_type:
@@ -528,11 +526,8 @@ def cep_one_or_more_until_stream(
         else:
             run_len, first_ts, triggered = 0, 0, 0
         out = []
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ, val in zip(
                 rows["event_id"], ts_us, rows["event_type"], rows["value"]
             ):
@@ -606,11 +601,8 @@ def cep_followed_by_any_stream(
         else:
             pending, max_ts = [], 0
         out: list[tuple[int, int, int, int]] = []
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ in zip(
                 rows["event_id"], ts_us, rows["event_type"]
             ):
@@ -686,11 +678,8 @@ def cep_next_stream(
         else:
             prev_id, prev_ts, prev_is_a = 0, 0, 0
         out = []
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ in zip(
                 rows["event_id"], ts_us, rows["event_type"]
             ):
@@ -700,7 +689,10 @@ def cep_next_stream(
                     if is_b and not negate:
                         out.append((prev_id, int(eid), prev_ts, t))
                     elif not is_b and negate:
-                        out.append((prev_id, 0, prev_ts, 0))
+                        # no matched B exists: the b columns are NULL,
+                        # not fabricated sentinels a consumer could
+                        # mistake for a real event
+                        out.append((prev_id, None, prev_ts, None))
                 prev_id, prev_ts, prev_is_a = (
                     int(eid),
                     t,
@@ -712,7 +704,9 @@ def cep_next_stream(
                 {
                     "user_id": [key[0]] * len(out),
                     "a_event_id": [o[0] for o in out],
-                    "b_event_id": [o[1] for o in out],
+                    "b_event_id": pd.array(
+                        [o[1] for o in out], dtype="Int64"
+                    ),
                     "a_ts": pd.to_datetime([o[2] for o in out], unit="us"),
                     "b_ts": pd.to_datetime([o[3] for o in out], unit="us"),
                 }
@@ -767,11 +761,8 @@ def cep_not_followed_by_stream(
             pending = []
         out: list[tuple[int, int]] = []  # (a_event_id, a_ts)
         wm_us = state.getCurrentWatermarkMs() * 1000
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             for eid, t, typ in zip(
                 rows["event_id"], ts_us, rows["event_type"]
             ):
@@ -788,13 +779,18 @@ def cep_not_followed_by_stream(
         expired = [p for p in pending if p[1] + within_us < wm_us]
         out.extend(expired)
         pending = [p for p in pending if p[1] + within_us >= wm_us]
-        state.update(
-            ([p[0] for p in pending], [p[1] for p in pending])
-        )
         if pending:
+            state.update(
+                ([p[0] for p in pending], [p[1] for p in pending])
+            )
             state.setTimeoutTimestamp(
                 min(p[1] for p in pending) // 1000 + within_us // 1000 + 1
             )
+        elif state.exists:
+            # drained: drop the entry entirely — an empty-array update
+            # with no timeout armed would park dead state in the store
+            # for every key the job ever saw
+            state.remove()
         if out:
             yield pd.DataFrame(
                 {
@@ -804,10 +800,15 @@ def cep_not_followed_by_stream(
                 }
             )
 
-    keyed = (
-        events.filter(F.col("event_type").isin(a_type, b_type))
-        .withWatermark("ts", watermark)
-        .select("user_id", "event_id", "ts", "event_type")
+    # NO type filter: the absence timeout must advance on EVERY event
+    # in the stream, and a type predicate — whichever side of
+    # withWatermark it is written on — gets pushed below the
+    # EventTimeWatermark node by Catalyst (it does not reference ts),
+    # starving the watermark whenever only non-pattern traffic flows.
+    # The run function ignores other types itself; this matches the
+    # reference, whose CEP operator consumes the full keyed stream.
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type"
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         run,
@@ -838,7 +839,13 @@ def cep_group_followed_by_stream(
     VIEW timestamp are counted as ONE peer group (the batch RANGE
     frame is value-defined, so equal-ts peers see each other —
     cep_times_stream's peer-grouping discipline); like the other
-    twins, cross-batch arrival is assumed per-key in-order."""
+    twins, cross-batch arrival is assumed per-key in-order. That
+    assumption extends to equal-timestamp peers SPLIT ACROSS
+    micro-batches: the earlier batch's peer has already emitted (or
+    not) by the time the later one arrives, so its row cannot be
+    revised with the larger peer count the batch RANGE frame would
+    report — same class of divergence as the module-wide ordering
+    caveat on cep_times_stream."""
     from itertools import groupby as _groupby
 
     within_us = _interval_ms(within) * 1000
@@ -853,11 +860,8 @@ def cep_group_followed_by_stream(
         else:
             prev_id, prev_ts, prev_is_v, pairs = 0, 0, 0, []
         out = []
-        chunks = [p for p in pdfs if len(p)]
-        rows = pd.concat(chunks, ignore_index=True) if chunks else None
+        rows, ts_us = _batch_rows(pdfs)
         if rows is not None:
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = rows["ts"].astype("int64") // 1_000
             # phase 1: detect group matches with the one-slot state;
             # strict contiguity means v_ts is non-decreasing in
             # detection order, so the phase-2 groupby is a single pass

@@ -978,3 +978,39 @@ def test_cep_group_stream_equal_timestamp_peers(spark, tmp_path):
         )
         == want
     )
+
+
+def test_cep_absence_emits_on_non_pattern_traffic_only(spark, tmp_path):
+    """Regression: the watermark must sit BEFORE the A/B type filter —
+    an error with NO purchase ever must still emit once unrelated
+    traffic (signups) pushes the watermark past its deadline. With the
+    filter first, these rows never reach the watermark node and the
+    timeout never fires."""
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_not_followed_by_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "error"),
+        # only non-pattern events follow — far enough to clear the
+        # 30-min deadline plus the 10-min watermark delay
+        (2, 9, 120, "signup"),
+        (3, 9, 180, "signup"),
+    ]
+    d = tmp_path / "cep_nf_wm"
+    d.mkdir()
+    _write(str(d / "b0.parquet"), rows[:1], 1_700_000_000)
+    _write(str(d / "b1.parquet"), rows[1:2], 1_700_000_060)
+    _write(str(d / "b2.parquet"), rows[2:], 1_700_000_120)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = memory_sink_run(
+        cep_not_followed_by_stream(stream), "cep_nf_wm_out"
+    )
+    assert [(r.user_id, r.a_event_id) for r in got.collect()] == [(1, 1)]
