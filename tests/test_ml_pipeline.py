@@ -1,0 +1,116 @@
+"""Flink ML API facade (flink-ml-api core): reference PipelineTest.java
+behaviors plus end-to-end equivalence with the direct kernels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_tornadovm_artifact_spark.functions.ml_pipeline import (
+    Estimator,
+    KMeansEstimator,
+    KMeansModel,
+    LogRegEstimator,
+    Pipeline,
+    SqlExprTransformer,
+)
+
+
+def test_fit_replaces_estimators_and_applies_reference_loop(spark):
+    """Pipeline.java:169-190: stages up to the last estimator are fit/
+    applied in order; the fitted pipeline has models in the estimators'
+    places and transform() reproduces the running input."""
+    pts = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 1.0), (10.0, 10.0), (11.0, 11.0)], "x double, y double"
+    )
+    p = Pipeline(
+        [
+            SqlExprTransformer("px", "x"),
+            SqlExprTransformer("py", "y"),
+            KMeansEstimator([(0, 0.0, 0.0), (1, 10.0, 10.0)], iterations=3),
+        ]
+    )
+    assert p.need_fit()
+    with pytest.raises(RuntimeError, match="need to fit"):
+        p.transform(pts)
+    fitted = p.fit(pts)
+    assert not fitted.need_fit()
+    assert isinstance(fitted.stages[2], KMeansModel)
+    got = {
+        (r.x, r.cid) for r in fitted.transform(pts).select("x", "cid").collect()
+    }
+    assert got == {(0.0, 0), (1.0, 0), (10.0, 1), (11.0, 1)}
+
+
+def test_stages_after_last_estimator_not_applied_during_fit(spark):
+    """The reference's exact loop: a transformer AFTER the last
+    estimator is carried over but NOT applied while fitting (its effect
+    appears only in transform())."""
+    pts = spark.createDataFrame([(1.0, 2.0)], "px double, py double")
+    tail = SqlExprTransformer("tagged", "cid + 100")
+    p = Pipeline(
+        [KMeansEstimator([(0, 0.0, 0.0), (1, 9.0, 9.0)], iterations=1), tail]
+    )
+    fitted = p.fit(pts)
+    assert fitted.stages[1] is tail
+    row = fitted.transform(pts).collect()[0]
+    assert row.tagged == row.cid + 100
+
+
+def test_json_round_trip(spark):
+    p = Pipeline(
+        [
+            SqlExprTransformer("px", "x * 2"),
+            KMeansEstimator([(0, 0.0, 0.0), (1, 5.0, 5.0)], iterations=2),
+        ]
+    )
+    restored = Pipeline.from_json(p.to_json())
+    assert [type(s) for s in restored.stages] == [
+        SqlExprTransformer,
+        KMeansEstimator,
+    ]
+    assert restored.stages[1].get_params()["iterations"] == 2
+    # a FITTED pipeline round-trips too (models carry their state)
+    pts = spark.createDataFrame([(0.0,)], "x double").withColumn(
+        "y", F.lit(0.0)
+    )
+    fitted = Pipeline(
+        [SqlExprTransformer("px", "x"), SqlExprTransformer("py", "y")]
+    ).fit(pts)
+    again = Pipeline.from_json(fitted.to_json())
+    assert again.transform(pts).columns == fitted.transform(pts).columns
+
+
+def test_nested_pipeline_and_validation(spark):
+    inner = Pipeline([KMeansEstimator([(0, 0.0, 0.0), (1, 9.0, 9.0)], iterations=1)])
+    outer = Pipeline([inner])
+    assert outer.need_fit()  # nested pipeline reports its estimators
+    with pytest.raises(TypeError, match="Estimator or Transformer"):
+        Pipeline([object()])
+
+
+def test_logreg_stage_matches_direct_kernel(spark):
+    """LogRegEstimator through the pipeline == functions.logreg
+    train+predict directly."""
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.functions.logreg import (
+        predict,
+        train,
+    )
+
+    rows = [([0.0, 1.0], 0.0), ([1.0, 0.0], 1.0), ([0.9, 0.1], 1.0),
+            ([0.1, 0.9], 0.0)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    fitted = Pipeline([LogRegEstimator(dim=2, iterations=5)]).fit(df)
+    via_pipeline = sorted(
+        r.pred for r in fitted.transform(df).collect()
+    )
+    w = train(df, dim=2, iterations=5)
+    direct = sorted(r.pred for r in predict(df, np.asarray(w)).collect())
+    assert via_pipeline == direct
+
+
+def test_estimator_base_is_abstract(spark):
+    with pytest.raises(NotImplementedError):
+        Estimator().fit(spark.range(1))
