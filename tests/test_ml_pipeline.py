@@ -114,3 +114,57 @@ def test_logreg_stage_matches_direct_kernel(spark):
 def test_estimator_base_is_abstract(spark):
     with pytest.raises(NotImplementedError):
         Estimator().fit(spark.range(1))
+
+
+# ---------------------------------------------------------------------------
+# Self-reporting parity sweep over flink-ml-api's core package, same
+# discipline as tests/test_gelly_parity.py / test_cep_parity.py.
+# ---------------------------------------------------------------------------
+_ML_API = (
+    "/root/reference/Flink-TornadoVM/flink-ml-parent/flink-ml-api/"
+    "src/main/java/org/apache/flink/ml/api"
+)
+
+ML_IMPLEMENTED = {
+    "core/Pipeline.java": "Pipeline",
+    "core/PipelineStage.java": "PipelineStage",
+    "core/Estimator.java": "Estimator",
+    "core/Transformer.java": "Transformer",
+    "core/Model.java": "Model",
+}
+
+ML_NOT_ALGORITHMS = {
+    # typed-parameter registry scaffolding: a Python kwargs dict with
+    # explicit keys carries the same information (module docstring)
+    "misc/param/Params.java",
+    "misc/param/ParamInfo.java",
+    "misc/param/ParamInfoFactory.java",
+    "misc/param/ParamValidator.java",
+    "misc/param/WithParams.java",
+}
+
+
+def test_ml_api_files_accounted_for():
+    import os
+
+    if not os.path.isdir(_ML_API):
+        pytest.skip("reference tree not mounted")
+    files = set()
+    for root, _d, fs in os.walk(_ML_API):
+        for f in fs:
+            if f.endswith(".java"):
+                files.add(
+                    os.path.relpath(os.path.join(root, f), _ML_API)
+                )
+    accounted = set(ML_IMPLEMENTED) | ML_NOT_ALGORITHMS
+    missing = sorted(files - accounted)
+    stale = sorted(accounted - files)
+    assert not missing, f"unmapped flink-ml-api files: {missing}"
+    assert not stale, f"mappings to nonexistent files: {stale}"
+
+
+def test_ml_api_mappings_resolve():
+    import flink_tornadovm_artifact_spark.functions.ml_pipeline as mp
+
+    for ref, name in ML_IMPLEMENTED.items():
+        assert getattr(mp, name, None) is not None, f"{ref} -> {name}"
