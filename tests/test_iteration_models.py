@@ -247,3 +247,71 @@ def test_translators(spark):
     assert sorted(r.id for r in s.vertices.collect()) == ["1", "2"]
     v = translate_vertex_values(g, lambda c: c + 1)
     assert sorted(r.value for r in v.vertices.collect()) == [11, 21]
+
+
+def test_pregel_pagerank_matches_direct(spark):
+    """A REAL message-passing algorithm through the Pregel facade:
+    damped PageRank for a fixed superstep count reproduces
+    functions.graph.pagerank to float tolerance (same math, same
+    iteration structure — the facade adds no approximation)."""
+    from flink_tornadovm_artifact_spark.functions.graph import pagerank
+
+    e = _edges(spark, [(0, 1, None), (1, 2, None), (2, 0, None), (0, 2, None)])
+    edges = e.select("src", "dst").persist()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = vertices.count()
+    damping, iters = 0.85, 5
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    def compute(superstep, verts, messages):
+        inflow = messages.groupBy("id").agg(
+            F.sum("message").alias("inflow")
+        )
+        new_verts = verts.join(inflow, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("value"),
+        )
+        if superstep == iters - 1:
+            empty = verts.sparkSession.createDataFrame(
+                [], "id long, message double"
+            )
+            return new_verts, empty
+        msgs = (
+            edges.join(new_verts, edges.src == new_verts.id)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("value") / F.col("deg")).alias("message"),
+            )
+        )
+        return new_verts, msgs
+
+    init_ranks = vertices.withColumn("value", F.lit(1.0 / n))
+    init_msgs = (
+        edges.join(init_ranks, edges.src == init_ranks.id)
+        .join(out_deg, "src")
+        .select(
+            F.col("dst").alias("id"),
+            (F.col("value") / F.col("deg")).alias("message"),
+        )
+    )
+    got = {
+        r.id: r.value
+        for r in vertex_centric_iteration(
+            init_ranks, init_msgs, compute, iters + 1
+        ).collect()
+    }
+    want = {
+        r.vertex: r.rank
+        for r in pagerank(e, iterations=iters, damping=damping).collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+    edges.unpersist()
