@@ -937,30 +937,40 @@ def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
     clustering_coefficients); its AverageClusteringCoefficient treats
     them as 0, which is the semantics we keep everywhere.
     """
-    tl = triangle_listing_directed(edges).persist()
-    opp = lambda v, shift: tl.select(
-        F.col(v).alias("vertex"),
-        F.when(
-            F.shiftright("bitmask", shift).bitwiseAND(F.lit(3)) == 3,
-            F.lit(2),
+    # ONE scan of the listing: each triangle row explodes into its
+    # three (vertex, credit) contributions — credit 2 when the pair
+    # OPPOSITE the vertex is MUTUAL, in the (v1,v2)<<4 | (v1,v3)<<2 |
+    # (v2,v3) mask layout. (A previous form selected the listing three
+    # times behind a persist(): 3× the plan subtree plus a cache entry
+    # leaked past the call — the round-4 plan audit surfaced it.)
+    def _credit(v, shift):
+        return F.struct(
+            F.col(v).alias("vertex"),
+            F.when(
+                F.shiftright("bitmask", shift).bitwiseAND(F.lit(3)) == 3,
+                F.lit(2),
+            )
+            .otherwise(F.lit(1))
+            .alias("c"),
         )
-        .otherwise(F.lit(1))
-        .alias("c"),
+
+    contribs = (
+        triangle_listing_directed(edges)
+        .select(
+            F.explode(
+                F.array(
+                    _credit("v1", 0), _credit("v2", 2), _credit("v3", 4)
+                )
+            ).alias("s")
+        )
+        .select("s.vertex", "s.c")
     )
-    # opposite pairs in the (v1,v2)<<4 | (v1,v3)<<2 | (v2,v3) layout
-    contribs = opp("v1", 0).unionAll(opp("v2", 2)).unionAll(opp("v3", 4))
     counts = contribs.groupBy("vertex").agg(F.sum("c").alias("tri_count"))
+    # distinct-neighbor degree straight off the shared pair-mask frame
+    pm = _pair_masks(edges)
     deg = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
-        .unionAll(
-            edges.select(
-                F.col("dst").alias("vertex"), F.col("src").alias("nbr")
-            ).filter(F.col("vertex") != F.col("nbr"))
-        )
-        .distinct()
+        pm.select(F.col("a").alias("vertex"))
+        .unionAll(pm.select(F.col("b").alias("vertex")))
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
