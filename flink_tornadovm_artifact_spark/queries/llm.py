@@ -1491,3 +1491,66 @@ FROM g GROUP BY ngram
 HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster representatives (round 4): the FINAL step of a
+# production dedup pipeline, composed end-to-end — LSH candidates →
+# exact-Jaccard verify (dedup_lsh_verified) → connected components over
+# the verified match graph → keep the minimum doc_id of each cluster as
+# its representative. Every document gets a row: members point at their
+# cluster representative, singletons at themselves, and
+# is_representative marks the keep-set (filtering on it IS the
+# deduplicated corpus). The CC runs on the verified PAIRS (tiny
+# relative to the corpus — collision-bounded, never all-pairs), so the
+# iteration cost is independent of corpus size; the final join is one
+# shuffle on doc_id.
+# ---------------------------------------------------------------------------
+def dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.graph import connected_components
+
+    pairs = dedup_lsh_verified(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs, max_iterations=20)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rep = F.coalesce("component", F.col("doc_id"))
+    return docs.join(
+        comp, docs.doc_id == comp.vertex, "left"
+    ).select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        (rep == F.col("doc_id")).alias("is_representative"),
+    )
+
+
+_verified_sql = ORACLE["dedup_lsh_verified"].strip()
+
+_register(
+    dedup_cluster_representatives,
+    # the verified-pair SQL nests wholesale as a CTE body; the closure
+    # is the same recursive-CTE technique as connected_components_pipeline
+    f"""
+WITH RECURSIVE verified AS (
+{_verified_sql}
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+r(vertex, reach) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT r.vertex, e.dst FROM r JOIN und e ON r.reach = e.src
+),
+cc AS (SELECT vertex, MIN(reach) AS comp FROM r GROUP BY vertex)
+SELECT d.doc_id,
+       COALESCE(cc.comp, d.doc_id) AS cluster_rep,
+       COALESCE(cc.comp, d.doc_id) = d.doc_id AS is_representative
+FROM documents d
+LEFT JOIN cc ON d.doc_id = cc.vertex
+""",
+)
