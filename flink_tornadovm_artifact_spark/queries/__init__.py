@@ -62,6 +62,7 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: cep_followed_by_any, cep_group_followed_by, cep_not_next,
 #: text_bigram_lm_score, text_tfidf_keywords, text_importance_sample,
 #: text_boilerplate_ngrams, embedding_outlier_score,
+#: dedup_cluster_representatives, corpus_datasheet,
 #: bipartite_projection_suppliers, asm_vertex_degrees,
 #: generator_hypercube_degrees.
 PRIORITY_WINDOW: tuple[str, ...] = (

@@ -1554,3 +1554,43 @@ FROM documents d
 LEFT JOIN cc ON d.doc_id = cc.vertex
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet (round 4): the per-(source, lang) rollup a dataset
+# card reports — document counts, token statistics, and length spread
+# (Gebru et al. 2021 "Datasheets for Datasets"; every training-data
+# release ships one). One groupBy over expression-level token counts:
+# a full-corpus pass with a single tiny-cardinality shuffle.
+# ---------------------------------------------------------------------------
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "lang", "text", "n_chars"
+    )
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.withColumn("n_tokens", n_tok)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("n_tokens").alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_register(
+    corpus_datasheet,
+    """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       AVG(len(string_split(text, ' '))) AS avg_tokens,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source, lang
+""",
+)
