@@ -74,6 +74,9 @@ HEADLINE = [
     # bipartite self-join projection (supplier pairs via shared parts)
     "text_bigram_lm_score",
     "bipartite_projection_suppliers",
+    # the composed end-to-end dedup pipeline: LSH -> verify -> CC over
+    # the match graph -> per-cluster representative (the keep-set)
+    "dedup_cluster_representatives",
 ]
 
 
