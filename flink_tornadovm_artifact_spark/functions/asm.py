@@ -160,16 +160,18 @@ def edge_degree_pair(edges: DataFrame) -> DataFrame:
 # -- degree filtering (asm/degree/filter/undirected/) ------------------
 def maximum_degree_filter(graph: Graph, maximum_degree: int) -> Graph:
     """MaximumDegree.java: remove vertices with degree > max, plus
-    every incident edge — two semi-join passes over the edge set (the
-    reference's join-or-broadcast choice is Catalyst/AQE's call)."""
+    every incident edge. Vertices filter with an ANTI join against the
+    HIGH-degree set (degree > max) — the reference joins vertices
+    left-outer against that set and keeps the misses, so isolated
+    vertices (no degree row at all) survive; a semi-join against the
+    low-degree set would silently drop them. Edges keep the semi-join:
+    every endpoint has degree >= 1 by construction."""
     if maximum_degree <= 0:
         raise ValueError("maximum degree must be greater than zero")
-    keep = (
-        vertex_degree(graph.edges)
-        .filter(F.col("degree") <= maximum_degree)
-        .select("id")
-    )
-    vertices = graph.vertices.join(keep, "id", "left_semi")
+    degrees = vertex_degree(graph.edges)
+    high = degrees.filter(F.col("degree") > maximum_degree).select("id")
+    keep = degrees.filter(F.col("degree") <= maximum_degree).select("id")
+    vertices = graph.vertices.join(high, "id", "left_anti")
     edges = graph.edges.join(
         keep.withColumnRenamed("id", "src"), "src", "left_semi"
     ).join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")

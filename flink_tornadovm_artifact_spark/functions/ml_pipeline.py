@@ -118,12 +118,16 @@ class Pipeline(Estimator, Transformer):
         out = []
         for s in self.stages:
             cls = type(s)
-            out.append(
-                {
-                    "stageClassName": f"{cls.__module__}.{cls.__qualname__}",
-                    "params": s.get_params(),
-                }
-            )
+            entry = {
+                "stageClassName": f"{cls.__module__}.{cls.__qualname__}",
+                "params": s.get_params(),
+            }
+            # A nested Pipeline's stages are NOT in its params; the
+            # reference recurses via each stage's own toJson(), so we
+            # embed the nested stage list to keep round trips lossless.
+            if isinstance(s, Pipeline):
+                entry["pipelineJson"] = s.to_json()
+            out.append(entry)
         return json.dumps(out)
 
     @classmethod
@@ -132,7 +136,10 @@ class Pipeline(Estimator, Transformer):
         for d in json.loads(payload):
             mod, _, name = d["stageClassName"].rpartition(".")
             stage_cls = getattr(importlib.import_module(mod), name)
-            stages.append(stage_cls(**d["params"]))
+            if issubclass(stage_cls, Pipeline):
+                stages.append(stage_cls.from_json(d["pipelineJson"]))
+            else:
+                stages.append(stage_cls(**d["params"]))
         return cls(stages)
 
 

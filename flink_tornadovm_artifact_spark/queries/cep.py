@@ -625,12 +625,18 @@ def cep_one_or_more_until(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("run_len"),
         F.min("ts").alias("a_first_ts"),
         F.max("rn").alias("end_rn"),
-        # coalesce: a NULL value never triggers (matches the oracle's
-        # CASE WHEN ... ELSE 0 and the stream twin's NaN comparison);
-        # without it an all-NULL run would aggregate to NULL and the
-        # triggered == 0 join predicate would silently drop the run
+        # Canonical convention: NULL and NaN values never trigger. The
+        # stream twin CANNOT distinguish them (Arrow→pandas maps a NULL
+        # double to NaN), so both map to "not triggered" everywhere:
+        # here the NOT-isnan guard (Spark alone orders NaN above all
+        # doubles, so an unguarded value > X would be TRUE for NaN) and
+        # the coalesce for NULL (an all-NULL run would otherwise
+        # aggregate to NULL and the triggered == 0 join drops the run).
         F.max(
-            F.coalesce((F.col("value") > UNTIL_X).cast("int"), F.lit(0))
+            F.coalesce(
+                (~F.isnan("value") & (F.col("value") > UNTIL_X)).cast("int"),
+                F.lit(0),
+            )
         ).alias("triggered"),
     )
     b = ev2.filter(F.col("event_type") == ONE_B_TYPE).select(
@@ -677,7 +683,8 @@ numbered AS (
 runs AS (
   SELECT user_id, island, COUNT(*) AS run_len, MIN(ts) AS a_first_ts,
          MAX(rn) AS end_rn,
-         MAX(CASE WHEN value > {UNTIL_X} THEN 1 ELSE 0 END) AS triggered
+         MAX(CASE WHEN NOT isnan(value) AND value > {UNTIL_X}
+                  THEN 1 ELSE 0 END) AS triggered
   FROM numbered WHERE event_type = '{ONE_A_TYPE}'
   GROUP BY user_id, island
 )

@@ -1003,14 +1003,26 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched decode+feature kernel (operators/multimodal.py, stubbed
     codec). The fake decode is md5-derived integer arithmetic, so even
     the Python kernel is oracle-checkable: DuckDB re-derives the digest
-    bytes from md5 hex and reproduces width/height/features exactly."""
+    bytes from md5 hex and reproduces width/height/features exactly.
+
+    Registered output flattens the ``features array<double>`` into scalar
+    ``f0..f7`` columns: the harness canonicalizes results with a pandas
+    sort over every column, and list-valued cells are unsortable there.
+    The array-returning API (``decode_image_features``) is unchanged for
+    library users — this is a projection at the query boundary only."""
     from ..operators.multimodal import decode_image_features, with_metadata
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     blobs = with_metadata(docs, "content").filter(F.col("meta.n_bytes") > 0)
-    return decode_image_features(blobs, id_col="doc_id")
+    feats = decode_image_features(blobs, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 def _hex_byte(j: int) -> str:
@@ -1022,7 +1034,8 @@ def _hex_byte(j: int) -> str:
 
 
 _feat_sql = ", ".join(
-    f"CAST({_hex_byte(2 * i)} + 256 * {_hex_byte(2 * i + 1)} AS DOUBLE) / 65535.0"
+    f"CAST({_hex_byte(2 * i)} + 256 * {_hex_byte(2 * i + 1)} AS DOUBLE)"
+    f" / 65535.0 AS f{i}"
     for i in range(8)
 )
 
@@ -1036,7 +1049,7 @@ WITH h AS (
 SELECT doc_id,
        CAST(16 + {_hex_byte(0)} % 64 AS INTEGER) AS width,
        CAST(16 + {_hex_byte(1)} % 64 AS INTEGER) AS height,
-       [{_feat_sql}] AS features
+       {_feat_sql}
 FROM h
 """,
 )

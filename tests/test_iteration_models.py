@@ -236,6 +236,19 @@ def test_maximum_degree_filter(spark):
         maximum_degree_filter(g, 0)
 
 
+def test_maximum_degree_filter_keeps_isolated_vertices(spark):
+    """MaximumDegree.java removes only degree > max vertices; an isolated
+    vertex (no edge, hence no degree row) must survive — the ADVICE r4
+    regression: a semi-join against the low-degree set drops it."""
+    edges = _edges(spark, [(1, 2, None), (2, 1, None)])
+    vertices = spark.createDataFrame(
+        [(1, None), (2, None), (99, None)], "id long, value string"
+    )
+    g = Graph(vertices, edges)
+    f = maximum_degree_filter(g, 5)
+    assert sorted(r.id for r in f.vertices.collect()) == [1, 2, 99]
+
+
 def test_translators(spark):
     g = Graph.from_edges(
         _edges(spark, [(1, 2, None)]), vertex_value=F.col("id") * 10

@@ -89,6 +89,28 @@ def test_nested_pipeline_and_validation(spark):
         Pipeline([object()])
 
 
+def test_nested_pipeline_json_round_trip(spark):
+    """Pipeline.java recurses into nested pipelines via each stage's own
+    toJson(); a get_params()-only serializer silently loses the inner
+    stage list (ADVICE r4)."""
+    inner = Pipeline(
+        [
+            SqlExprTransformer("px", "x * 2"),
+            KMeansEstimator([(0, 0.0, 0.0), (1, 9.0, 9.0)], iterations=3),
+        ]
+    )
+    outer = Pipeline([SqlExprTransformer("y", "x + 1"), inner])
+    restored = Pipeline.from_json(outer.to_json())
+    assert [type(s) for s in restored.stages] == [SqlExprTransformer, Pipeline]
+    inner_back = restored.stages[1]
+    assert [type(s) for s in inner_back.stages] == [
+        SqlExprTransformer,
+        KMeansEstimator,
+    ]
+    assert inner_back.stages[1].get_params()["iterations"] == 3
+    assert restored.need_fit()
+
+
 def test_logreg_stage_matches_direct_kernel(spark):
     """LogRegEstimator through the pipeline == functions.logreg
     train+predict directly."""
