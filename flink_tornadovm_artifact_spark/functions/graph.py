@@ -16,6 +16,7 @@ src/dst — at scale, pre-partition the edge table on src
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -351,14 +352,18 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return scores
 
 
-def _shared_neighbors(edges: DataFrame) -> DataFrame:
+def _shared_neighbors(
+    edges: DataFrame | None = None, und: DataFrame | None = None
+) -> DataFrame:
     """(u, v, shared) for every vertex pair (u < v) of the undirected
     simple graph with at least one common neighbor — the wedge-join
     core shared by JaccardIndex and AdamicAdar. One groupBy on the
     pair key; wedge fan-out is Σ deg² on the wedge centers (the
     reference bounds this with its group-size split; at Spark scale the
-    same bound comes from AQE skew splitting on the groupBy)."""
-    und = _undirect(edges)
+    same bound comes from AQE skew splitting on the groupBy). Pass a
+    pre-persisted canonical edge set via ``und`` to share it with the
+    caller's degree aggregate."""
+    und = und if und is not None else _undirect(edges)
     both = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
@@ -380,15 +385,19 @@ def jaccard_index(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     ``min_shared`` mirrors the reference's minimum-score filter
     (setMinimumScoreNumerator) — it bounds output cardinality, not the
     computation. Returns (u, v, shared, jaccard) with u < v.
+
+    The canonical edge set is persisted once and re-read by the degree
+    aggregate and both wedge sides (SCALE.md's 100 TB note; lifetime is
+    CacheManager plan-deduped, see DirectedGraphBase).
     """
-    und = _undirect(edges)
+    und = _undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         und.select(F.col("u").alias("x"))
         .unionAll(und.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    pairs = _shared_neighbors(edges).filter(F.col("shared") >= min_shared)
+    pairs = _shared_neighbors(und=und).filter(F.col("shared") >= min_shared)
     return (
         pairs.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
@@ -411,8 +420,11 @@ def adamic_adar(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     popularity. Pairs with ``shared < min_shared`` are filtered (the
     reference's minimum-ratio option). Returns (u, v, shared, aa)
     with u < v.
+
+    The canonical edge set is persisted once and re-read by the degree
+    aggregate and both weighted-wedge sides (SCALE.md's 100 TB note).
     """
-    und = _undirect(edges)
+    und = _undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         und.select(F.col("u").alias("x"))
         .unionAll(und.select(F.col("v").alias("x")))
@@ -751,51 +763,125 @@ def triadic_census(edges: DataFrame) -> DataFrame:
     )
 
 
-def vertex_metrics_directed(edges: DataFrame) -> DataFrame:
+class DirectedGraphBase:
+    """Shared base for the directed Gelly analytics: the (a, b, m)
+    EdgeOrder pair-mask frame, its distinct-neighbor degree table, and
+    the degree-oriented masked edge list, each computed ONCE behind
+    ``persist(MEMORY_AND_DISK)`` and re-read by every consumer.
+
+    The clustering/census analytics each re-read the pair-mask and
+    oriented frames up to three times inside one action; without the
+    base each re-read re-plans the whole distinct+groupBy+degree-join
+    subtree (PLAN_AUDIT r4: 24-25 exchanges per directed query). This
+    is the GraphX discipline at 100 TB: multi-pass graph analytics
+    persist their (already simple/deduplicated, so O(E)) edge frame;
+    MEMORY_AND_DISK spills instead of OOMing.
+
+    Lifetime: bases are NOT auto-evicted. Spark's CacheManager dedupes
+    persist() calls on semantically identical plans ("already cached"),
+    so N directed queries over the same edge frame in one session share
+    ONE set of cache entries — auto-unpersisting any base would silently
+    uncache every live sibling (the bug that motivated this note). A
+    session therefore holds at most one pm/degrees/oriented entry per
+    DISTINCT edge frame, all MEMORY_AND_DISK; callers wanting
+    deterministic cleanup create one base, pass it via ``base=``, and
+    ``unpersist()`` when their action has run.
+    """
+
+    def __init__(self, edges: DataFrame):
+        self.pm = _pair_masks(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        self.degrees = (
+            self.pm.select(F.col("a").alias("vertex"))
+            .unionAll(self.pm.select(F.col("b").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        da = self.degrees.select(
+            F.col("vertex").alias("a"), F.col("degree").alias("da")
+        )
+        db = self.degrees.select(
+            F.col("vertex").alias("b"), F.col("degree").alias("db")
+        )
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        #: masked edges oriented low-degree → high-degree (s, t, dt, m):
+        #: the apex-bounded wedge-join frame of TriangleListing.java
+        self.oriented = (
+            self.pm.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+                F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
+                F.col("m"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    def unpersist(self, blocking: bool = False) -> None:
+        for df in (self.oriented, self.degrees, self.pm):
+            df.unpersist(blocking)
+
+
+def directed_graph_base(edges: DataFrame) -> DirectedGraphBase:
+    """Build the shared directed-analytics base (see the class note on
+    cache lifetime and CacheManager plan-dedup)."""
+    return DirectedGraphBase(edges)
+
+
+def _pair_flags(pm: DataFrame) -> DataFrame:
+    """Per-vertex (us, ut, bi) neighbor-direction counts off the
+    pair-mask frame: out-only, in-only, and mutual distinct neighbors
+    (for endpoint a the out/in bits are (m & 2, m & 1); for b they
+    flip). Shared by the census and the directed vertex metrics."""
+
+    def _flags(v, out_bit, in_bit):
+        out_e = F.col("m").bitwiseAND(F.lit(out_bit)) != 0
+        in_e = F.col("m").bitwiseAND(F.lit(in_bit)) != 0
+        return pm.select(
+            F.col(v).alias("vertex"),
+            (out_e & ~in_e).cast("int").alias("us_f"),
+            (in_e & ~out_e).cast("int").alias("ut_f"),
+            (out_e & in_e).cast("int").alias("bi_f"),
+        )
+
+    return (
+        _flags("a", 2, 1)
+        .unionAll(_flags("b", 1, 2))
+        .groupBy("vertex")
+        .agg(
+            F.sum("us_f").alias("us"),
+            F.sum("ut_f").alias("ut"),
+            F.sum("bi_f").alias("bi"),
+        )
+    )
+
+
+def vertex_metrics_directed(
+    edges: DataFrame | None = None, base: DirectedGraphBase | None = None
+) -> DataFrame:
     """Directed vertex metrics (``flink-gelly/.../library/metric/
     directed/VertexMetrics.java``): on the simple directed graph
     (duplicate edges merged, self-loops dropped), per vertex let
     degree = distinct neighbors in either direction, out/in = out-/
-    in-neighbor counts, bidirectional = out + in − degree (neighbors
-    connected both ways). One row with the reference's accumulator set:
-    vertex count, unidirectional/bidirectional edge-pair counts (the
-    per-endpoint sums halved, as in the reference), Σ C(degree, 2)
-    triplets, and the degree/out/in/triplet maxima.
+    in-neighbor counts, bidirectional = neighbors connected both ways.
+    One row with the reference's accumulator set: vertex count,
+    unidirectional/bidirectional edge-pair counts (the per-endpoint
+    sums halved, as in the reference), Σ C(degree, 2) triplets, and
+    the degree/out/in/triplet maxima. All quantities come off the
+    shared pair-mask frame: degree = us+ut+bi, out = us+bi, in = ut+bi.
     """
-    e = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
-    )
-    out_d = e.groupBy(F.col("src").alias("vertex")).agg(
-        F.count(F.lit(1)).alias("outd")
-    )
-    in_d = e.groupBy(F.col("dst").alias("vertex")).agg(
-        F.count(F.lit(1)).alias("ind")
-    )
-    deg = (
-        e.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
-        .unionAll(
-            e.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr"))
-        )
-        .distinct()
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    per_v = (
-        deg.join(out_d, "vertex", "left")
-        .join(in_d, "vertex", "left")
-        .select(
-            "vertex",
-            "deg",
-            F.coalesce("outd", F.lit(0)).alias("outd"),
-            F.coalesce("ind", F.lit(0)).alias("ind"),
-        )
-        .withColumn("bidi", F.col("outd") + F.col("ind") - F.col("deg"))
+    base = base or directed_graph_base(edges)
+    per_v = _pair_flags(base.pm).select(
+        (F.col("us") + F.col("ut") + F.col("bi")).alias("deg"),
+        (F.col("us") + F.col("bi")).alias("outd"),
+        (F.col("ut") + F.col("bi")).alias("ind"),
+        F.col("bi").alias("bidi"),
     )
     trip = (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
-    out = per_v.agg(
+    return per_v.agg(
         F.count(F.lit(1)).alias("vertex_count"),
         (F.sum(F.col("deg") - F.col("bidi")) / 2).cast("long").alias(
             "unidirectional_edge_count"
@@ -807,11 +893,11 @@ def vertex_metrics_directed(edges: DataFrame) -> DataFrame:
         F.max("ind").alias("maximum_in_degree"),
         F.max(trip).alias("maximum_triplets"),
     )
-    e.unpersist()
-    return out
 
 
-def triangle_listing_directed(edges: DataFrame) -> DataFrame:
+def triangle_listing_directed(
+    edges: DataFrame | None = None, base: DirectedGraphBase | None = None
+) -> DataFrame:
     """Directed triangle listing (``flink-gelly/.../library/clustering/
     directed/TriangleListing.java``): every triangle of the underlying
     undirected simple graph, annotated with a 6-bit mask recording
@@ -836,18 +922,14 @@ def triangle_listing_directed(edges: DataFrame) -> DataFrame:
     O(#triangles) output three times and measured 5× slower on the
     saturated sf0.1 graph.
     """
-    return _triangle_listing_from_pm(_pair_masks(edges))
+    base = base or directed_graph_base(edges)
+    return _triangle_listing_from_oriented(base.oriented)
 
 
 def _pair_masks(edges: DataFrame) -> DataFrame:
     """(a, b, m) with a < b and m the 2-bit EdgeOrder mask — the
-    shared base frame the directed listing and the census degree
-    statistics both derive from. Sharing the frame cut the census from
-    four independent scans of the raw edge set to two column-pruned
-    rescans of this one shape (~20% at sf0.1; column pruning gives the
-    two consumers different canonical plans, so ReuseExchange does not
-    collapse them further — a deliberate trade against persist(),
-    which would pin executor memory inside a library function)."""
+    shared base frame every directed analytic derives from (see
+    ``DirectedGraphBase``, which computes it once behind persist())."""
     return (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -864,26 +946,7 @@ def _pair_masks(edges: DataFrame) -> DataFrame:
     )
 
 
-def _triangle_listing_from_pm(pm: DataFrame) -> DataFrame:
-    deg = (
-        pm.select(F.col("a").alias("x"))
-        .unionAll(pm.select(F.col("b").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    with_deg = (
-        pm.join(deg.withColumnRenamed("x", "a").withColumnRenamed("d", "da"), "a")
-        .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "db"), "b")
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = with_deg.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
-        F.col("m"),
-    )
+def _triangle_listing_from_oriented(oriented: DataFrame) -> DataFrame:
     ea, eb = oriented.alias("ea"), oriented.alias("eb")
     spoke_lt = (F.col("ea.dt") < F.col("eb.dt")) | (
         (F.col("ea.dt") == F.col("eb.dt")) & (F.col("ea.t") < F.col("eb.t"))
@@ -924,7 +987,9 @@ def _triangle_listing_from_pm(pm: DataFrame) -> DataFrame:
     )
 
 
-def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
+def local_clustering_coefficient_directed(
+    edges: DataFrame | None = None, base: DirectedGraphBase | None = None
+) -> DataFrame:
     """Directed per-vertex clustering (``flink-gelly/.../library/
     clustering/directed/LocalClusteringCoefficient.java``): for each
     vertex, the number of DIRECTED edges among its distinct neighbors —
@@ -937,6 +1002,8 @@ def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
     clustering_coefficients); its AverageClusteringCoefficient treats
     them as 0, which is the semantics we keep everywhere.
     """
+    base = base or directed_graph_base(edges)
+
     # ONE scan of the listing: each triangle row explodes into its
     # three (vertex, credit) contributions — credit 2 when the pair
     # OPPOSITE the vertex is MUTUAL, in the (v1,v2)<<4 | (v1,v3)<<2 |
@@ -955,7 +1022,7 @@ def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
         )
 
     contribs = (
-        triangle_listing_directed(edges)
+        triangle_listing_directed(base=base)
         .select(
             F.explode(
                 F.array(
@@ -966,14 +1033,8 @@ def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
         .select("s.vertex", "s.c")
     )
     counts = contribs.groupBy("vertex").agg(F.sum("c").alias("tri_count"))
-    # distinct-neighbor degree straight off the shared pair-mask frame
-    pm = _pair_masks(edges)
-    deg = (
-        pm.select(F.col("a").alias("vertex"))
-        .unionAll(pm.select(F.col("b").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    # distinct-neighbor degree straight off the shared (persisted) base
+    deg = base.degrees
     out = deg.join(counts, "vertex", "left").select(
         "vertex",
         "degree",
@@ -989,7 +1050,9 @@ def local_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
     return out
 
 
-def global_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
+def global_clustering_coefficient_directed(
+    edges: DataFrame | None = None, base: DirectedGraphBase | None = None
+) -> DataFrame:
     """Directed whole-graph clustering (``flink-gelly/.../library/
     clustering/directed/GlobalClusteringCoefficient.java``): one row
     (triplet_count, triangle_count, gcc). The reference counts
@@ -1001,12 +1064,15 @@ def global_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
     triangle_count / triplet_count (NULL when the graph has no
     triplets, the reference's NaN).
 
-    The listing's row count equals the underlying undirected triangle
-    count, so this needs no bitmask join — just the degree aggregate
-    and the (already apex-bounded) ``triangles`` enumeration.
+    Both quantities come off the shared base: triplets as the degree
+    aggregate, triangles as the row count of the oriented listing.
     """
-    triplets = vertex_metrics_directed(edges).select("triplet_count")
-    tri_total = triangles(edges).agg(
+    base = base or directed_graph_base(edges)
+    d = F.col("degree")
+    triplets = base.degrees.agg(
+        F.sum(d * (d - 1) / 2).cast("long").alias("triplet_count")
+    )
+    tri_total = triangle_listing_directed(base=base).agg(
         (3 * F.count(F.lit(1))).cast("long").alias("triangle_count")
     )
     return triplets.crossJoin(F.broadcast(tri_total)).select(
@@ -1019,7 +1085,9 @@ def global_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
     )
 
 
-def average_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
+def average_clustering_coefficient_directed(
+    edges: DataFrame | None = None, base: DirectedGraphBase | None = None
+) -> DataFrame:
     """Directed mean local clustering (``flink-gelly/.../library/
     clustering/directed/AverageClusteringCoefficient.java``): one row
     (vertex_count, sum_lcc, acc). The reference sums the local score
@@ -1029,7 +1097,8 @@ def average_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
     NaN — see local_clustering_coefficient_directed), so the explicit
     degree filter reproduces the reference sum exactly.
     """
-    lcc = local_clustering_coefficient_directed(edges)
+    base = base or directed_graph_base(edges)
+    lcc = local_clustering_coefficient_directed(base=base)
     return lcc.agg(
         F.count(F.lit(1)).alias("vertex_count"),
         F.sum(F.when(F.col("degree") > 1, F.col("lcc")).otherwise(F.lit(0.0))).alias(
@@ -1069,7 +1138,9 @@ _TRIANGLE_CLASSES = {9: "030t", 10: "030c", 12: "120d", 13: "120u",
                      14: "120c", 15: "210", 16: "300"}
 
 
-def triadic_census_directed(edges: DataFrame) -> DataFrame:
+def triadic_census_directed(
+    edges: DataFrame | None = None, base: DirectedGraphBase | None = None
+) -> DataFrame:
     """Directed triadic census (``flink-gelly/.../library/clustering/
     directed/TriadicCensus.java``): the 16 directed-triad class counts
     over all C(n,3) vertex triples, computed exactly as the reference —
@@ -1087,35 +1158,12 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
     triads_111d, triads_111u, triads_030t, triads_030c, triads_201,
     triads_120d, triads_120u, triads_120c, triads_210, triads_300.
     """
-    # all three per-vertex quantities come straight off the shared
-    # (a, b, m) pair-mask frame — for endpoint a the out/in bits are
-    # (m & 2, m & 1), for b they flip — so the census's degree stats
-    # and the triangle listing below are two column-pruned rescans of
-    # ONE frame shape instead of four independent scans of the raw
-    # edge set (see the _pair_masks docstring for why ReuseExchange
-    # does NOT collapse the two rescans further)
-    pm = _pair_masks(edges)
-
-    def _flags(v, out_bit, in_bit):
-        out_e = F.col("m").bitwiseAND(F.lit(out_bit)) != 0
-        in_e = F.col("m").bitwiseAND(F.lit(in_bit)) != 0
-        return pm.select(
-            F.col(v).alias("vertex"),
-            (out_e & ~in_e).cast("int").alias("us_f"),
-            (in_e & ~out_e).cast("int").alias("ut_f"),
-            (out_e & in_e).cast("int").alias("bi_f"),
-        )
-
-    per_v = (
-        _flags("a", 2, 1)
-        .unionAll(_flags("b", 1, 2))
-        .groupBy("vertex")
-        .agg(
-            F.sum("us_f").alias("us"),
-            F.sum("ut_f").alias("ut"),
-            F.sum("bi_f").alias("bi"),
-        )
-    )
+    # all per-vertex quantities come off the shared persisted base:
+    # the census's degree stats read the pair-mask frame once
+    # (_pair_flags) and the triangle listing reads the oriented frame —
+    # both cache hits after the base materializes
+    base = base or directed_graph_base(edges)
+    per_v = _pair_flags(base.pm)
     us, ut, bi = F.col("us"), F.col("ut"), F.col("bi")
     vstats = per_v.agg(
         F.count(F.lit(1)).alias("vc"),
@@ -1129,7 +1177,7 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
         F.sum(bi * (bi - 1) / 2).cast("long").alias("p201"),
     )
     table = F.array(*[F.lit(t) for t in _TRIAD_TYPE_TABLE])
-    classed = _triangle_listing_from_pm(pm).select(
+    classed = triangle_listing_directed(base=base).select(
         F.element_at(table, F.col("bitmask") + 1).alias("cls")
     )
     tstats = classed.agg(
@@ -1189,7 +1237,9 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
     return j.select(*[expr.cast("long").alias(name) for name, expr in ordered])
 
 
-def edge_metrics_directed(edges: DataFrame) -> DataFrame:
+def edge_metrics_directed(
+    edges: DataFrame | None = None, base: DirectedGraphBase | None = None
+) -> DataFrame:
     """Directed edge metrics (``flink-gelly/.../library/metric/directed/
     EdgeMetrics.java``): one row (triangle_triplet_count,
     rectangle_triplet_count, maximum_triangle_triplets,
@@ -1200,36 +1250,20 @@ def edge_metrics_directed(edges: DataFrame) -> DataFrame:
     mutual-pair dedup) and h = degree − l; triangle triplets = C(l, 2),
     rectangle triplets = C(l, 2) + l·h.
 
-    Plan: one distinct-neighbor-pair expansion, a self-join on the
-    degree table, one groupBy — the same shape as the undirected
-    edge_metrics, with degrees drawn from either-direction neighbors.
+    Plan: l is exactly the out-degree of the base's degree-ORIENTED
+    edge frame (s = lower-order endpoint, so counting rows by s counts
+    each vertex's higher-order neighbors) — one groupBy over the
+    persisted oriented frame plus a join against the persisted degree
+    table, replacing the former neighbor-pair expansion + degree
+    self-join. Vertices that never appear as s get l = 0 and contribute
+    0 to every aggregate, as before.
     """
-    pairs = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
+    base = base or directed_graph_base(edges)
+    lcount = base.oriented.groupBy(F.col("s").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("l")
     )
-    und = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
-        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    )
-    deg = und.groupBy(F.col("x").alias("vertex")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    da = deg.select(F.col("vertex").alias("x"), F.col("d").alias("dx"))
-    db = deg.select(F.col("vertex").alias("y"), F.col("d").alias("dy"))
-    low = F.when(
-        (F.col("dx") < F.col("dy"))
-        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
-        1,
-    ).otherwise(0)
-    per_v = (
-        und.join(da, "x")
-        .join(db, "y")
-        .groupBy("x")
-        .agg(F.first("dx").alias("d"), F.sum(low).alias("l"))
+    per_v = base.degrees.join(lcount, "vertex", "left").select(
+        F.col("degree").alias("d"), F.coalesce("l", F.lit(0)).alias("l")
     )
     tri = (F.col("l") * (F.col("l") - 1) / 2).cast("long")
     rect = (tri + F.col("l") * (F.col("d") - F.col("l"))).cast("long")

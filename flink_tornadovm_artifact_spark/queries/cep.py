@@ -901,3 +901,122 @@ WHERE event_type = '{NEXT_A_TYPE}'
 """
 
 QUERIES["cep_not_next"] = cep_not_next
+
+
+# ---------------------------------------------------------------------------
+# allowCombinations() (Pattern.java allowCombinations, Quantifier.java
+# COMBINATIONS property): non-deterministic relaxed contiguity INSIDE
+# the looping quantifier. For ``A.oneOrMore().allowCombinations()
+# .next(B)`` over a maximal consecutive A-run a_1..a_k followed
+# immediately by B, the NFA emits every order-preserving subsequence
+# that starts at a_1 (the docs' canonical example: input b1 b2 b3
+# yields {b1}, {b1 b2}, {b1 b3}, {b1 b2 b3}) — and strict next(B)
+# additionally anchors the subsequence's END at a_k, since B must be
+# the very next stream element after the last consumed A. Matches per
+# run: every subset of the k-2 INNER elements, i.e. 2^(k-2) rows
+# (1 row for k <= 2).
+#
+# Batch analog: the same gaps-and-islands runs frame as oneOrMore,
+# then an explode over the 2^(k-2) inner-subset bitmasks. The output
+# is intrinsically EXPONENTIAL in the run length — no engine should
+# materialize it unbounded at 100 TB — so runs longer than
+# COMB_MAX_RUN produce no combination rows (documented cap, ≤ 2^8
+# rows per island; the fixture's longest run is 5, so nothing is
+# excluded at any test SF and the cap never vacuizes the query).
+# Each row identifies its match by (b_event_id, combo_mask): bit i of
+# combo_mask selects inner element a_(i+2). No stream twin: the NFA's
+# combination branching is exactly what the batch enumeration states;
+# a streaming analog would enumerate the same masks per closed run.
+# ---------------------------------------------------------------------------
+COMB_MAX_RUN = 10
+
+
+def cep_allow_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev2 = _numbered_islands(spark, sf_dir)
+    runs = (
+        ev2.filter(F.col("event_type") == ONE_A_TYPE)
+        .groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("a_first_ts"),
+            F.max("rn").alias("end_rn"),
+        )
+        .filter(F.col("run_len") <= COMB_MAX_RUN)
+    )
+    b = ev2.filter(F.col("event_type") == ONE_B_TYPE).select(
+        "user_id",
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+        "rn",
+    )
+    joined = b.join(
+        runs, (b.user_id == runs.user_id) & (b.rn == runs.end_rn + 1)
+    ).select(
+        "b_event_id",
+        b.user_id.alias("user_id"),
+        "run_len",
+        "a_first_ts",
+        "b_ts",
+    )
+    masks = F.sequence(
+        F.lit(0).cast("long"),
+        F.expr("shiftleft(1L, greatest(run_len - 2, 0)) - 1L"),
+    )
+    return joined.select(
+        "b_event_id",
+        "user_id",
+        "run_len",
+        "a_first_ts",
+        "b_ts",
+        F.explode(masks).alias("combo_mask"),
+    ).withColumn(
+        "n_matched",
+        F.when(F.col("run_len") == 1, F.lit(1)).otherwise(
+            F.bit_count("combo_mask") + F.lit(2)
+        ).cast("int"),
+    )
+
+
+ORACLE["cep_allow_combinations"] = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+numbered AS (
+  SELECT event_id, user_id, ts, event_type, rn,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len, MIN(ts) AS a_first_ts,
+         MAX(rn) AS end_rn
+  FROM numbered WHERE event_type = '{ONE_A_TYPE}'
+  GROUP BY user_id, island
+  HAVING COUNT(*) <= {COMB_MAX_RUN}
+),
+joined AS (
+  SELECT n.event_id AS b_event_id, n.user_id, r.run_len, r.a_first_ts,
+         n.ts AS b_ts
+  FROM numbered n
+  JOIN runs r ON n.user_id = r.user_id AND n.rn = r.end_rn + 1
+  WHERE n.event_type = '{ONE_B_TYPE}'
+)
+SELECT b_event_id, user_id, run_len, a_first_ts, b_ts,
+       CAST(unnest(range(0, CAST(pow(2, greatest(run_len - 2, 0)) AS BIGINT)))
+            AS BIGINT) AS combo_mask,
+       CAST(CASE WHEN run_len = 1 THEN 1
+                 ELSE bit_count(CAST(unnest(range(0,
+                      CAST(pow(2, greatest(run_len - 2, 0)) AS BIGINT)))
+                      AS BIGINT)) + 2 END AS INTEGER) AS n_matched
+FROM joined
+"""
+
+QUERIES["cep_allow_combinations"] = cep_allow_combinations

@@ -1014,3 +1014,36 @@ def test_cep_absence_emits_on_non_pattern_traffic_only(spark, tmp_path):
         cep_not_followed_by_stream(stream), "cep_nf_wm_out"
     )
     assert [(r.user_id, r.a_event_id) for r in got.collect()] == [(1, 1)]
+
+
+def test_cep_allow_combinations_hand_computed(spark, tmp_path):
+    """allowCombinations over a 4-run: matches keep the run's first and
+    last A and any subset of the 2 inner ones — 4 masks with sizes
+    {2, 3, 3, 4}; a 1-run emits the single {a1} match (mask 0, size 1)."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_allow_combinations,
+    )
+
+    rows = [
+        (1, 1, 0, "click"),
+        (2, 1, 1, "click"),
+        (3, 1, 2, "click"),
+        (4, 1, 3, "click"),
+        (5, 1, 4, "purchase"),
+        (6, 2, 0, "click"),
+        (7, 2, 1, "purchase"),
+    ]
+    d = tmp_path / "cep_comb"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    got = sorted(
+        (r.user_id, r.b_event_id, r.run_len, r.combo_mask, r.n_matched)
+        for r in cep_allow_combinations(spark, str(d)).collect()
+    )
+    assert got == [
+        (1, 5, 4, 0, 2),  # {a1, a4}
+        (1, 5, 4, 1, 3),  # {a1, a2, a4}
+        (1, 5, 4, 2, 3),  # {a1, a3, a4}
+        (1, 5, 4, 3, 4),  # {a1, a2, a3, a4}
+        (2, 7, 1, 0, 1),  # {a1}
+    ]

@@ -39,14 +39,15 @@ IMPLEMENTED = {
     "subtype": "event_type filters (the type system is the schema)",
     "getPrevious": "not a combinator (builder introspection)",
     "getAfterMatchSkipStrategy": "cep_after_match(strategy)",
+    "allowCombinations": "cep_allow_combinations — bounded analog: the "
+        "2^(k-2) inner-subset masks per run, enumerated up to "
+        "COMB_MAX_RUN (the output is intrinsically exponential; the "
+        "cap is the documented bound)",
 }
 
-#: Documented absences with the reason.
-ABSENT = {
-    "allowCombinations": "non-deterministic looping emits the power set "
-        "of sub-matches — combinatorial output no engine should "
-        "materialize at scale; followedByAny covers the 2-step form",
-}
+#: Documented absences with the reason (empty: the whole public
+#: Pattern.java combinator set is accounted for as of round 5).
+ABSENT: dict[str, str] = {}
 
 
 def _public_methods():

@@ -49,6 +49,51 @@ NESTED_LOOP_ALLOWLIST = {
 }
 
 
+_REL = re.compile(r"InMemoryRelation \[")
+#: cosmetic per-use-site noise: expression ids and plan ids differ
+#: between prints of the SAME cache (CacheManager rewrites the
+#:  substituted relation's output to the use site's attributes)
+_NOISE = re.compile(r"#\d+L?|plan_id=\d+")
+
+
+def _indent(line: str) -> int:
+    m = re.match(r"[\s:+|*()\d-]*", line)
+    return m.end()
+
+
+def effective_count(plan: str, pattern: str) -> int:
+    """Count ``pattern`` occurrences that will actually EXECUTE: a
+    persisted frame's build plan is re-printed verbatim under every
+    InMemoryTableScan that reads it, so a raw string count bills the
+    cached subtree once per re-read. Here each DISTINCT InMemoryRelation
+    — keyed by its build plan canonicalized over expr/plan ids, since
+    the same cache prints different attribute ids at each use site —
+    is counted once, with nested cached relations deduped recursively."""
+    return _effective(plan.split("\n"), re.compile(pattern), set())
+
+
+def _effective(lines: list[str], pat: re.Pattern, seen: set[str]) -> int:
+    total = 0
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if _REL.search(line):
+            ind = _indent(line)
+            j = i + 1
+            while j < len(lines) and _indent(lines[j]) > ind:
+                j += 1
+            sub = lines[i + 1 : j]
+            sig = _NOISE.sub("#", "\n".join(ln[_indent(ln):] for ln in sub))
+            if sig not in seen:
+                seen.add(sig)
+                total += _effective(sub, pat, seen)
+            i = j
+        else:
+            total += len(pat.findall(line))
+            i += 1
+    return total
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -70,16 +115,12 @@ def main() -> None:
             (
                 name,
                 {
-                    "shuffles": len(
-                        re.findall(r"Exchange hashpartitioning", plan)
+                    "shuffles": effective_count(
+                        plan, r"Exchange hashpartitioning"
                     ),
-                    "broadcasts": len(
-                        re.findall(r"BroadcastExchange", plan)
-                    ),
-                    "nested_loop": len(
-                        re.findall(
-                            r"CartesianProduct|BroadcastNestedLoopJoin", plan
-                        )
+                    "broadcasts": effective_count(plan, r"BroadcastExchange"),
+                    "nested_loop": effective_count(
+                        plan, r"CartesianProduct|BroadcastNestedLoopJoin"
                     ),
                     "codegen_spans": len(
                         set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
