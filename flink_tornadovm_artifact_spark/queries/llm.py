@@ -1607,3 +1607,164 @@ FROM documents
 GROUP BY source, lang
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet v2 (round 5): the v1 per-(source, lang) size rollup
+# composed with the already-built quality signals — the artifact a
+# 100 TB curation run actually publishes alongside the data release:
+#
+# - mean composite quality score (text_quality_score's alpha/stopword
+#   blend) and the Gopher repetition fractions (text_repetition_metrics'
+#   dup-token / dup-2gram signals) — all per-row JVM expressions that
+#   ride the same single corpus scan;
+# - language-ID mix: agreement rate between the n-gram heuristic
+#   (text_lang_id) and the declared lang column, plus the undetermined
+#   count — the drift signal that catches mislabeled sources;
+# - exact-duplicate rate per group: corpus-WIDE md5 copy counts joined
+#   back per doc (a near-1.0 rate for one source = a crawler re-ingest).
+#
+# Plan shape: one corpus scan with per-row expressions, one keyed
+# shuffle on the digest (copy counts; corpus-sized, so NOT broadcast —
+# AQE may promote after partial-agg shrinkage), one digest-keyed join,
+# and the final tiny-cardinality (source, lang) groupBy.
+# ---------------------------------------------------------------------------
+def corpus_datasheet_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^a-zA-Z]", "")
+    ) / F.length("text")
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n_tok
+    quality = 0.5 * alpha_ratio + 0.5 * stop_ratio
+    dup_token_frac = (n_tok - F.size(F.array_distinct(toks))) / n_tok.cast(
+        "double"
+    )
+    grams2 = F.array_compact(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    n_2g = F.size(grams2)
+    dup_2gram_frac = F.when(
+        n_2g > 0,
+        (n_2g - F.size(F.array_distinct(grams2))) / n_2g.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    def _marker_pred(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    score = {
+        lang: F.size(F.filter(toks, _marker_pred(m)))
+        for lang, m in _LANG_MARKERS.items()
+    }
+    pred_lang = (
+        F.when(
+            (score["en"] >= score["de"])
+            & (score["en"] >= score["fr"])
+            & (score["en"] >= score["es"])
+            & (score["en"] > 0),
+            "en",
+        )
+        .when(
+            (score["de"] >= score["fr"])
+            & (score["de"] >= score["es"])
+            & (score["de"] > 0),
+            "de",
+        )
+        .when((score["fr"] >= score["es"]) & (score["fr"] > 0), "fr")
+        .when(score["es"] > 0, "es")
+        .otherwise("und")
+    )
+    enriched = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+        dup_token_frac.alias("dup_token_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+        pred_lang.alias("pred_lang"),
+    )
+    copies = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    return (
+        enriched.join(copies, "h")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("n_tokens").alias("avg_tokens"),
+            F.avg("quality").alias("avg_quality"),
+            F.avg("dup_token_frac").alias("avg_dup_token_frac"),
+            F.avg("dup_2gram_frac").alias("avg_dup_2gram_frac"),
+            F.avg(
+                F.when(F.col("pred_lang") == F.col("lang"), 1.0).otherwise(0.0)
+            ).alias("lang_id_match_frac"),
+            F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pred_und"),
+            F.avg(F.when(F.col("copies") > 1, 1.0).otherwise(0.0)).alias(
+                "exact_dup_frac"
+            ),
+        )
+    )
+
+
+_register(
+    corpus_datasheet_v2,
+    f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text, md5(text) AS h,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT source, lang, h,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                / length(text))
+         + 0.5 * (len(list_filter(t, x -> x IN ({_stop_in}))) / len(t))
+           AS quality,
+         (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE)
+           AS dup_token_frac,
+         CASE WHEN len(t) > 1 THEN
+           (len(t) - 1 - len(list_distinct(
+              list_transform(range(0, len(t) - 1),
+                             i -> t[i + 1] || ' ' || t[i + 2]))))
+           / CAST(len(t) - 1 AS DOUBLE)
+         ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN {_s['en']} >= {_s['de']} AND {_s['en']} >= {_s['fr']}
+                   AND {_s['en']} >= {_s['es']} AND {_s['en']} > 0 THEN 'en'
+              WHEN {_s['de']} >= {_s['fr']} AND {_s['de']} >= {_s['es']}
+                   AND {_s['de']} > 0 THEN 'de'
+              WHEN {_s['fr']} >= {_s['es']} AND {_s['fr']} > 0 THEN 'fr'
+              WHEN {_s['es']} > 0 THEN 'es'
+              ELSE 'und' END AS pred_lang
+  FROM base
+),
+copies AS (SELECT h, COUNT(*) AS copies FROM base GROUP BY h)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       AVG(n_tokens) AS avg_tokens,
+       AVG(quality) AS avg_quality,
+       AVG(dup_token_frac) AS avg_dup_token_frac,
+       AVG(dup_2gram_frac) AS avg_dup_2gram_frac,
+       AVG(CASE WHEN pred_lang = lang THEN 1.0 ELSE 0.0 END)
+         AS lang_id_match_frac,
+       CAST(SUM(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_und,
+       AVG(CASE WHEN c.copies > 1 THEN 1.0 ELSE 0.0 END) AS exact_dup_frac
+FROM per_doc p JOIN copies c USING (h)
+GROUP BY source, lang
+""",
+)
