@@ -743,8 +743,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_tok = F.size(toks)
-    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length(
-        "text"
+    # try_divide: empty text -> NULL, matching DuckDB's x/0 -> NULL (under
+    # Spark 4 default ANSI mode a bare `/` would raise DIVIDE_BY_ZERO).
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")), F.length("text")
     )
     stop_ratio = (
         F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n_tok
@@ -1629,15 +1631,22 @@ GROUP BY source, lang
 # AQE may promote after partial-agg shrinkage), one digest-keyed join,
 # and the final tiny-cardinality (source, lang) groupBy.
 # ---------------------------------------------------------------------------
-def corpus_datasheet_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _datasheet_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document datasheet signal frame shared by v2/v3.
+
+    One corpus scan of JVM expressions: token count, composite quality
+    (alpha/stopword blend, ANSI-safe try_divide), Gopher repetition
+    fractions, and the n-gram lang-ID prediction. No shuffle here.
+    """
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
     )
     toks = F.split("text", " ")
     n_tok = F.size(toks)
-    alpha_ratio = F.length(
-        F.regexp_replace("text", "[^a-zA-Z]", "")
-    ) / F.length("text")
+    # try_divide: empty text -> NULL (ANSI-safe; DuckDB x/0 is NULL too).
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")), F.length("text")
+    )
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n_tok
     quality = 0.5 * alpha_ratio + 0.5 * stop_ratio
     dup_token_frac = (n_tok - F.size(F.array_distinct(toks))) / n_tok.cast(
@@ -1681,7 +1690,8 @@ def corpus_datasheet_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(score["es"] > 0, "es")
         .otherwise("und")
     )
-    enriched = docs.select(
+    return docs.select(
+        "doc_id",
         "source",
         "lang",
         F.md5("text").alias("h"),
@@ -1691,44 +1701,57 @@ def corpus_datasheet_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_2gram_frac.alias("dup_2gram_frac"),
         pred_lang.alias("pred_lang"),
     )
-    copies = (
+
+
+def _datasheet_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide md5 copy counts (the exact-dup-rate shuffle)."""
+    return (
         load(spark, sf_dir, "documents")
         .groupBy(F.md5("text").alias("h"))
         .agg(F.count(F.lit(1)).alias("copies"))
     )
+
+
+def _datasheet_aggs() -> list:
+    """The shared (source, lang) rollup column list for v2/v3."""
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.avg("quality").alias("avg_quality"),
+        F.avg("dup_token_frac").alias("avg_dup_token_frac"),
+        F.avg("dup_2gram_frac").alias("avg_dup_2gram_frac"),
+        F.avg(
+            F.when(F.col("pred_lang") == F.col("lang"), 1.0).otherwise(0.0)
+        ).alias("lang_id_match_frac"),
+        F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pred_und"),
+        F.avg(F.when(F.col("copies") > 1, 1.0).otherwise(0.0)).alias(
+            "exact_dup_frac"
+        ),
+    ]
+
+
+def corpus_datasheet_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        enriched.join(copies, "h")
+        _datasheet_per_doc(spark, sf_dir)
+        .join(_datasheet_copies(spark, sf_dir), "h")
         .groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.avg("n_tokens").alias("avg_tokens"),
-            F.avg("quality").alias("avg_quality"),
-            F.avg("dup_token_frac").alias("avg_dup_token_frac"),
-            F.avg("dup_2gram_frac").alias("avg_dup_2gram_frac"),
-            F.avg(
-                F.when(F.col("pred_lang") == F.col("lang"), 1.0).otherwise(0.0)
-            ).alias("lang_id_match_frac"),
-            F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_pred_und"),
-            F.avg(F.when(F.col("copies") > 1, 1.0).otherwise(0.0)).alias(
-                "exact_dup_frac"
-            ),
-        )
+        .agg(*_datasheet_aggs())
     )
 
 
-_register(
-    corpus_datasheet_v2,
-    f"""
-WITH base AS (
+#: Shared CTE prefix for the v2/v3 oracles: the per-doc signal frame and
+#: the corpus-wide copy counts, one definition so the two datasheets
+#: cannot drift apart.
+_DATASHEET_CTES = f"""base AS (
   SELECT doc_id, source, lang, text, md5(text) AS h,
          string_split(text, ' ') AS t
   FROM documents
 ),
 per_doc AS (
-  SELECT source, lang, h,
+  SELECT doc_id, source, lang, h,
          CAST(len(t) AS BIGINT) AS n_tokens,
          0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                 / length(text))
@@ -1751,8 +1774,9 @@ per_doc AS (
               ELSE 'und' END AS pred_lang
   FROM base
 ),
-copies AS (SELECT h, COUNT(*) AS copies FROM base GROUP BY h)
-SELECT source, lang,
+copies AS (SELECT h, COUNT(*) AS copies FROM base GROUP BY h)"""
+
+_DATASHEET_SELECT = """source, lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        AVG(n_tokens) AS avg_tokens,
@@ -1763,8 +1787,81 @@ SELECT source, lang,
          AS lang_id_match_frac,
        CAST(SUM(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_pred_und,
-       AVG(CASE WHEN c.copies > 1 THEN 1.0 ELSE 0.0 END) AS exact_dup_frac
+       AVG(CASE WHEN c.copies > 1 THEN 1.0 ELSE 0.0 END) AS exact_dup_frac"""
+
+_register(
+    corpus_datasheet_v2,
+    f"""
+WITH {_DATASHEET_CTES}
+SELECT {_DATASHEET_SELECT}
 FROM per_doc p JOIN copies c USING (h)
+GROUP BY source, lang
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet v3 (round 6): v2 plus the near-dup signal — the one
+# column a publishable data card still lacked. Joins the keep-set from
+# dedup_cluster_representatives (LSH candidates -> exact-Jaccard verify
+# -> connected components -> min-id representative) back per document
+# and reports, per (source, lang):
+#   near_dup_frac    — fraction of docs that are NOT their cluster's
+#                      representative (what near-dup dedup would drop);
+#   n_representatives — the kept-corpus size for the group.
+# Plan shape on top of v2: the CC runs on the verified pair set (tiny,
+# collision-bounded — never corpus-quadratic) and joins back on doc_id,
+# so the added cost at 100 TB is one keyed join, not a new corpus pass.
+# ---------------------------------------------------------------------------
+def corpus_datasheet_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = dedup_cluster_representatives(spark, sf_dir).select(
+        "doc_id", "is_representative"
+    )
+    return (
+        _datasheet_per_doc(spark, sf_dir)
+        .join(_datasheet_copies(spark, sf_dir), "h")
+        .join(reps, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            *_datasheet_aggs(),
+            F.avg(
+                F.when(F.col("is_representative"), 0.0).otherwise(1.0)
+            ).alias("near_dup_frac"),
+            F.sum(F.when(F.col("is_representative"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_representatives"),
+        )
+    )
+
+
+_register(
+    corpus_datasheet_v3,
+    # the recursive-CTE closure is the dedup_cluster_representatives
+    # oracle verbatim; the datasheet CTEs are the shared v2 fragment
+    f"""
+WITH RECURSIVE verified AS (
+{_verified_sql}
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+r(vertex, reach) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT r.vertex, e.dst FROM r JOIN und e ON r.reach = e.src
+),
+cc AS (SELECT vertex, MIN(reach) AS comp FROM r GROUP BY vertex),
+{_DATASHEET_CTES}
+SELECT {_DATASHEET_SELECT},
+       AVG(CASE WHEN COALESCE(cc.comp, p.doc_id) <> p.doc_id
+                THEN 1.0 ELSE 0.0 END) AS near_dup_frac,
+       CAST(SUM(CASE WHEN COALESCE(cc.comp, p.doc_id) = p.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_representatives
+FROM per_doc p
+JOIN copies c USING (h)
+LEFT JOIN cc ON p.doc_id = cc.vertex
 GROUP BY source, lang
 """,
 )
