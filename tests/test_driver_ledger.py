@@ -1,0 +1,109 @@
+"""Self-enforcing window-rotation policy (round-6 guard).
+
+Round 5's priority window was byte-identical to round 4's, so the driver
+re-checked the same 50 queries while 20 registered queries had never had
+a driver row — the documented rotation policy in queries/__init__.py was
+not executed and nothing failed. These tests make that failure mode a
+red test, the same move that made zero-row passes (vacuity guard) and
+driver-unsortable schemas (schema guard) impossible to reintroduce.
+
+The ledger (DRIVER_CHECKED.json) is regenerated from CORRECTNESS_r*.json
+by tools/update_driver_ledger.py at the start of each round.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+from flink_tornadovm_artifact_spark.queries import ORACLE, PRIORITY_WINDOW, QUERIES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER_PATH = os.path.join(REPO, "DRIVER_CHECKED.json")
+
+
+@pytest.fixture(scope="module")
+def ledger():
+    assert os.path.exists(LEDGER_PATH), (
+        "DRIVER_CHECKED.json missing — run `python tools/update_driver_ledger.py`"
+    )
+    with open(LEDGER_PATH) as f:
+        return json.load(f)
+
+
+def test_ledger_is_fresh(ledger):
+    """CORRECTNESS_r*.json rounds must be folded into the ledger —
+    otherwise the rotation guards below reason from stale coverage. The
+    single newest file may postdate the ledger (the driver writes it at
+    round END, after the ledger was rebuilt at round start), so exactly
+    one round of lag is tolerated; two is a skipped update."""
+    on_disk = sorted(
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    acceptable = (on_disk, on_disk[:-1])
+    assert ledger["rounds"] in acceptable, (
+        f"ledger rounds {ledger['rounds']} != CORRECTNESS files {on_disk}; "
+        "run `python tools/update_driver_ledger.py`"
+    )
+
+
+def test_never_checked_queries_are_scheduled(ledger):
+    """If an oracle-backed query registered before the current round has
+    never had a driver row, it must be IN the window — unless the window
+    has no rotatable slot (no entry green in both of the two most recent
+    rounds). Red on the round-5 window (20 unscheduled never-checked
+    queries vs 49 twice-green incumbents); green after the round-6
+    rotation."""
+    current = ledger["current_round"]
+    green = ledger["green"]
+    last_two = ledger["rounds"][-2:]
+    rotatable = [
+        w for w in PRIORITY_WINDOW if set(last_two) <= set(green.get(w, []))
+    ]
+    never = [
+        q
+        for q in QUERIES
+        if q in ORACLE
+        and not ledger["checked"].get(q)
+        and ledger["registered_asof"].get(q, current) < current
+    ]
+    unscheduled = [q for q in never if q not in PRIORITY_WINDOW]
+    assert not (unscheduled and rotatable), (
+        f"{len(unscheduled)} never-driver-checked queries are not in the "
+        f"window while {len(rotatable)} window slots are held by entries "
+        f"driver-green in both of rounds {last_two}: {sorted(unscheduled)}. "
+        "Execute the rotation policy in queries/__init__.py."
+    )
+
+
+def test_window_actually_rotates(ledger):
+    """The current window must not be byte-identical to a PREVIOUS
+    round's recorded window while twice-green incumbents occupy slots —
+    the exact round-5 failure (window frozen, driver re-verifying known
+    answers). Window snapshots accumulate in the ledger from round 6 on."""
+    current = ledger["current_round"]
+    green = ledger["green"]
+    last_two = ledger["rounds"][-2:]
+    rotatable = [
+        w for w in PRIORITY_WINDOW if set(last_two) <= set(green.get(w, []))
+    ]
+    for rnd, window in ledger["windows"].items():
+        if int(rnd) >= current:
+            continue
+        assert not (list(PRIORITY_WINDOW) == window and rotatable), (
+            f"PRIORITY_WINDOW is byte-identical to round {rnd}'s window "
+            f"while {len(rotatable)} entries are twice-green — rotate."
+        )
+
+
+def test_rows_only_exemption_is_exact(ledger):
+    """q49_approx_aggregates is the ONE deliberate never-driver-checked
+    query (rows-only sketches, no oracle). Pin the exemption so it can't
+    silently grow."""
+    no_oracle = sorted(set(QUERIES) - set(ORACLE))
+    assert no_oracle == ["q49_approx_aggregates"]
