@@ -200,42 +200,70 @@ def _undirect(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame) -> DataFrame:
-    """Triangle enumeration (``flink-gelly/.../library/
-    TriangleEnumerator.java``): every triangle of the undirected simple
-    graph, output once as (v1, v2, v3) with v1 < v2 < v3 by vertex id.
+class UndirectedGraphBase:
+    """Shared base for the undirected Gelly analytics — the mirror of
+    ``DirectedGraphBase`` (which measured −52% on the census bench when
+    it landed): the canonical simple edge set, its degree table, and
+    the (degree, id)-oriented edge list, each computed ONCE behind
+    ``persist(MEMORY_AND_DISK)`` and re-read by every consumer.
 
-    Same degree-ordered-orientation algorithm as the reference (its
-    DegreeCounter/TriadBuilder/TriadFilter group-reduce chain, after
-    Schank & Wagner): orient each edge from the endpoint with the
-    smaller (degree, id) to the larger, build triads only at each
-    edge's low-degree apex, then confirm the closing edge with one
-    equi-join. At 100 TB this is the plan that survives: wedge count is
-    Σ out-deg², and degree orientation caps out-degree at O(√E) for any
-    skew, so a celebrity hub never becomes a quadratic apex. Three
-    shuffles total (degree agg, triad build, closing-edge join), all on
-    vertex/edge keys.
+    Without the base, each of triangles / local-global-average CC /
+    triadic census / vertex-edge metrics re-plans the whole
+    distinct+degree-join subtree on every internal re-read (the wedge
+    join alone reads ``oriented`` twice and the closing semi-join a
+    third time). Same lifetime rules as the directed base: persists are
+    CacheManager plan-deduped across queries over the same edge frame;
+    callers wanting deterministic cleanup build one base, pass it via
+    ``base=``, and ``unpersist()`` after their action. persist() is
+    lazy, so consumers that never touch ``oriented`` (jaccard/adamic)
+    pay nothing for its registration.
     """
-    und = _undirect(edges)
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionAll(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # (deg, id) lexicographic orientation: s → t
-    with_deg = (
-        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
-    )
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+
+    def __init__(self, edges: DataFrame):
+        self.und = _undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        self.degrees = (
+            self.und.select(F.col("u").alias("vertex"))
+            .unionAll(self.und.select(F.col("v").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        du = self.degrees.select(
+            F.col("vertex").alias("u"), F.col("degree").alias("du")
+        )
+        dv = self.degrees.select(
+            F.col("vertex").alias("v"), F.col("degree").alias("dv")
+        )
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        #: edges oriented low (degree, id) → high: the apex-bounded
+        #: wedge frame of TriangleEnumerator.java (Schank & Wagner)
+        self.oriented = (
+            self.und.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+                F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    def unpersist(self, blocking: bool = False) -> None:
+        for df in (self.oriented, self.degrees, self.und):
+            df.unpersist(blocking)
+
+
+def undirected_graph_base(edges: DataFrame) -> UndirectedGraphBase:
+    """Build the shared undirected-analytics base (see the class note
+    on cache lifetime and CacheManager plan-dedup)."""
+    return UndirectedGraphBase(edges)
+
+
+def _triangles_from_undirected_oriented(oriented: DataFrame) -> DataFrame:
+    """Wedge join + closing semi-join over the (s, t, dt) oriented
+    frame — reads it three times, which is why the base persists it."""
     a, b = oriented.alias("a"), oriented.alias("b")
     spoke_lt = (F.col("a.dt") < F.col("b.dt")) | (
         (F.col("a.dt") == F.col("b.dt")) & (F.col("a.t") < F.col("b.t"))
@@ -251,6 +279,28 @@ def triangles(edges: DataFrame) -> DataFrame:
     return tri.select(
         ids[0].alias("v1"), ids[1].alias("v2"), ids[2].alias("v3")
     )
+
+
+def triangles(
+    edges: DataFrame | None = None, base: UndirectedGraphBase | None = None
+) -> DataFrame:
+    """Triangle enumeration (``flink-gelly/.../library/
+    TriangleEnumerator.java``): every triangle of the undirected simple
+    graph, output once as (v1, v2, v3) with v1 < v2 < v3 by vertex id.
+
+    Same degree-ordered-orientation algorithm as the reference (its
+    DegreeCounter/TriadBuilder/TriadFilter group-reduce chain, after
+    Schank & Wagner): orient each edge from the endpoint with the
+    smaller (degree, id) to the larger, build triads only at each
+    edge's low-degree apex, then confirm the closing edge with one
+    equi-join. At 100 TB this is the plan that survives: wedge count is
+    Σ out-deg², and degree orientation caps out-degree at O(√E) for any
+    skew, so a celebrity hub never becomes a quadratic apex. Three
+    shuffles total (degree agg, triad build, closing-edge join), all on
+    vertex/edge keys, off the shared persisted ``UndirectedGraphBase``.
+    """
+    base = base or undirected_graph_base(edges)
+    return _triangles_from_undirected_oriented(base.oriented)
 
 
 def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
@@ -378,7 +428,11 @@ def _shared_neighbors(
     )
 
 
-def jaccard_index(edges: DataFrame, min_shared: int = 1) -> DataFrame:
+def jaccard_index(
+    edges: DataFrame | None = None,
+    min_shared: int = 1,
+    base: UndirectedGraphBase | None = None,
+) -> DataFrame:
     """Neighborhood Jaccard similarity (``flink-gelly/.../library/
     similarity/JaccardIndex.java``): for each pair of vertices with at
     least one common neighbor, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|.
@@ -386,16 +440,15 @@ def jaccard_index(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     (setMinimumScoreNumerator) — it bounds output cardinality, not the
     computation. Returns (u, v, shared, jaccard) with u < v.
 
-    The canonical edge set is persisted once and re-read by the degree
-    aggregate and both wedge sides (SCALE.md's 100 TB note; lifetime is
-    CacheManager plan-deduped, see DirectedGraphBase).
+    The canonical edge set and degree table come off the shared
+    persisted ``UndirectedGraphBase``; pass ``base=`` to control cache
+    lifetime deterministically (``base.unpersist()`` after the action),
+    else the internal base is CacheManager plan-deduped as usual.
     """
-    und = _undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionAll(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
+    base = base or undirected_graph_base(edges)
+    und = base.und
+    deg = base.degrees.select(
+        F.col("vertex").alias("x"), F.col("degree").alias("d")
     )
     pairs = _shared_neighbors(und=und).filter(F.col("shared") >= min_shared)
     return (
@@ -413,7 +466,11 @@ def jaccard_index(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     )
 
 
-def adamic_adar(edges: DataFrame, min_shared: int = 1) -> DataFrame:
+def adamic_adar(
+    edges: DataFrame | None = None,
+    min_shared: int = 1,
+    base: UndirectedGraphBase | None = None,
+) -> DataFrame:
     """Adamic-Adar similarity (``flink-gelly/.../library/similarity/
     AdamicAdar.java``): for each vertex pair, Σ over common neighbors w
     of 1 / ln(deg(w)) — common neighbors weighted inversely by their
@@ -421,15 +478,14 @@ def adamic_adar(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     reference's minimum-ratio option). Returns (u, v, shared, aa)
     with u < v.
 
-    The canonical edge set is persisted once and re-read by the degree
-    aggregate and both weighted-wedge sides (SCALE.md's 100 TB note).
+    Edge set and degrees come off the shared persisted
+    ``UndirectedGraphBase``; pass ``base=`` for deterministic cache
+    cleanup (``base.unpersist()`` after the action).
     """
-    und = _undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionAll(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
+    base = base or undirected_graph_base(edges)
+    und = base.und
+    deg = base.degrees.select(
+        F.col("vertex").alias("x"), F.col("degree").alias("d")
     )
     both = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
@@ -458,7 +514,9 @@ def adamic_adar(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     )
 
 
-def clustering_coefficients(edges: DataFrame) -> DataFrame:
+def clustering_coefficients(
+    edges: DataFrame | None = None, base: UndirectedGraphBase | None = None
+) -> DataFrame:
     """Per-vertex clustering (``flink-gelly/.../library/clustering/
     undirected/LocalClusteringCoefficient.java``): degree, incident
     triangle count, and the local coefficient
@@ -473,17 +531,13 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 
     Reuses the degree-oriented ``triangles`` enumeration; the per-vertex
     count is one explode + groupBy on the (at most 3·#triangles) id
-    rows.
+    rows. Degrees and the triangle wedge frame come off the shared
+    persisted ``UndirectedGraphBase``.
     """
-    und = _undirect(edges)
-    deg = (
-        und.select(F.col("u").alias("vertex"))
-        .unionAll(und.select(F.col("v").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    base = base or undirected_graph_base(edges)
+    deg = base.degrees
     tri_per_v = (
-        triangles(edges)
+        triangles(base=base)
         .select(F.explode(F.array("v1", "v2", "v3")).alias("vertex"))
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("tri_count"))
@@ -502,25 +556,22 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     )
 
 
-def global_clustering_coefficient(edges: DataFrame) -> DataFrame:
+def global_clustering_coefficient(
+    edges: DataFrame | None = None, base: UndirectedGraphBase | None = None
+) -> DataFrame:
     """Whole-graph clustering (``.../clustering/undirected/
     GlobalClusteringCoefficient.java``): one row
     (triplet_count, triangle_count, gcc) with
     gcc = 3 · triangles / triplets, triplets = Σ C(degree, 2) — the
-    reference's triplet/triangle counters reduced to a scalar."""
-    und = _undirect(edges)
-    deg = (
-        und.select(F.col("u").alias("vertex"))
-        .unionAll(und.select(F.col("v").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    triplets = deg.agg(
+    reference's triplet/triangle counters reduced to a scalar, off the
+    shared persisted ``UndirectedGraphBase``."""
+    base = base or undirected_graph_base(edges)
+    triplets = base.degrees.agg(
         F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
         .cast("long")
         .alias("triplet_count")
     )
-    tri_total = triangles(edges).agg(
+    tri_total = triangles(base=base).agg(
         F.count(F.lit(1)).alias("triangle_count")
     )
     return triplets.crossJoin(tri_total).select(
@@ -574,22 +625,18 @@ def summarize(edges: DataFrame, vertex_label) -> DataFrame:
     )
 
 
-def vertex_metrics(edges: DataFrame) -> DataFrame:
+def vertex_metrics(
+    edges: DataFrame | None = None, base: UndirectedGraphBase | None = None
+) -> DataFrame:
     """Undirected vertex metrics (``flink-gelly/.../library/metric/
     undirected/VertexMetrics.java``): one row
     (vertex_count, edge_count, triplet_count, maximum_degree,
     maximum_triplets) — the reference's accumulator set, with
     edge_count the undirected edge count and triplets = C(degree, 2)
-    per vertex. One degree aggregation, one scalar reduce."""
-    und = _undirect(edges)
-    deg = (
-        und.select(F.col("u").alias("vertex"))
-        .unionAll(und.select(F.col("v").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    per vertex. One scalar reduce off the shared base's degree table."""
+    base = base or undirected_graph_base(edges)
     trip = (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
-    return deg.agg(
+    return base.degrees.agg(
         F.count(F.lit(1)).alias("vertex_count"),
         (F.sum("degree") / 2).cast("long").alias("edge_count"),
         F.sum(trip).alias("triplet_count"),
@@ -674,7 +721,9 @@ def community_detection(
     return state.select("vertex", "label")
 
 
-def edge_metrics(edges: DataFrame) -> DataFrame:
+def edge_metrics(
+    edges: DataFrame | None = None, base: UndirectedGraphBase | None = None
+) -> DataFrame:
     """Undirected edge metrics (``flink-gelly/.../library/metric/
     undirected/EdgeMetrics.java``): per vertex v let d be its degree and
     ℓ its low-order count — the number of neighbors u with
@@ -687,27 +736,21 @@ def edge_metrics(edges: DataFrame) -> DataFrame:
     - rectangle_triplet_count = Σ (ℓ·(ℓ-1)/2 + ℓ·(d-ℓ))
     - maximum_triangle_triplets / maximum_rectangle_triplets = the per-
       vertex maxima of the same quantities.
+
+    ℓ(v) is exactly v's out-degree in the base's (degree, id)-oriented
+    edge list, so the whole metric is one groupBy on the persisted
+    oriented frame joined back to the persisted degree table — the
+    previous standalone plan re-derived both from scratch via a
+    doubled-edge three-way join.
     """
-    und = _undirect(edges)
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionAll(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
+    base = base or undirected_graph_base(edges)
+    louts = base.oriented.groupBy(F.col("s").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("l")
     )
-    both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    )
-    wd = (
-        both.join(deg.withColumnRenamed("x", "a").withColumnRenamed("d", "da"), "a")
-        .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "db"), "b")
-    )
-    low = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    per_v = wd.groupBy(F.col("a").alias("vertex")).agg(
-        F.first("da").alias("d"),
-        F.sum(F.when(low, 1).otherwise(0)).alias("l"),
+    per_v = base.degrees.join(louts, "vertex", "left").select(
+        "vertex",
+        F.col("degree").alias("d"),
+        F.coalesce("l", F.lit(0)).alias("l"),
     )
     tri = (F.col("l") * (F.col("l") - 1) / 2).cast("long")
     rect = (tri + F.col("l") * (F.col("d") - F.col("l"))).cast("long")
@@ -719,19 +762,24 @@ def edge_metrics(edges: DataFrame) -> DataFrame:
     )
 
 
-def average_clustering_coefficient(edges: DataFrame) -> DataFrame:
+def average_clustering_coefficient(
+    edges: DataFrame | None = None, base: UndirectedGraphBase | None = None
+) -> DataFrame:
     """Mean local clustering (``.../clustering/undirected/
     AverageClusteringCoefficient.java``): one row (vertex_count,
     sum_lcc, acc) — vertices below degree 2 contribute 0, the
     reference's accumulator semantics."""
-    return clustering_coefficients(edges).agg(
+    base = base or undirected_graph_base(edges)
+    return clustering_coefficients(base=base).agg(
         F.count(F.lit(1)).alias("vertex_count"),
         F.sum("lcc").alias("sum_lcc"),
         (F.sum("lcc") / F.count(F.lit(1))).alias("acc"),
     )
 
 
-def triadic_census(edges: DataFrame) -> DataFrame:
+def triadic_census(
+    edges: DataFrame | None = None, base: UndirectedGraphBase | None = None
+) -> DataFrame:
     """Undirected triadic census (``.../clustering/undirected/
     TriadicCensus.java``): counts of the four undirected triad types
     over all C(n,3) vertex triples, derived in closed form from vertex
@@ -745,8 +793,9 @@ def triadic_census(edges: DataFrame) -> DataFrame:
     final counts cast back to long — exact while every class count is
     below 2^63 (n up to ~4.6M; beyond that a wider output type, not a
     different algorithm, is the change)."""
-    vm = vertex_metrics(edges)
-    t = triangles(edges).agg(F.count(F.lit(1)).alias("t"))
+    base = base or undirected_graph_base(edges)
+    vm = vertex_metrics(base=base)
+    t = triangles(base=base).agg(F.count(F.lit(1)).alias("t"))
     dec = "decimal(38,0)"
     n = F.col("vertex_count").cast(dec)
     m = F.col("edge_count").cast(dec)
