@@ -908,25 +908,28 @@ QUERIES["cep_not_next"] = cep_not_next
 # COMBINATIONS property): non-deterministic relaxed contiguity INSIDE
 # the looping quantifier. For ``A.oneOrMore().allowCombinations()
 # .next(B)`` over a maximal consecutive A-run a_1..a_k followed
-# immediately by B, the NFA emits every order-preserving subsequence
-# that starts at a_1 (the docs' canonical example: input b1 b2 b3
-# yields {b1}, {b1 b2}, {b1 b3}, {b1 b2 b3}) — and strict next(B)
-# additionally anchors the subsequence's END at a_k, since B must be
-# the very next stream element after the last consumed A. Matches per
-# run: every subset of the k-2 INNER elements, i.e. 2^(k-2) rows
-# (1 row for k <= 2).
+# immediately by B: under the default NO_SKIP strategy the NFA starts
+# a match attempt at EVERY a_i (the AfterMatchSkip note at the top of
+# this section: every start position survives), each attempt may then
+# take or skip each later A, and strict next(B) anchors the END at
+# a_k — B must be the very next stream element after the last consumed
+# A, and from any earlier a_j the next element is an A. A match is
+# therefore exactly a nonempty subset of the run CONTAINING a_k:
+# 2^(k-1) rows per run (the subset's minimum is the start position).
 #
 # Batch analog: the same gaps-and-islands runs frame as oneOrMore,
-# then an explode over the 2^(k-2) inner-subset bitmasks. The output
-# is intrinsically EXPONENTIAL in the run length — no engine should
-# materialize it unbounded at 100 TB — so runs longer than
-# COMB_MAX_RUN produce no combination rows (documented cap, ≤ 2^8
-# rows per island; the fixture's longest run is 5, so nothing is
-# excluded at any test SF and the cap never vacuizes the query).
-# Each row identifies its match by (b_event_id, combo_mask): bit i of
-# combo_mask selects inner element a_(i+2). No stream twin: the NFA's
-# combination branching is exactly what the batch enumeration states;
-# a streaming analog would enumerate the same masks per closed run.
+# then an explode over the 2^(k-1) subset bitmasks — bit i of
+# combo_mask selects a_(i+1) (the first k-1 elements; a_k is always
+# consumed), n_matched = bit_count + 1. The output is intrinsically
+# EXPONENTIAL in the run length — no engine should materialize it
+# unbounded at 100 TB — so runs longer than COMB_MAX_RUN produce no
+# combination rows (documented cap, ≤ 2^9 rows per island; the
+# fixture's longest run is 5, so nothing is excluded at any test SF
+# and the cap never vacuizes the query). a_first_ts is RUN metadata
+# (the island's first A), not the match's start — the mask's lowest
+# set bit identifies the start element. Stream twin:
+# streaming/cep.py:cep_allow_combinations_stream enumerates the same
+# masks when B closes the carried run.
 # ---------------------------------------------------------------------------
 COMB_MAX_RUN = 10
 
@@ -960,7 +963,7 @@ def cep_allow_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     masks = F.sequence(
         F.lit(0).cast("long"),
-        F.expr("shiftleft(1L, greatest(run_len - 2, 0)) - 1L"),
+        F.expr("shiftleft(1L, run_len - 1) - 1L"),
     )
     return joined.select(
         "b_event_id",
@@ -970,10 +973,7 @@ def cep_allow_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_ts",
         F.explode(masks).alias("combo_mask"),
     ).withColumn(
-        "n_matched",
-        F.when(F.col("run_len") == 1, F.lit(1)).otherwise(
-            F.bit_count("combo_mask") + F.lit(2)
-        ).cast("int"),
+        "n_matched", (F.bit_count("combo_mask") + F.lit(1)).cast("int")
     )
 
 
@@ -1010,12 +1010,11 @@ joined AS (
   WHERE n.event_type = '{ONE_B_TYPE}'
 )
 SELECT b_event_id, user_id, run_len, a_first_ts, b_ts,
-       CAST(unnest(range(0, CAST(pow(2, greatest(run_len - 2, 0)) AS BIGINT)))
+       CAST(unnest(range(0, CAST(pow(2, run_len - 1) AS BIGINT)))
             AS BIGINT) AS combo_mask,
-       CAST(CASE WHEN run_len = 1 THEN 1
-                 ELSE bit_count(CAST(unnest(range(0,
-                      CAST(pow(2, greatest(run_len - 2, 0)) AS BIGINT)))
-                      AS BIGINT)) + 2 END AS INTEGER) AS n_matched
+       CAST(bit_count(CAST(unnest(range(0,
+            CAST(pow(2, run_len - 1) AS BIGINT))) AS BIGINT)) + 1
+            AS INTEGER) AS n_matched
 FROM joined
 """
 

@@ -923,3 +923,80 @@ def cep_group_followed_by_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cep_allow_combinations_stream(
+    events: DataFrame,
+    a_type: str = "click",
+    b_type: str = "purchase",
+    max_run: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries/cep.py:cep_allow_combinations`` —
+    ``begin(A).oneOrMore().allowCombinations().next(B)``. Keyed state
+    is identical to ``cep_one_or_more_stream`` (the trailing
+    consecutive A-run: length + first timestamp — three longs); the
+    COMBINATIONS branching needs no extra state because every match of
+    the pattern is a subset of that run containing its last element
+    (strict next(B) anchors the end; NO_SKIP starts an attempt at
+    every a_i). When a B closes a run of length k ≤ ``max_run`` the
+    twin emits the same 2^(k-1) (combo_mask, n_matched) rows the batch
+    enumeration produces — the exponential fan-out happens at EMIT
+    time, never in state, so state stays O(1) per key while the NFA's
+    combination branching is reproduced exactly. Runs longer than
+    ``max_run`` emit nothing (the batch analog's documented cap,
+    COMB_MAX_RUN).
+    """
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            run_len, first_ts, last_seen = (int(x) for x in state.get)
+        else:
+            run_len, first_ts, last_seen = 0, 0, 0
+        out = []  # (b_event_id, b_ts, a_first_ts, run_len, mask)
+        rows, ts_us = _batch_rows(pdfs)
+        if rows is not None:
+            for eid, t, typ in zip(rows["event_id"], ts_us, rows["event_type"]):
+                t = int(t)
+                last_seen = max(last_seen, t)
+                if typ == a_type:
+                    if run_len == 0:
+                        first_ts = t
+                    run_len += 1
+                else:
+                    if typ == b_type and 1 <= run_len <= max_run:
+                        for mask in range(1 << (run_len - 1)):
+                            out.append(
+                                (int(eid), t, first_ts, run_len, mask)
+                            )
+                    run_len, first_ts = 0, 0
+        state.update((run_len, first_ts, last_seen))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "b_event_id": [o[0] for o in out],
+                    "b_ts": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "a_first_ts": pd.to_datetime(
+                        [o[2] for o in out], unit="us"
+                    ),
+                    "run_len": [o[3] for o in out],
+                    "combo_mask": [o[4] for o in out],
+                    "n_matched": [o[4].bit_count() + 1 for o in out],
+                }
+            )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=(
+            "user_id long, b_event_id long, b_ts timestamp, "
+            "a_first_ts timestamp, run_len long, combo_mask long, "
+            "n_matched int"
+        ),
+        stateStructType="run_len long, first_ts_us long, last_seen_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1017,9 +1017,10 @@ def test_cep_absence_emits_on_non_pattern_traffic_only(spark, tmp_path):
 
 
 def test_cep_allow_combinations_hand_computed(spark, tmp_path):
-    """allowCombinations over a 4-run: matches keep the run's first and
-    last A and any subset of the 2 inner ones — 4 masks with sizes
-    {2, 3, 3, 4}; a 1-run emits the single {a1} match (mask 0, size 1)."""
+    """allowCombinations over a 4-run, full NFA semantics: NO_SKIP
+    starts an attempt at every a_i and next(B) anchors the end at a_4,
+    so matches are the 2^3 = 8 subsets containing a_4 (mask bit i
+    selects a_(i+1)); a 1-run emits the single {a1} match."""
     from flink_tornadovm_artifact_spark.queries.cep import (
         cep_allow_combinations,
     )
@@ -1041,9 +1042,70 @@ def test_cep_allow_combinations_hand_computed(spark, tmp_path):
         for r in cep_allow_combinations(spark, str(d)).collect()
     )
     assert got == [
-        (1, 5, 4, 0, 2),  # {a1, a4}
-        (1, 5, 4, 1, 3),  # {a1, a2, a4}
-        (1, 5, 4, 2, 3),  # {a1, a3, a4}
-        (1, 5, 4, 3, 4),  # {a1, a2, a3, a4}
+        (1, 5, 4, 0, 1),  # {a4}           (start a_4)
+        (1, 5, 4, 1, 2),  # {a1, a4}
+        (1, 5, 4, 2, 2),  # {a2, a4}       (start a_2)
+        (1, 5, 4, 3, 3),  # {a1, a2, a4}
+        (1, 5, 4, 4, 2),  # {a3, a4}       (start a_3)
+        (1, 5, 4, 5, 3),  # {a1, a3, a4}
+        (1, 5, 4, 6, 3),  # {a2, a3, a4}
+        (1, 5, 4, 7, 4),  # {a1, a2, a3, a4}
         (2, 7, 1, 0, 1),  # {a1}
     ]
+
+
+def test_cep_allow_combinations_stream_matches_batch(spark, tmp_path):
+    """Differential: the stream twin's carried run must survive a
+    micro-batch boundary splitting user 1's 4-run, and the emitted
+    (mask, n_matched) set must equal the batch enumeration's."""
+    from flink_tornadovm_artifact_spark.queries.cep import (
+        cep_allow_combinations,
+    )
+    from flink_tornadovm_artifact_spark.streaming import (
+        cep_allow_combinations_stream,
+        memory_sink_run,
+    )
+
+    rows = [
+        (1, 1, 0, "click"),
+        (2, 1, 1, "click"),
+        (3, 1, 2, "click"),
+        (4, 1, 3, "click"),
+        (5, 1, 4, "purchase"),
+        (6, 2, 0, "click"),
+        (7, 2, 1, "purchase"),
+        (8, 3, 0, "view"),
+        (9, 3, 1, "purchase"),
+    ]
+    d = tmp_path / "cep_comb_batchref"
+    d.mkdir()
+    _write(str(d / "events.parquet"), rows, 1_700_000_000)
+    want = sorted(
+        (r.user_id, r.b_event_id, r.run_len, r.combo_mask, r.n_matched,
+         _minutes(r.a_first_ts))
+        for r in cep_allow_combinations(spark, str(d)).collect()
+    )
+
+    d2 = tmp_path / "cep_comb_stream"
+    d2.mkdir()
+    cut = 2  # user 1's 4-click run spans the boundary
+    _write(str(d2 / "b0.parquet"), rows[:cut], 1_700_000_000)
+    _write(str(d2 / "b1.parquet"), rows[cut:], 1_700_000_060)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    got = memory_sink_run(
+        cep_allow_combinations_stream(stream), "cep_comb_out"
+    )
+    assert (
+        sorted(
+            (r.user_id, r.b_event_id, r.run_len, r.combo_mask, r.n_matched,
+             _minutes(r.a_first_ts))
+            for r in got.collect()
+        )
+        == want
+    )

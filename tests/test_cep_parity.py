@@ -39,10 +39,12 @@ IMPLEMENTED = {
     "subtype": "event_type filters (the type system is the schema)",
     "getPrevious": "not a combinator (builder introspection)",
     "getAfterMatchSkipStrategy": "cep_after_match(strategy)",
-    "allowCombinations": "cep_allow_combinations — bounded analog: the "
-        "2^(k-2) inner-subset masks per run, enumerated up to "
-        "COMB_MAX_RUN (the output is intrinsically exponential; the "
-        "cap is the documented bound)",
+    "allowCombinations": "cep_allow_combinations — full NFA semantics "
+        "(NO_SKIP starts at every run element, next(B) anchors the "
+        "end): the 2^(k-1) subsets containing the run's last A, "
+        "enumerated up to COMB_MAX_RUN (the output is intrinsically "
+        "exponential; the cap is the documented bound); stream twin "
+        "cep_allow_combinations_stream",
 }
 
 #: Documented absences with the reason (empty: the whole public
@@ -79,8 +81,12 @@ def test_named_query_analogs_exist():
     """EVERY cep_* analog named anywhere in a mapping string must
     exist (multi-target mappings like times → cep_times /
     cep_times_range check all of them)."""
+    from flink_tornadovm_artifact_spark import streaming
     from flink_tornadovm_artifact_spark.queries import cep
 
     for target in IMPLEMENTED.values():
         for name in re.findall(r"cep_\w+", target):
-            assert callable(getattr(cep, name, None)), name
+            fn = getattr(cep, name, None) or (
+                getattr(streaming, name, None) if name.endswith("_stream") else None
+            )
+            assert callable(fn), name
