@@ -77,6 +77,12 @@ HEADLINE = [
     # the composed end-to-end dedup pipeline: LSH -> verify -> CC over
     # the match graph -> per-cluster representative (the keep-set)
     "dedup_cluster_representatives",
+    # round-6 additions: the undirected triadic census (closed-form off
+    # the shared persisted UndirectedGraphBase — the factored twin of
+    # the directed census above) and the full datasheet composition
+    # (per-doc signals + copy counts + dedup keep-set join + rollup)
+    "triadic_census_q",
+    "corpus_datasheet_v3",
 ]
 
 
