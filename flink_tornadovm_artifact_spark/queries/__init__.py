@@ -83,10 +83,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # kept: iteration pipelines (2)
     "kmeans_pipeline",
     "sssp_pipeline",
+    # new this round (rule 1): chunking, vocab coverage, length
+    # histogram — registered round 6, driver-checked round 6 (3)
+    "text_chunk_windows",
+    "text_vocab_coverage",
+    "text_length_histogram",
     # kept: TPC-H core breadth — broadcast hint, anti/semi, correlated
-    # subquery, heavy multi-join shapes (9)
+    # subquery, heavy multi-join shapes (8)
     "q24_promo_revenue",
-    "q41_tpch_q16",
     "q44_tpch_q22",
     "q48_tpch_q11",
     "q51_tpch_q9",
@@ -145,8 +149,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cep_times",
     "label_propagation_communities",
     "hits_scores",
-    "temporal_join_events",
-    "similarity_ivf",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

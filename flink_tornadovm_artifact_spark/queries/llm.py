@@ -1865,3 +1865,181 @@ LEFT JOIN cc ON p.doc_id = cc.vertex
 GROUP BY source, lang
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (round 6): fixed token windows with overlap — the
+# tokenize-and-chunk step every pretraining pipeline runs between
+# curation and the trainer (window CHUNK_SIZE, stride CHUNK_STRIDE,
+# overlap = size - stride). Pure per-row expressions: a sequence of
+# window starts exploded against the token array, no shuffle anywhere,
+# output rows linear in corpus tokens — the shape that holds at
+# 100 TB. Each chunk row carries (doc_id, chunk_idx, start_tok,
+# chunk_len, chunk_text); the final window may be short, and a doc
+# shorter than one window yields exactly one chunk.
+# ---------------------------------------------------------------------------
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        # last start strictly below n_tok, stride-aligned
+        ((n_tok - 1) / CHUNK_STRIDE).cast("int") * CHUNK_STRIDE,
+        F.lit(CHUNK_STRIDE),
+    )
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        n_tok.alias("n_tok"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    # slice is 1-based; chunk may run past the end (slice truncates)
+    piece = F.slice(F.col("t"), F.col("start_tok") + 1, CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size(piece).cast("int").alias("chunk_len"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+_register(
+    text_chunk_windows,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(range(0, ((n_tok - 1) // {CHUNK_STRIDE}) * {CHUNK_STRIDE} + 1,
+                      {CHUNK_STRIDE})) AS start_tok
+  FROM toks
+),
+numbered AS (
+  SELECT doc_id, t, start_tok,
+         CAST(start_tok // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+         list_slice(t, start_tok + 1, start_tok + {CHUNK_SIZE}) AS piece
+  FROM starts
+)
+SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(piece) AS INTEGER) AS chunk_len,
+       array_to_string(piece, ' ') AS chunk_text
+FROM numbered
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (round 6): the corpus token-frequency table with
+# rank and cumulative coverage fraction — the artifact a tokenizer/BPE
+# training run reads first ("how many types cover 99% of tokens").
+# One corpus scan + one shuffle on the token key; the ranked window
+# runs over the AGGREGATED type table, which is vocabulary-sized
+# (bounded by distinct types, ≪ corpus — the reason a single-partition
+# window is acceptable here and nowhere else; at web scale with
+# billions of types, rank only the head after a frequency cutoff).
+# Top VOCAB_TOP_K rows keep the output data-card sized.
+# ---------------------------------------------------------------------------
+VOCAB_TOP_K = 50
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("total"))
+    w = W.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = freq.select(
+        "token",
+        "freq",
+        F.row_number().over(w).alias("rank"),
+        F.sum("freq").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum_freq"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select(
+            "token",
+            "freq",
+            "rank",
+            (F.col("cum_freq") / F.col("total")).alias("cum_frac"),
+        )
+    )
+
+
+_register(
+    text_vocab_coverage,
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT token, freq,
+         CAST(ROW_NUMBER() OVER w AS INTEGER) AS rank,
+         SUM(freq) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_freq,
+         SUM(freq) OVER () AS total
+  FROM freq
+  WINDOW w AS (ORDER BY freq DESC, token ASC)
+)
+SELECT token, freq, rank, cum_freq / total AS cum_frac
+FROM ranked WHERE rank <= {VOCAB_TOP_K}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (round 6): per-(source) power-of-two length
+# buckets with counts and in-source share — the length-distribution
+# panel of a data card (and the input to maxPartitionBytes / packing
+# decisions in a training loader). One scan, one tiny-cardinality
+# groupBy: buckets × sources rows.
+# ---------------------------------------------------------------------------
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    n_tok = F.size(F.split("text", " "))
+    bucket = F.floor(F.log2(n_tok.cast("double"))).cast("int")
+    per = docs.select("source", bucket.alias("len_bucket"))
+    counts = per.groupBy("source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = W.partitionBy("source")
+    return counts.select(
+        "source",
+        "len_bucket",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("share"),
+    )
+
+
+_register(
+    text_length_histogram,
+    """
+WITH per AS (
+  SELECT source,
+         CAST(floor(log2(len(string_split(text, ' ')))) AS INTEGER)
+           AS len_bucket
+  FROM documents
+),
+counts AS (
+  SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM per GROUP BY source, len_bucket
+)
+SELECT source, len_bucket, n_docs,
+       n_docs / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+         AS share
+FROM counts
+""",
+)
