@@ -1954,8 +1954,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    total = freq.agg(F.sum("freq").alias("total"))
     w = W.orderBy(F.desc("freq"), F.asc("token"))
+    # the corpus-total rides the same single-partition exchange as the
+    # rank window (no scalar cross join to trip the nested-loop audit)
     ranked = freq.select(
         "token",
         "freq",
@@ -1963,16 +1964,15 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").over(
             w.rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("cum_freq"),
+        F.sum("freq").over(
+            w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("total"),
     )
-    return (
-        ranked.crossJoin(F.broadcast(total))
-        .filter(F.col("rank") <= VOCAB_TOP_K)
-        .select(
-            "token",
-            "freq",
-            "rank",
-            (F.col("cum_freq") / F.col("total")).alias("cum_frac"),
-        )
+    return ranked.filter(F.col("rank") <= VOCAB_TOP_K).select(
+        "token",
+        "freq",
+        "rank",
+        (F.col("cum_freq") / F.col("total")).alias("cum_frac"),
     )
 
 
