@@ -388,3 +388,45 @@ def test_triadic_census_directed_vs_brute_force(spark):
     got = triadic_census_directed(_edges_df(spark, edges)).collect()[0].asDict()
     assert got == expected
     assert sum(got.values()) == len(verts) * (len(verts) - 1) * (len(verts) - 2) // 6
+
+
+def test_undirected_base_shared_and_unpersist(spark):
+    """One UndirectedGraphBase passed to several analytics must (a)
+    yield the same answers as the standalone calls, (b) register its
+    three frames in the cache, and (c) leave nothing cached after
+    unpersist() — the deterministic-cleanup contract the base exists
+    for."""
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        edge_metrics,
+        triadic_census,
+        triangles,
+        undirected_graph_base,
+        vertex_metrics,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 1)]  # dup edge
+    df = _edges_df(spark, edges)
+    base = undirected_graph_base(df)
+    try:
+        tri_b = sorted(map(tuple, triangles(base=base).collect()))
+        vm_b = vertex_metrics(base=base).collect()[0]
+        em_b = edge_metrics(base=base).collect()[0]
+        census_b = triadic_census(base=base).collect()[0]
+
+        tri_s = sorted(map(tuple, triangles(df).collect()))
+        vm_s = vertex_metrics(df).collect()[0]
+        em_s = edge_metrics(df).collect()[0]
+        census_s = triadic_census(df).collect()[0]
+        assert tri_b == tri_s == [(1, 2, 3)]
+        assert vm_b.asDict() == vm_s.asDict()
+        assert em_b.asDict() == em_s.asDict()
+        assert census_b.asDict() == census_s.asDict()
+
+        jvm_sc = spark.sparkContext._jsc.sc()
+        assert not jvm_sc.getPersistentRDDs().isEmpty()
+    finally:
+        base.unpersist(blocking=True)
+    # standalone calls registered their own (plan-deduped) entries;
+    # after unpersisting the base the shared frames must be gone.
+    for frame in (base.und, base.degrees, base.oriented):
+        assert frame.storageLevel.useMemory is False  # reset to NONE
