@@ -88,3 +88,76 @@ def test_stream_iterate_no_feedback_terminates_immediately(spark, tmp_path):
         source, lambda df: (df.filter(F.lit(False)), df), max_passes=3
     )
     assert out.count() == 2
+
+
+def test_connected_stream_iterate_with_feedback_type(spark, tmp_path):
+    """withFeedbackType analog: the feedback edge carries a different
+    type (value, steps) than the input (seed values only); the step is
+    a co-function — input leg seeds the loop, feedback leg keeps
+    halving until the value reaches 1, then emits (seed, steps)."""
+    from flink_tornadovm_artifact_spark.streaming.iterate import (
+        ConnectedStreamIteration,
+    )
+
+    seeds = [1, 5, 16, 37]
+    src_dir = tmp_path / "csrc"
+    src_dir.mkdir()
+    pq.write_table(
+        pa.table({"seed": pa.array(seeds, pa.int64())}),
+        str(src_dir / "in.parquet"),
+    )
+    source = spark.readStream.schema("seed long").parquet(str(src_dir))
+
+    def step(in_df, fb_df):
+        entered = in_df.select(
+            F.col("seed").alias("orig"),
+            F.col("seed").alias("val"),
+            F.lit(0).cast("long").alias("steps"),
+        )
+        looped = fb_df.select(
+            "orig",
+            (F.col("val") / 2).cast("long").alias("val"),
+            (F.col("steps") + 1).alias("steps"),
+        )
+        both = entered.unionByName(looped)
+        return (
+            both.filter(F.col("val") > 1),
+            both.filter(F.col("val") <= 1).select("orig", "steps"),
+        )
+
+    it = ConnectedStreamIteration(
+        spark,
+        input_schema="seed long",
+        feedback_schema="orig long, val long, steps long",
+        workdir=str(tmp_path / "citer"),
+        output_schema="orig long, steps long",
+    )
+    out = it.run(source, step)
+    got = {r.orig: r.steps for r in out.collect()}
+
+    def halvings(v):
+        s = 0
+        while v > 1:
+            v //= 2
+            s += 1
+        return s
+
+    assert got == {s: halvings(s) for s in seeds}
+    assert got[1] == 0 and got[16] == 4
+
+
+def test_connected_stream_iterate_rejects_overlapping_fields(spark, tmp_path):
+    from flink_tornadovm_artifact_spark.streaming.iterate import (
+        ConnectedStreamIteration,
+    )
+    import pytest as _pytest
+
+    it = ConnectedStreamIteration(
+        spark,
+        input_schema="x long",
+        feedback_schema="x long, n long",
+        workdir=str(tmp_path / "bad"),
+    )
+    source = spark.readStream.schema("x long").parquet(str(tmp_path / "bad"))
+    with _pytest.raises(ValueError, match="disjoint"):
+        it.run(source, lambda a, b: (a, a))
