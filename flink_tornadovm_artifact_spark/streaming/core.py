@@ -419,12 +419,15 @@ class LateRowTracker:
 
 class QueryableState:
     """Queryable-state approximation (KeyedStream.asQueryableState —
-    Flink's external point-lookup into live keyed state). Structured
-    Streaming exposes no state-server; the nearest faithful shape is a
+    Flink's external point-lookup into live keyed state): a
     foreachBatch sink that folds each micro-batch's UPDATED rows of an
     update-mode keyed aggregate into a driver-held map, giving the same
     read API (point ``get(key)`` / ``snapshot()``) with staleness of at
-    most one trigger interval.
+    most one trigger interval. See also
+    ``savepoint.StateStoreQueryableState``, which serves the same
+    lookups from the engine's OWN state store (no side copy at all) —
+    this class remains for key spaces small enough that a local dict
+    beats a store scan per lookup.
 
     Scale note: the map holds one row per DISTINCT KEY that changed —
     the same cardinality Flink's queryable-state server materializes per

@@ -117,3 +117,63 @@ def bootstrap_union(
         ]
     )
     return fill(live).unionByName(fill(boot))
+
+
+class StateStoreQueryableState:
+    """``asQueryableState`` served from the engine's OWN state store —
+    the closest Spark gets to the reference's QueryableStateClient
+    (``KeyedStream.java:1015`` + queryable-state server): point lookups
+    read the running query's checkpointed store via the ``statestore``
+    data source, so there is no side sink, no driver-held map, and no
+    second copy of the state (the approximations the foreachBatch-based
+    ``QueryableState``/``ExternalQueryableState`` analogs make).
+
+    Staleness is the last COMMITTED micro-batch — the same
+    read-committed visibility Flink's server gives (it answers from the
+    last completed checkpoint's registered state). Reads are plain
+    batch scans of the store files and are safe concurrent with the
+    running writer; a full-state ``snapshot()`` stays partitioned like
+    the streaming shuffle and never collects to the driver.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint: str,
+        operator_id: int = 0,
+        store_name: str | None = None,
+    ):
+        self._spark = spark
+        self._checkpoint = checkpoint
+        self._operator_id = operator_id
+        self._store_name = store_name
+
+    def snapshot(self, batch_id: int | None = None) -> DataFrame:
+        """The full keyed state as of the latest committed batch (or a
+        time-travel ``batch_id``), flattened to key_*/value_* columns."""
+        return read_keyed_state(
+            self._spark,
+            self._checkpoint,
+            batch_id=batch_id,
+            operator_id=self._operator_id,
+            store_name=self._store_name,
+        )
+
+    def get(self, **key):
+        """Point lookup by key column(s): ``get(user_id=7)`` → the
+        key's value row as a dict, or None if the key has no state."""
+        df = self.snapshot()
+        for col, val in key.items():
+            df = df.filter(F.col(f"key_{col}") == val)
+        rows = df.limit(2).collect()
+        if not rows:
+            return None
+        if len(rows) > 1:
+            raise ValueError(
+                f"key {key} matched {len(rows)}+ state rows — pass every "
+                "key column of the operator"
+            )
+        d = rows[0].asDict()
+        return {
+            k[len("value_"):]: v for k, v in d.items() if k.startswith("value_")
+        }

@@ -509,3 +509,63 @@ def test_writable_savepoint_analog_bootstraps_state(spark, tmp_path):
         for r in memory_sink_run(out, "bootstrap_out").collect()
     }
     assert got == {1: 112.0, 2: 200.0, 3: 1.0}
+
+
+def test_statestore_queryable_state_live_lookup(spark, tmp_path):
+    """asQueryableState served from the engine's own store: point
+    lookups against a RUNNING query's checkpoint reflect each committed
+    micro-batch without any side sink, and an unseen key returns None.
+    (QueryableStateClient visibility = last completed checkpoint.)"""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.streaming import (
+        StateStoreQueryableState,
+    )
+
+    src = tmp_path / "qs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "qs_ckpt")
+
+    def write(name, rows):  # (user_id, value)
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "value": pa.array([r[1] for r in rows], pa.float64()),
+                }
+            ),
+            src / name,
+        )
+
+    write("b0.parquet", [(1, 1.0), (1, 2.0), (2, 10.0)])
+    agg = (
+        spark.readStream.schema("user_id long, value double")
+        .parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("qs_live_q")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    qs = StateStoreQueryableState(spark, ckpt)
+    try:
+        q.processAllAvailable()
+        # lookup WHILE the query is still running
+        assert qs.get(user_id=1) == {"count": 2, "sum": 3.0}
+        assert qs.get(user_id=3) is None
+        _time.sleep(1.1)
+        write("b1.parquet", [(1, 4.0), (3, 5.0)])
+        q.processAllAvailable()
+        assert qs.get(user_id=1) == {"count": 3, "sum": 7.0}
+        assert qs.get(user_id=3) == {"count": 1, "sum": 5.0}
+        # the full snapshot is a partitioned scan, not a driver map
+        assert qs.snapshot().count() == 3
+    finally:
+        q.stop()
