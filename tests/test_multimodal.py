@@ -101,3 +101,54 @@ def test_audio_features_schema(spark, blobs):
 def test_real_codec_gated(spark, blobs):
     with pytest.raises(NotImplementedError):
         decode_image_features(blobs, id_col="id", codec="real")
+
+
+def test_decode_features_under_structured_streaming(spark, tmp_path, blobs):
+    """A 100 TB multimodal ingest runs the SAME Arrow kernel inside a
+    stream: mapInPandas composes with readStream unchanged (schema,
+    batch shape, per-file micro-batches), so the batch-tested decode
+    path is the streaming ingest path — no separate implementation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "mm_src"
+    src.mkdir()
+    for name, rows in (
+        ("b0.parquet", [(1, PNG), (2, JPG)]),
+        ("b1.parquet", [(3, WAV), (4, RAW)]),
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "content": pa.array([r[1] for r in rows], pa.binary()),
+                }
+            ),
+            str(src / name),
+        )
+
+    stream = (
+        spark.readStream.schema("id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    feats = decode_image_features(stream)
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("mm_stream_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.id: (r.width, r.height, list(r.features))
+        for r in spark.sql("SELECT * FROM mm_stream_out").collect()
+    }
+    want = {
+        r.id: (r.width, r.height, list(r.features))
+        for r in decode_image_features(blobs).collect()
+    }
+    assert got == want and len(got) == 4
