@@ -1814,13 +1814,25 @@ GROUP BY source, lang
 # so the added cost at 100 TB is one keyed join, not a new corpus pass.
 # ---------------------------------------------------------------------------
 def corpus_datasheet_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    reps = dedup_cluster_representatives(spark, sf_dir).select(
-        "doc_id", "is_representative"
+    from ..functions.graph import connected_components
+
+    # join the CLUSTER MAP (one row per vertex of the verified match
+    # graph — tiny relative to the corpus, broadcastable) straight onto
+    # the per-doc frame, not dedup_cluster_representatives' output: its
+    # docs⋈comp materialization would make this a corpus×corpus
+    # shuffle join at 100 TB for columns v3 can derive with a coalesce
+    pairs = dedup_lsh_verified(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    comp = connected_components(pairs, max_iterations=20).select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
+    is_rep = F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
     return (
         _datasheet_per_doc(spark, sf_dir)
         .join(_datasheet_copies(spark, sf_dir), "h")
-        .join(reps, "doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("is_representative", is_rep)
         .groupBy("source", "lang")
         .agg(
             *_datasheet_aggs(),
