@@ -439,3 +439,103 @@ def test_cep_after_match_matches_bruteforce(spark, tmp_path_factory, rows):
         )
         want = _brute_force_after_match(rows, strategy)
         assert got == want, strategy
+
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "the", "x9"]),
+        min_size=1,
+        max_size=60,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+_chunk_counter = [0]
+
+
+def _write_docs_dir(spark, tmp_path_factory, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _chunk_counter[0] += 1
+    d = tmp_path_factory.mktemp(f"props{_chunk_counter[0]}")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@given(_doc_texts)
+@settings(**SETTINGS)
+def test_chunk_windows_cover_and_reconstruct(spark, tmp_path_factory, texts):
+    """Chunking invariants no single oracle row pins: dense chunk ids,
+    every token position covered, stride-aligned starts, and each
+    chunk's text reconstructs exactly from the token array."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        text_chunk_windows,
+    )
+
+    sf = _write_docs_dir(spark, tmp_path_factory, texts)
+    rows = text_chunk_windows(spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        n = len(toks)
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        want_m = (n - 1) // CHUNK_STRIDE + 1
+        assert [c.chunk_idx for c in chunks] == list(range(want_m))
+        covered = set()
+        for c in chunks:
+            assert c.start_tok == c.chunk_idx * CHUNK_STRIDE
+            assert c.chunk_len == min(CHUNK_SIZE, n - c.start_tok)
+            assert c.chunk_text == " ".join(
+                toks[c.start_tok : c.start_tok + c.chunk_len]
+            )
+            covered.update(range(c.start_tok, c.start_tok + c.chunk_len))
+        assert covered == set(range(n))
+
+
+@given(_doc_texts)
+@settings(**SETTINGS)
+def test_vocab_coverage_matches_counter(spark, tmp_path_factory, texts):
+    """Vocabulary coverage vs a Python Counter: identical top-K order
+    under the (freq desc, token asc) tie-break, exact cumulative
+    fractions, dense ranks, final fraction 1.0 when the vocabulary fits
+    inside the top-K."""
+    from collections import Counter
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        VOCAB_TOP_K,
+        text_vocab_coverage,
+    )
+
+    sf = _write_docs_dir(spark, tmp_path_factory, texts)
+    rows = sorted(
+        text_vocab_coverage(spark, sf).collect(), key=lambda r: r.rank
+    )
+    counts = Counter(t for txt in texts for t in txt.split(" "))
+    total = sum(counts.values())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP_K]
+    assert [(r.token, r.freq) for r in rows] == want
+    assert [r.rank for r in rows] == list(range(1, len(want) + 1))
+    cum = 0
+    for r, (_, f) in zip(rows, want):
+        cum += f
+        assert abs(r.cum_frac - cum / total) < 1e-12
+    if len(counts) <= VOCAB_TOP_K:
+        assert abs(rows[-1].cum_frac - 1.0) < 1e-12
