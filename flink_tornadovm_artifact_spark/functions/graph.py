@@ -200,6 +200,20 @@ def _undirect(edges: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_base(edges, base, factory):
+    """Exactly one of ``edges`` / ``base`` must be given: a bare call
+    would otherwise die deep in ``_undirect(None)`` with an opaque
+    AttributeError, and passing both would silently compute over the
+    base's edge frame while appearing to use ``edges``."""
+    if base is not None:
+        if edges is not None:
+            raise ValueError("pass either edges or base, not both")
+        return base
+    if edges is None:
+        raise ValueError("pass an edge DataFrame or a prebuilt base")
+    return factory(edges)
+
+
 class UndirectedGraphBase:
     """Shared base for the undirected Gelly analytics — the mirror of
     ``DirectedGraphBase`` (which measured −52% on the census bench when
@@ -299,7 +313,7 @@ def triangles(
     shuffles total (degree agg, triad build, closing-edge join), all on
     vertex/edge keys, off the shared persisted ``UndirectedGraphBase``.
     """
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     return _triangles_from_undirected_oriented(base.oriented)
 
 
@@ -445,7 +459,7 @@ def jaccard_index(
     lifetime deterministically (``base.unpersist()`` after the action),
     else the internal base is CacheManager plan-deduped as usual.
     """
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     und = base.und
     deg = base.degrees.select(
         F.col("vertex").alias("x"), F.col("degree").alias("d")
@@ -482,7 +496,7 @@ def adamic_adar(
     ``UndirectedGraphBase``; pass ``base=`` for deterministic cache
     cleanup (``base.unpersist()`` after the action).
     """
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     und = base.und
     deg = base.degrees.select(
         F.col("vertex").alias("x"), F.col("degree").alias("d")
@@ -534,7 +548,7 @@ def clustering_coefficients(
     rows. Degrees and the triangle wedge frame come off the shared
     persisted ``UndirectedGraphBase``.
     """
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     deg = base.degrees
     tri_per_v = (
         triangles(base=base)
@@ -565,7 +579,7 @@ def global_clustering_coefficient(
     gcc = 3 · triangles / triplets, triplets = Σ C(degree, 2) — the
     reference's triplet/triangle counters reduced to a scalar, off the
     shared persisted ``UndirectedGraphBase``."""
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     triplets = base.degrees.agg(
         F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
         .cast("long")
@@ -634,7 +648,7 @@ def vertex_metrics(
     maximum_triplets) — the reference's accumulator set, with
     edge_count the undirected edge count and triplets = C(degree, 2)
     per vertex. One scalar reduce off the shared base's degree table."""
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     trip = (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
     return base.degrees.agg(
         F.count(F.lit(1)).alias("vertex_count"),
@@ -743,7 +757,7 @@ def edge_metrics(
     previous standalone plan re-derived both from scratch via a
     doubled-edge three-way join.
     """
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     louts = base.oriented.groupBy(F.col("s").alias("vertex")).agg(
         F.count(F.lit(1)).alias("l")
     )
@@ -769,7 +783,7 @@ def average_clustering_coefficient(
     AverageClusteringCoefficient.java``): one row (vertex_count,
     sum_lcc, acc) — vertices below degree 2 contribute 0, the
     reference's accumulator semantics."""
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     return clustering_coefficients(base=base).agg(
         F.count(F.lit(1)).alias("vertex_count"),
         F.sum("lcc").alias("sum_lcc"),
@@ -793,7 +807,7 @@ def triadic_census(
     final counts cast back to long — exact while every class count is
     below 2^63 (n up to ~4.6M; beyond that a wider output type, not a
     different algorithm, is the change)."""
-    base = base or undirected_graph_base(edges)
+    base = _resolve_base(edges, base, undirected_graph_base)
     vm = vertex_metrics(base=base)
     t = triangles(base=base).agg(F.count(F.lit(1)).alias("t"))
     dec = "decimal(38,0)"
@@ -922,7 +936,7 @@ def vertex_metrics_directed(
     the degree/out/in/triplet maxima. All quantities come off the
     shared pair-mask frame: degree = us+ut+bi, out = us+bi, in = ut+bi.
     """
-    base = base or directed_graph_base(edges)
+    base = _resolve_base(edges, base, directed_graph_base)
     per_v = _pair_flags(base.pm).select(
         (F.col("us") + F.col("ut") + F.col("bi")).alias("deg"),
         (F.col("us") + F.col("bi")).alias("outd"),
@@ -971,7 +985,7 @@ def triangle_listing_directed(
     O(#triangles) output three times and measured 5× slower on the
     saturated sf0.1 graph.
     """
-    base = base or directed_graph_base(edges)
+    base = _resolve_base(edges, base, directed_graph_base)
     return _triangle_listing_from_oriented(base.oriented)
 
 
@@ -1051,7 +1065,7 @@ def local_clustering_coefficient_directed(
     clustering_coefficients); its AverageClusteringCoefficient treats
     them as 0, which is the semantics we keep everywhere.
     """
-    base = base or directed_graph_base(edges)
+    base = _resolve_base(edges, base, directed_graph_base)
 
     # ONE scan of the listing: each triangle row explodes into its
     # three (vertex, credit) contributions — credit 2 when the pair
@@ -1116,7 +1130,7 @@ def global_clustering_coefficient_directed(
     Both quantities come off the shared base: triplets as the degree
     aggregate, triangles as the row count of the oriented listing.
     """
-    base = base or directed_graph_base(edges)
+    base = _resolve_base(edges, base, directed_graph_base)
     d = F.col("degree")
     triplets = base.degrees.agg(
         F.sum(d * (d - 1) / 2).cast("long").alias("triplet_count")
@@ -1146,7 +1160,7 @@ def average_clustering_coefficient_directed(
     NaN — see local_clustering_coefficient_directed), so the explicit
     degree filter reproduces the reference sum exactly.
     """
-    base = base or directed_graph_base(edges)
+    base = _resolve_base(edges, base, directed_graph_base)
     lcc = local_clustering_coefficient_directed(base=base)
     return lcc.agg(
         F.count(F.lit(1)).alias("vertex_count"),
@@ -1211,7 +1225,7 @@ def triadic_census_directed(
     # the census's degree stats read the pair-mask frame once
     # (_pair_flags) and the triangle listing reads the oriented frame —
     # both cache hits after the base materializes
-    base = base or directed_graph_base(edges)
+    base = _resolve_base(edges, base, directed_graph_base)
     per_v = _pair_flags(base.pm)
     us, ut, bi = F.col("us"), F.col("ut"), F.col("bi")
     vstats = per_v.agg(
@@ -1307,7 +1321,7 @@ def edge_metrics_directed(
     self-join. Vertices that never appear as s get l = 0 and contribute
     0 to every aggregate, as before.
     """
-    base = base or directed_graph_base(edges)
+    base = _resolve_base(edges, base, directed_graph_base)
     lcount = base.oriented.groupBy(F.col("s").alias("vertex")).agg(
         F.count(F.lit(1)).alias("l")
     )

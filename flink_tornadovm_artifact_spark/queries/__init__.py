@@ -73,12 +73,12 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: must be re-verified by the driver exactly as the directed family was
 #: in round 5).
 #: OUT — entries driver-green in BOTH rounds 4 and 5 whose surface
-#: stays covered by the full 135-oracle pytest sweep: the r3 CEP seven,
-#: the directed Gelly family (8), community_detection/labelprop/HITS/
-#: summarization, jaccard/adamic (lifecycle API only — plan and answers
-#: unchanged), zip/sample contracts, temporal_join_events,
+#: stays covered by the full-oracle pytest sweep: most of the r3 CEP
+#: set, the directed Gelly family (8), community_detection/
+#: summarization, zip/sample contracts, temporal_join_events,
 #: text_decontaminate, similarity_ivf, multimodal_feature_extract, and
-#: the 2×-green TPC-H extras beyond the kept core.
+#: the 2×-green TPC-H extras beyond the kept core. jaccard/adamic stay
+#: IN: their plans changed with the UndirectedGraphBase re-route.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # kept: iteration pipelines (2)
     "kmeans_pipeline",
@@ -125,13 +125,15 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "bipartite_projection_suppliers",
     "asm_vertex_degrees",
     "generator_hypercube_degrees",
-    # changed this round: ANSI-safe alpha_ratio; jaccard persist
-    # lifecycle (2). q49_approx_aggregates stays OUT deliberately: the
-    # window must stay fully oracle-backed (its sketches are rows-only
-    # by design — pinned in test_queries_oracle.py), so it is the one
-    # registered query without a driver-oracle row.
+    # changed this round: ANSI-safe alpha_ratio; jaccard/adamic now
+    # read the persisted UndirectedGraphBase (plan changed) (3).
+    # q49_approx_aggregates stays OUT deliberately: the window must
+    # stay fully oracle-backed (its sketches are rows-only by design —
+    # pinned in test_queries_oracle.py), so it is the one registered
+    # query without a driver-oracle row.
     "text_quality_score",
     "jaccard_similarity",
+    "adamic_adar_similarity",
     # changed this round: UndirectedGraphBase re-routing (7)
     "triangle_enum",
     "local_clustering_coefficient",
@@ -144,9 +146,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # cover while the undirected base lands (2)
     "triadic_census_directed_q",
     "edge_metrics_directed_q",
-    # kept: streaming-adjacent + graph breadth spot checks (6)
+    # kept: streaming-adjacent + graph breadth spot checks (3)
     "cep_followed_by",
-    "cep_times",
     "label_propagation_communities",
     "hits_scores",
 )

@@ -1342,7 +1342,7 @@ tf AS (
 ),
 dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
 n AS (SELECT COUNT(*) AS n_docs FROM documents)
-SELECT doc_id, token, tf, score, rk FROM (
+SELECT doc_id, token, tf, score, CAST(rk AS INTEGER) AS rk FROM (
   SELECT t.doc_id, t.token, t.tf,
          t.tf * (ln((n_docs + 1.0) / (d.df_t + 1.0)) + 1.0) AS score,
          ROW_NUMBER() OVER (
@@ -1914,7 +1914,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunked.select(
         "doc_id",
         "chunk_idx",
-        "start_tok",
+        # long to match the oracle's BIGINT exactly — the driver's
+        # value-hash is Arrow-buffer type-sensitive (int32 != int64)
+        F.col("start_tok").cast("long").alias("start_tok"),
         F.size(piece).cast("int").alias("chunk_len"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )

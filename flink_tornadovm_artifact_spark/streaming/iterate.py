@@ -40,16 +40,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-class StreamIteration:
-    """One iteration scope: holds the feedback/output directories and
-    the drain loop. ``step(df) -> (feedback_df, output_df)`` plays the
-    role of the Step map + OutputSelector split in IterateExample."""
+class _IterationBase:
+    """Shared mechanics of both iteration scopes: workdir layout, the
+    feedback-segment counter, the drain loop (no-new-feedback
+    termination with a max_passes bound), the empty-write-skipping
+    foreachBatch sink, and the final output read. Subclasses supply
+    only the head-stream construction and the step adapter."""
 
-    def __init__(self, spark: SparkSession, schema: str, workdir: str,
-                 output_schema: str | None = None):
+    def __init__(self, spark: SparkSession, workdir: str, output_schema: str):
         self.spark = spark
-        self.schema = schema
-        self.output_schema = output_schema or schema
+        self.output_schema = output_schema
         self.feedback_dir = os.path.join(workdir, "feedback")
         self.output_dir = os.path.join(workdir, "output")
         self.checkpoint_dir = os.path.join(workdir, "checkpoint")
@@ -61,33 +61,17 @@ class StreamIteration:
             1 for f in os.listdir(self.feedback_dir) if f.endswith(".parquet")
         )
 
-    def run(
-        self,
-        source: DataFrame,
-        step: Callable[[DataFrame], tuple[DataFrame, DataFrame]],
-        max_passes: int = 100,
-    ) -> DataFrame:
-        """Run the iteration until the feedback channel runs dry
-        (IterativeStream's no-new-data termination), then return the
-        accumulated output as a batch DataFrame. ``source`` is a
-        STREAMING DataFrame with ``schema``; ``max_passes`` bounds
-        runaway feedback loops (a diverging step function)."""
-        feedback = self.spark.readStream.schema(self.schema).parquet(
-            self.feedback_dir
-        )
-        head = source.unionByName(feedback)
+    def _sink(self, fb: DataFrame, out: DataFrame) -> None:
+        # feedback first: rows become available input for the next
+        # micro-batch of this same query. Empty writes are skipped — an
+        # empty parquet segment would still count as channel activity
+        # and keep the drain loop spinning.
+        if not fb.isEmpty():
+            fb.write.mode("append").parquet(self.feedback_dir)
+        if not out.isEmpty():
+            out.write.mode("append").parquet(self.output_dir)
 
-        def body(batch_df: DataFrame, epoch_id: int) -> None:
-            fb, out = step(batch_df)
-            # feedback first: rows become available input for the next
-            # micro-batch of this same query. Empty writes are skipped —
-            # an empty parquet segment would still count as channel
-            # activity and keep the drain loop spinning.
-            if not fb.isEmpty():
-                fb.write.mode("append").parquet(self.feedback_dir)
-            if not out.isEmpty():
-                out.write.mode("append").parquet(self.output_dir)
-
+    def _drain(self, head: DataFrame, body, max_passes: int) -> DataFrame:
         q = (
             head.writeStream.foreachBatch(body)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -117,7 +101,40 @@ class StreamIteration:
         )
 
 
-class ConnectedStreamIteration:
+class StreamIteration(_IterationBase):
+    """One iteration scope: holds the feedback/output directories and
+    the drain loop. ``step(df) -> (feedback_df, output_df)`` plays the
+    role of the Step map + OutputSelector split in IterateExample."""
+
+    def __init__(self, spark: SparkSession, schema: str, workdir: str,
+                 output_schema: str | None = None):
+        super().__init__(spark, workdir, output_schema or schema)
+        self.schema = schema
+
+    def run(
+        self,
+        source: DataFrame,
+        step: Callable[[DataFrame], tuple[DataFrame, DataFrame]],
+        max_passes: int = 100,
+    ) -> DataFrame:
+        """Run the iteration until the feedback channel runs dry
+        (IterativeStream's no-new-data termination), then return the
+        accumulated output as a batch DataFrame. ``source`` is a
+        STREAMING DataFrame with ``schema``; ``max_passes`` bounds
+        runaway feedback loops (a diverging step function)."""
+        feedback = self.spark.readStream.schema(self.schema).parquet(
+            self.feedback_dir
+        )
+        head = source.unionByName(feedback)
+
+        def body(batch_df: DataFrame, epoch_id: int) -> None:
+            fb, out = step(batch_df)
+            self._sink(fb, out)
+
+        return self._drain(head, body, max_passes)
+
+
+class ConnectedStreamIteration(_IterationBase):
     """``iterate().withFeedbackType(T)`` (``DataStream.java:579`` →
     ``ConnectedIterativeStreams``, IterativeStream.java): the feedback
     edge carries a DIFFERENT type than the input, and the step operator
@@ -143,20 +160,9 @@ class ConnectedStreamIteration:
         workdir: str,
         output_schema: str | None = None,
     ):
-        self.spark = spark
+        super().__init__(spark, workdir, output_schema or feedback_schema)
         self.input_schema = input_schema
         self.feedback_schema = feedback_schema
-        self.output_schema = output_schema or feedback_schema
-        self.feedback_dir = os.path.join(workdir, "feedback")
-        self.output_dir = os.path.join(workdir, "output")
-        self.checkpoint_dir = os.path.join(workdir, "checkpoint")
-        os.makedirs(self.feedback_dir, exist_ok=True)
-        os.makedirs(self.output_dir, exist_ok=True)
-
-    def _feedback_segments(self) -> int:
-        return sum(
-            1 for f in os.listdir(self.feedback_dir) if f.endswith(".parquet")
-        )
 
     def run(
         self,
@@ -199,33 +205,6 @@ class ConnectedStreamIteration:
                 *[f.name for f in fb_struct]
             )
             fb_out, out = step(in_df, fb_df)
-            if not fb_out.isEmpty():
-                fb_out.write.mode("append").parquet(self.feedback_dir)
-            if not out.isEmpty():
-                out.write.mode("append").parquet(self.output_dir)
+            self._sink(fb_out, out)
 
-        q = (
-            head.writeStream.foreachBatch(body)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .start()
-        )
-        try:
-            for _ in range(max_passes):
-                before = self._feedback_segments()
-                q.processAllAvailable()
-                if self._feedback_segments() == before:
-                    break
-            else:
-                raise RuntimeError(
-                    f"stream iteration did not converge in {max_passes} passes"
-                )
-        finally:
-            q.stop()
-        out_files = [
-            f for f in os.listdir(self.output_dir) if f.endswith(".parquet")
-        ]
-        if not out_files:
-            return self.spark.createDataFrame([], self.output_schema)
-        return self.spark.read.schema(self.output_schema).parquet(
-            self.output_dir
-        )
+        return self._drain(head, body, max_passes)

@@ -71,8 +71,18 @@ def _type_family(t: str) -> str:
     t = t.lower()
     if "decimal" in t:
         return "decimal"
-    if any(k in t for k in ("int", "long", "short", "byte")):
-        return "int"
+    # ints are width-exact: the driver hashes Arrow buffers, so Spark
+    # int32 vs DuckDB int64 is a driver hash FAIL even though the
+    # values compare equal (caught on text_chunk_windows.start_tok /
+    # text_tfidf_keywords.rk in round 6 before the driver saw them)
+    if "bigint" in t or "int64" in t or t == "long":
+        return "int64"
+    if "smallint" in t or "int16" in t or t == "short":
+        return "int16"
+    if "tinyint" in t or "int8" in t or "byte" in t:
+        return "int8"
+    if any(k in t for k in ("int", "integer")):
+        return "int32"
     if any(k in t for k in ("float", "double", "halffloat")):
         return "float"
     if "bool" in t:

@@ -41,7 +41,9 @@ def _row_green(res: dict) -> bool:
         return False
     if not res.get("rows_match"):
         return False
-    # hash_match is None for rows-only checks; only an explicit False fails
+    # hash/schema are None for rows-only checks; an explicit False fails
+    if res.get("schema_match") is False:
+        return False
     return res.get("hash_match") is not False
 
 
@@ -57,7 +59,13 @@ def build() -> dict:
     green: dict[str, list[int]] = {}
     checked: dict[str, list[int]] = {}
     rounds: list[int] = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    # numeric sort: lexicographic glob order breaks at round 10
+    # (r1, r10, r2, ...) and would scramble rounds[-2:] in the guards
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1)),
+    )
+    for path in paths:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1))
         rounds.append(rnd)
