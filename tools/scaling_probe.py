@@ -1,0 +1,77 @@
+"""Empirical scaling probe: time the heavy operators at sf0.001 /
+sf0.01 / sf0.1 and print observed growth factors per 10× data step.
+
+The plan audit (PLAN_AUDIT.md) proves the STATIC shape is scale-safe
+(no cartesians, pushed filters, bounded wedges); this probe adds the
+DYNAMIC evidence — that runtime grows near-linearly with input across
+two decades of scale factor, the empirical signature that the same
+plans survive the jump from test SF to a 100 TB cluster where each
+partition sees roughly this much data. Super-linear growth (factor
+well above ~10 per decade after fixed overhead) is the smell this
+table exists to catch; sub-linear factors just mean fixed job overhead
+still dominates at these sizes.
+
+Usage: python tools/scaling_probe.py [query ...]   (default: the heavy set)
+Appends nothing; prints a markdown table to stdout for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "q51_tpch_q9",            # widest TPC-H join tree
+    "q55_tpch_q21",           # 4-way fact self-joins
+    "dedup_minhash_lsh",      # band/bucket shuffle
+    "dedup_lsh_verified",     # LSH + exact verify
+    "dedup_cluster_representatives",  # + CC iteration
+    "corpus_datasheet_v3",    # full composition
+    "triangle_enum",          # wedge join (graph saturates at sf0.1)
+    "triadic_census_q",       # closed-form census off the shared base
+    "text_bigram_lm_score",   # n-gram model build + scoring joins
+    "text_chunk_windows",     # shuffle-free corpus transform
+    "similarity_ivf",         # ANN probe path
+    "sssp_pipeline",          # delta iteration
+]
+
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def main() -> None:
+    from flink_tornadovm_artifact_spark.queries import _ALL
+    from flink_tornadovm_artifact_spark.session import get_spark
+
+    names = sys.argv[1:] or HEAVY
+    spark = get_spark(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name in names:
+        fn = _ALL[name]
+        times = []
+        for sf in SFS:
+            sf_dir = f"/root/testdata/sf{sf}"
+            best = None
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            times.append(best)
+        g1 = times[1] / times[0]
+        g2 = times[2] / times[1]
+        rows.append((name, *times, g1, g2))
+        print(f"# {name}: {times} x{g1:.1f} x{g2:.1f}", file=sys.stderr)
+
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | ×/decade (1→2) | ×/decade (2→3) |")
+    print("|---|---|---|---|---|---|")
+    for name, t1, t2, t3, g1, g2 in rows:
+        print(f"| {name} | {t1:.2f} | {t2:.2f} | {t3:.2f} | {g1:.1f}× | {g2:.1f}× |")
+
+
+if __name__ == "__main__":
+    main()
