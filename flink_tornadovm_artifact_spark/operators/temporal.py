@@ -104,3 +104,53 @@ def temporal_join(
             *[F.col(f"_tj_cur.{c}").alias(c) for c in version_cols],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] | None,
+    left_val: str,
+    right_val: str,
+    lower,
+    upper,
+) -> DataFrame:
+    """Banded range join: rows of ``left`` paired with rows of ``right``
+    sharing the equi-key(s) ``on`` where
+    ``right_val ∈ [left_val + lower, left_val + upper]`` — the general
+    form of the interval join (q22) and the band joins the reference
+    expresses as JoinFunction over key-partitioned ranges.
+
+    Scale shape (same argument as q22, generalized): a raw range
+    predicate on an equi-key degrades to an O(n²/key) inner scan under
+    sort-merge. Instead bucketize the value axis into cells of width
+    ``upper - lower``: the right side lands in exactly ONE cell, the
+    left target interval spans AT MOST TWO adjacent cells, so exploding
+    the left row to its covered cell range turns the join into a plain
+    hash join on (key…, cell) whose candidate set is the 2-cell
+    neighborhood; the exact band predicate then filters. Every matching
+    pair appears exactly once (one cell per right row; each covered
+    cell exploded once on the left).
+
+    ``lower``/``upper`` are numeric (``upper > lower``); for event-time
+    bands convert with ``unix_timestamp`` first (q22 shows the
+    pattern). Columns ``left_val``/``right_val`` must be numeric.
+    """
+    if not upper > lower:
+        raise ValueError("range_join needs upper > lower (a nonempty band)")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"rename columns shared by both sides (ambiguous in the "
+            f"output and the band predicate): {sorted(clash)}"
+        )
+    w = upper - lower
+    gmin = F.floor((F.col(left_val) + F.lit(lower)) / F.lit(w))
+    gmax = F.floor((F.col(left_val) + F.lit(upper)) / F.lit(w))
+    l2 = left.withColumn("_rj_g", F.explode(F.sequence(gmin, gmax)))
+    r2 = right.withColumn("_rj_g", F.floor(F.col(right_val) / F.lit(w)))
+    band = F.col(right_val).between(
+        F.col(left_val) + F.lit(lower), F.col(left_val) + F.lit(upper)
+    )
+    return l2.join(r2, keys + ["_rj_g"]).filter(band).drop("_rj_g")

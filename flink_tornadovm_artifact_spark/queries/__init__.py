@@ -146,10 +146,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # cover while the undirected base lands (2)
     "triadic_census_directed_q",
     "edge_metrics_directed_q",
-    # kept: streaming-adjacent + graph breadth spot checks (3)
+    # new this round (rule 1): hypertable rollup + banded range join (2)
+    "hypertable_rollup_events",
+    "range_join_events",
+    # kept: streaming-adjacent spot check (1)
     "cep_followed_by",
-    "label_propagation_communities",
-    "hits_scores",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

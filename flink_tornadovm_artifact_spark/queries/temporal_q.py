@@ -75,3 +75,75 @@ SELECT f.purchase_id, f.user_id, f.purchase_ts, f.purchase_value,
        v.signup_value
 FROM f ASOF JOIN v ON f.user_id = v.user_id AND f.purchase_ts >= v.vts
 """
+
+
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly hypertable rollup of events per event_type — the BATCH
+    semantics of ``streaming/rollup.py:ContinuousAggregate`` (whose
+    incremental maintenance is differentially pinned against exactly
+    this aggregate in tests/test_rollup_rangejoin.py). One scan, one
+    tiny (buckets × types) shuffle."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    )
+
+
+QUERIES["hypertable_rollup_events"] = hypertable_rollup_events
+ORACLE["hypertable_rollup_events"] = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(value) AS sum_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v,
+       SUM(value) / COUNT(*) AS avg_v
+FROM events
+GROUP BY 1, 2
+"""
+
+
+RANGE_LOWER, RANGE_UPPER = 1.0, 5.0
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (``operators/temporal.py:range_join``): pairs
+    of same-user events where the right value lies in
+    [left value + 1, left value + 5] — the generic band-join shape (the
+    interval join q22 is the time-axis special case). The cell-grid
+    rewrite keeps it a hash join on (user, cell); the count-per-user
+    output keeps the oracle comparison cardinality-stable."""
+    from ..operators.temporal import range_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("value").alias("lv")
+    )
+    right = ev.select(
+        "user_id", F.col("event_id").alias("r_id"), F.col("value").alias("rv")
+    )
+    pairs = range_join(
+        left, right, "user_id", "lv", "rv", RANGE_LOWER, RANGE_UPPER
+    ).filter(F.col("l_id") != F.col("r_id"))
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+QUERIES["range_join_events"] = range_join_events
+ORACLE["range_join_events"] = f"""
+SELECT a.user_id AS user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.value BETWEEN a.value + {RANGE_LOWER} AND a.value + {RANGE_UPPER}
+ AND a.event_id <> b.event_id
+GROUP BY a.user_id
+"""
