@@ -146,11 +146,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # cover while the undirected base lands (2)
     "triadic_census_directed_q",
     "edge_metrics_directed_q",
-    # new this round (rule 1): hypertable rollup + banded range join (2)
+    # new this round (rule 1): hypertable rollup, banded range join,
+    # count-min sketch (3)
     "hypertable_rollup_events",
     "range_join_events",
-    # kept: streaming-adjacent spot check (1)
-    "cep_followed_by",
+    "sketch_count_min_tokens",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

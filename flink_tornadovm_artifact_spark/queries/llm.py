@@ -2057,3 +2057,65 @@ SELECT source, len_bucket, n_docs,
 FROM counts
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch over corpus token frequencies (round 6): the
+# mergeable frequency sketch (Cormode & Muthukrishnan 2005) every
+# streaming frequency-capping / heavy-hitter pass leans on. DEPTH
+# salted hash rows × WIDTH buckets; point estimate = min over rows of
+# the bucket count, always an OVERestimate. Hashes are md5-based (the
+# repo's cross-engine idiom), so the sketch TABLE itself is
+# deterministic and oracle-equal — unlike an approx-agg whose internal
+# state differs per engine, this sketch is differential bit-for-bit.
+#
+# Plan: one corpus scan, a 4-wide posexplode (rows linear in tokens),
+# one groupBy whose partial aggregate collapses map-side to ≤
+# DEPTH×WIDTH rows per partition — the shuffle carries sketch-sized
+# data regardless of corpus size. That is the 100 TB story: the sketch
+# is the only thing that moves.
+# ---------------------------------------------------------------------------
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    buckets = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("t"), F.lit(f"#cms{i}"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % CMS_WIDTH
+            ).cast("int")
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        tok.select(F.posexplode(buckets).alias("row_id", "bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_register(
+    sketch_count_min_tokens,
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+e AS (
+  SELECT CAST(i AS INTEGER) AS row_id,
+         CAST(CAST(concat('0x', substr(md5(t || '#cms' || i), 1, 8))
+                   AS BIGINT) % {CMS_WIDTH} AS INTEGER) AS bucket
+  FROM tok, range(0, {CMS_DEPTH}) r(i)
+)
+SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM e GROUP BY 1, 2
+""",
+)

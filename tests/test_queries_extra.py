@@ -95,3 +95,41 @@ def test_q19_discriminating_at_oracle_sf(spark):
     from .conftest import SF_ORACLE
 
     assert q19_iot_outliers(spark, SF_ORACLE).count() > 0
+
+
+def test_count_min_sketch_overestimates(spark):
+    """The CMS contract: for any token, min over rows of its bucket
+    count >= the exact corpus frequency (equality when no collision)."""
+    from collections import Counter
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        sketch_count_min_tokens,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    sketch = {
+        (r.row_id, r.bucket): r.cnt
+        for r in sketch_count_min_tokens(spark, SF_SMOKE).collect()
+    }
+    docs = load(spark, SF_SMOKE, "documents").select("text").collect()
+    exact = Counter(t for r in docs for t in r.text.split(" "))
+    import hashlib
+
+    def bucket(tok, i):
+        h = hashlib.md5(f"{tok}#cms{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % CMS_WIDTH
+
+    checked = 0
+    for tok, n in list(exact.items())[:20]:
+        est = min(
+            sketch.get((i, bucket(tok, i)), 0) for i in range(CMS_DEPTH)
+        )
+        assert est >= n, (tok, est, n)
+        checked += 1
+    assert checked == 20
+    # total mass per row equals the token count (sketch conservation)
+    total = sum(exact.values())
+    for i in range(CMS_DEPTH):
+        assert sum(v for (ri, _), v in sketch.items() if ri == i) == total
