@@ -145,6 +145,11 @@ def range_join(
             f"rename columns shared by both sides (ambiguous in the "
             f"output and the band predicate): {sorted(clash)}"
         )
+    if "_rj_g" in left.columns or "_rj_g" in right.columns:
+        raise ValueError(
+            "column name _rj_g is reserved by range_join (it would be "
+            "clobbered by the internal cell id) — rename it"
+        )
     w = upper - lower
     gmin = F.floor((F.col(left_val) + F.lit(lower)) / F.lit(w))
     gmax = F.floor((F.col(left_val) + F.lit(upper)) / F.lit(w))

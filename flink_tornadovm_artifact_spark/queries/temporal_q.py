@@ -83,19 +83,11 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental maintenance is differentially pinned against exactly
     this aggregate in tests/test_rollup_rangejoin.py). One scan, one
     tiny (buckets × types) shuffle."""
+    from ..streaming.rollup import bucket_partials, with_avg
+
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
-    return (
-        ev.groupBy(
-            F.window("ts", "1 hour").start.alias("bucket_start"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_v"),
-            F.min("value").alias("min_v"),
-            F.max("value").alias("max_v"),
-        )
-        .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    return with_avg(
+        bucket_partials(ev, ["event_type"], "ts", "value", "1 hour")
     )
 
 

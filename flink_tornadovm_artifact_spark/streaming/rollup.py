@@ -34,6 +34,29 @@ from pyspark.sql import functions as F
 from .core import ExternalQueryableState
 
 
+def bucket_partials(
+    df: DataFrame, keys: list[str], ts_col: str, value_col: str, bucket: str
+) -> DataFrame:
+    """The mergeable time-bucket partials (count/sum/min/max) shared by
+    the streaming maintenance path, the batch rollup query
+    (queries/temporal_q.py:hypertable_rollup_events), and serve()'s
+    tail merge — one definition so batch and streaming semantics cannot
+    drift apart."""
+    v = F.col(value_col)
+    return df.groupBy(
+        F.window(ts_col, bucket).start.alias("bucket_start"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def with_avg(parts: DataFrame) -> DataFrame:
+    return parts.withColumn("avg_v", F.col("sum_v") / F.col("n"))
+
+
 class ContinuousAggregate:
     """Incrementally-maintained time-bucket rollup of a value column.
 
@@ -52,29 +75,38 @@ class ContinuousAggregate:
         value_col: str,
         bucket: str,
         path: str,
+        events_schema: str | None = None,
     ):
         self.keys = list(keys)
         self.ts_col = ts_col
         self.value_col = value_col
         self.bucket = bucket
+        #: optional events DDL; with it, reads BEFORE the first committed
+        #: micro-batch return a correctly-typed EMPTY rollup instead of a
+        #: path-not-found error (a dashboard on a just-created aggregate
+        #: sees zero rows, not a crash)
+        self.events_schema = events_schema
         # composite logical key; the epoch log stores it as one struct
         # column so ExternalQueryableState's single-key resolution works
         self._store = ExternalQueryableState("__ckey", path)
 
     # -- partial-aggregate algebra -------------------------------------
     def _partials(self, df: DataFrame) -> DataFrame:
-        v = F.col(self.value_col)
-        return (
-            df.groupBy(
-                F.window(self.ts_col, self.bucket).start.alias("bucket_start"),
-                *self.keys,
-            ).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(v).alias("sum_v"),
-                F.min(v).alias("min_v"),
-                F.max(v).alias("max_v"),
-            )
+        return bucket_partials(
+            df, self.keys, self.ts_col, self.value_col, self.bucket
         )
+
+    def _latest_or_empty(self, spark: SparkSession) -> DataFrame:
+        try:
+            return self._store.snapshot_df(spark).drop("__ckey")
+        except Exception:
+            if self.events_schema is None:
+                raise
+            # no committed batch yet: derive the exact rollup schema by
+            # aggregating an empty, correctly-typed events frame
+            return self._partials(
+                spark.createDataFrame([], self.events_schema)
+            )
 
     @staticmethod
     def _merge(parts: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -110,10 +142,7 @@ class ContinuousAggregate:
     def rollup(self, spark: SparkSession) -> DataFrame:
         """The materialized rollup: latest partials per (bucket, keys),
         with the derived average."""
-        latest = self._store.snapshot_df(spark).drop("__ckey")
-        return latest.withColumn(
-            "avg_v", F.col("sum_v") / F.col("n")
-        )
+        return with_avg(self._latest_or_empty(spark))
 
     def serve(
         self, spark: SparkSession, tail_df: DataFrame | None = None
@@ -121,11 +150,11 @@ class ContinuousAggregate:
         """Rollup plus the un-materialized raw tail (batch frame of rows
         the stream has not ingested yet) — buckets straddling the
         materialization frontier merge via the partial algebra."""
-        latest = self._store.snapshot_df(spark).drop("__ckey")
+        latest = self._latest_or_empty(spark)
         if tail_df is not None:
             latest = latest.unionByName(self._partials(tail_df))
         merged = self._merge(latest, ["bucket_start", *self.keys])
-        return merged.withColumn("avg_v", F.col("sum_v") / F.col("n"))
+        return with_avg(merged)
 
     def compact(self, spark: SparkSession) -> None:
         """Fold the epoch log to one row per (bucket, keys)."""

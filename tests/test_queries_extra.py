@@ -121,14 +121,15 @@ def test_count_min_sketch_overestimates(spark):
         h = hashlib.md5(f"{tok}#cms{i}".encode()).hexdigest()[:8]
         return int(h, 16) % CMS_WIDTH
 
+    sample = list(exact.items())[:20]
     checked = 0
-    for tok, n in list(exact.items())[:20]:
+    for tok, n in sample:
         est = min(
             sketch.get((i, bucket(tok, i)), 0) for i in range(CMS_DEPTH)
         )
         assert est >= n, (tok, est, n)
         checked += 1
-    assert checked == 20
+    assert checked == len(sample) > 0
     # total mass per row equals the token count (sketch conservation)
     total = sum(exact.values())
     for i in range(CMS_DEPTH):

@@ -198,3 +198,26 @@ def test_range_join_guards(spark):
         range_join(df, df.withColumnRenamed("v", "w"), "k", "v", "w", 5, 5)
     with pytest.raises(ValueError, match="shared by both sides"):
         range_join(df, df, "k", "v", "v", 0, 1)
+
+
+def test_continuous_aggregate_reads_before_first_commit(spark, tmp_path):
+    """A just-created aggregate (no committed batch yet) must serve an
+    empty, correctly-typed rollup when the events schema is declared —
+    not a path-not-found crash."""
+    from flink_tornadovm_artifact_spark.streaming import ContinuousAggregate
+
+    schema = "event_id long, etype string, ts timestamp, value double"
+    ca = ContinuousAggregate(
+        keys=["etype"], ts_col="ts", value_col="value", bucket="1 hour",
+        path=str(tmp_path / "fresh_rollup"), events_schema=schema,
+    )
+    assert ca.rollup(spark).count() == 0
+    assert set(ca.rollup(spark).columns) == {
+        "bucket_start", "etype", "n", "sum_v", "min_v", "max_v", "avg_v"
+    }
+    # and serve() over only a tail aggregates that tail alone
+    tail = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1, 0, 30), 2.0)], schema
+    )
+    got = ca.serve(spark, tail).collect()
+    assert len(got) == 1 and got[0].n == 1 and got[0].avg_v == 2.0

@@ -11,7 +11,14 @@ well above ~10 per decade after fixed overhead) is the smell this
 table exists to catch; sub-linear factors just mean fixed job overhead
 still dominates at these sizes.
 
+Timing uses the noop sink (as bench.py does) so the FULL plan executes:
+a .count() would let Catalyst prune the projected aggregate columns and
+under-measure exactly the expression-heavy operators this table
+certifies.
+
 Usage: python tools/scaling_probe.py [query ...]   (default: the heavy set)
+Data root: $SPARK_GRAFT_TESTDATA (default /root/testdata), so the probe
+is reproducible wherever the parquet lives.
 Appends nothing; prints a markdown table to stdout for SCALE.md.
 """
 
@@ -46,6 +53,7 @@ def main() -> None:
     from flink_tornadovm_artifact_spark.session import get_spark
 
     names = sys.argv[1:] or HEAVY
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
@@ -53,12 +61,14 @@ def main() -> None:
         fn = _ALL[name]
         times = []
         for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+            sf_dir = os.path.join(base, f"sf{sf}")
             best = None
             for _ in range(3):
                 spark.catalog.clearCache()
                 t0 = time.time()
-                fn(spark, sf_dir).count()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
             times.append(best)
