@@ -83,6 +83,11 @@ HEADLINE = [
     # (per-doc signals + copy counts + dedup keep-set join + rollup)
     "triadic_census_q",
     "corpus_datasheet_v3",
+    # round-6 additions (second batch): the banded range join (cell-grid
+    # hash-join rewrite on the value axis) and the count-min sketch
+    # (sketch-sized shuffle over a 4-wide token explode)
+    "range_join_events",
+    "sketch_count_min_tokens",
 ]
 
 
