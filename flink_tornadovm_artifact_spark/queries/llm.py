@@ -1632,15 +1632,21 @@ GROUP BY source, lang
 # and the final tiny-cardinality (source, lang) groupBy.
 # ---------------------------------------------------------------------------
 def _datasheet_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document datasheet signal frame shared by v2/v3.
-
-    One corpus scan of JVM expressions: token count, composite quality
-    (alpha/stopword blend, ANSI-safe try_divide), Gopher repetition
-    fractions, and the n-gram lang-ID prediction. No shuffle here.
-    """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text"
+    """Per-document datasheet signal frame shared by v2/v3 (batch
+    loader wrapper around :func:`datasheet_signals`)."""
+    return datasheet_signals(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
     )
+
+
+def datasheet_signals(docs: DataFrame) -> DataFrame:
+    """Per-document datasheet signals over ANY documents frame — batch
+    or STREAMING (every signal is an expression; no shuffle, no state):
+    token count, composite quality (alpha/stopword blend, ANSI-safe
+    try_divide), Gopher repetition fractions, and the n-gram lang-ID
+    prediction."""
     toks = F.split("text", " ")
     n_tok = F.size(toks)
     # try_divide: empty text -> NULL (ANSI-safe; DuckDB x/0 is NULL too).
@@ -2119,3 +2125,40 @@ SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM e GROUP BY 1, 2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming datasheet (round 6): live maintenance of the per-
+# (source, lang) data card DURING ingest — the monitoring panel a
+# 100 TB crawl pipeline watches while documents arrive, built from the
+# SAME per-doc signal expressions as the batch datasheets (one shared
+# definition, so batch and stream cannot drift). Update-mode keyed
+# aggregate: state is one row per (source, lang).
+#
+# Deliberately EXCLUDED from the stream variant: exact_dup_frac (it
+# needs corpus-wide digest counts — a second stateful aggregate, which
+# Structured Streaming does not chain in update mode) and the near-dup
+# columns (the LSH/CC composition is a batch job). The batch
+# corpus_datasheet_v2/v3 remain the authoritative release artifacts;
+# this is their monitoring twin.
+# ---------------------------------------------------------------------------
+def corpus_datasheet_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming per-(source, lang) datasheet aggregate over a
+    documents STREAM with columns (doc_id, source, lang, text). Returns
+    the update-mode aggregate frame; attach a sink (memory /
+    foreachBatch upsert) to serve it."""
+    per_doc = datasheet_signals(docs_stream)
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.avg("quality").alias("avg_quality"),
+        F.avg("dup_token_frac").alias("avg_dup_token_frac"),
+        F.avg("dup_2gram_frac").alias("avg_dup_2gram_frac"),
+        F.avg(
+            F.when(F.col("pred_lang") == F.col("lang"), 1.0).otherwise(0.0)
+        ).alias("lang_id_match_frac"),
+        F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pred_und"),
+    )

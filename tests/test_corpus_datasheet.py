@@ -121,3 +121,74 @@ def test_datasheet_v3_near_dup_rate(spark):
         .count()
     )
     assert total_reps == keep
+
+
+def test_datasheet_stream_matches_batch(spark, tmp_path):
+    """The streaming datasheet's cumulative rows after draining two
+    micro-batches must equal the batch v2 datasheet on the same rows
+    (for the columns the stream maintains — the shared
+    datasheet_signals definition makes drift structurally impossible)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        corpus_datasheet_stream,
+    )
+
+    rows = [
+        ("web", "en", "the cat and the dog of a king"),
+        ("web", "en", "a quiet morning in the old town"),
+        ("web", "de", "der hund und die katze und das haus"),
+        ("web", "de", "the mislabeled english text of a crawl"),
+        ("web", "en", "the cat and the dog of a king"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    batch = {
+        (r["source"], r["lang"]): r.asDict()
+        for r in corpus_datasheet_v2(spark, sf).collect()
+    }
+
+    src = tmp_path / "ds_stream"
+    src.mkdir()
+    full = spark.read.parquet(sf + "/documents.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    collected = full.orderBy("doc_id").collect()
+    for name, part in (("b0", collected[:2]), ("b1", collected[2:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in part], pa.int64()),
+                    "source": pa.array([r.source for r in part], pa.string()),
+                    "lang": pa.array([r.lang for r in part], pa.string()),
+                    "text": pa.array([r.text for r in part], pa.string()),
+                }
+            ),
+            str(src / f"{name}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, lang string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        corpus_datasheet_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ds_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["source"], r["lang"]): r.asDict()
+        for r in spark.sql("SELECT * FROM ds_stream_out").collect()
+    }
+    assert set(got) == set(batch)
+    for k, srow in got.items():
+        for c, v in srow.items():
+            if c in ("source", "lang"):
+                continue
+            assert batch[k][c] == pytest.approx(v), (k, c)
