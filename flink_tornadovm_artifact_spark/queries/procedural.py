@@ -204,12 +204,17 @@ _register(
     # angle-expression order ((-2π·k·n)/N) so the only Spark↔DuckDB
     # divergence is last-ulp trig, ~2e-10 absolute on this signal —
     # measured, 0 mismatches at 4dp canonicalization.
+    # N is the ACTUAL signal length (the Spark kernel uses len(sig)),
+    # not the {_DFT_N} cap — at sf0.001 the events table has fewer than
+    # {_DFT_N} rows and a hardcoded N diverged (caught by the sf0.001
+    # robustness sweep, round 6)
     f"""
 WITH sig AS (SELECT event_id AS n, value AS x FROM events WHERE event_id < {_DFT_N}),
-ks AS (SELECT range AS k FROM range(0, {_DFT_N}))
+nn AS (SELECT COUNT(*) AS N FROM sig),
+ks AS (SELECT n AS k FROM sig)
 SELECT k,
-       SUM(cos((-2 * pi() * k * n) / {_DFT_N}) * x) AS re,
-       SUM(sin((-2 * pi() * k * n) / {_DFT_N}) * x) AS im
+       SUM(cos((-2 * pi() * k * n) / (SELECT N FROM nn)) * x) AS re,
+       SUM(sin((-2 * pi() * k * n) / (SELECT N FROM nn)) * x) AS im
 FROM ks CROSS JOIN sig GROUP BY k
 """,
 )
