@@ -88,9 +88,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_chunk_windows",
     "text_vocab_coverage",
     "text_length_histogram",
-    # kept: TPC-H core breadth — broadcast hint, anti/semi, correlated
-    # subquery, heavy multi-join shapes (8)
-    "q24_promo_revenue",
+    # kept: TPC-H core breadth — anti/semi, correlated subquery,
+    # heavy multi-join shapes (7)
     "q44_tpch_q22",
     "q48_tpch_q11",
     "q51_tpch_q9",
@@ -147,10 +146,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "triadic_census_directed_q",
     "edge_metrics_directed_q",
     # new this round (rule 1): hypertable rollup, banded range join,
-    # count-min sketch (3)
+    # count-min sketch, PMI collocations (4; q24 rotates out — TPC-H
+    # surface stays covered by the six kept fact-join shapes)
     "hypertable_rollup_events",
     "range_join_events",
     "sketch_count_min_tokens",
+    "text_pmi_bigrams",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

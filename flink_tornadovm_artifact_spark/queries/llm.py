@@ -2162,3 +2162,97 @@ def corpus_datasheet_stream(docs_stream: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_pred_und"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (round 6): pointwise mutual information of adjacent
+# token bigrams — the collocation/phrase-detection artifact an
+# embedding or tokenizer-merge pipeline computes over the corpus
+# (Church & Hanks 1990; word2vec's phrase pass uses the same score).
+# PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over the corpus bigram /
+# unigram streams.
+#
+# Plan: one corpus scan feeding two keyed aggregations (bigram counts,
+# unigram counts) + two keyed joins back on the word — all shuffles on
+# token keys. The corpus totals ride unbounded-frame windows over the
+# VOCABULARY-sized aggregate frames (bounded ≪ corpus; same documented
+# trade-off as text_vocab_coverage), not scalar cross joins. Output is
+# cut at PMI_MIN_COUNT, bounding cardinality by frequent-bigram count.
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+
+
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("text")
+    toks = F.split("text", " ")
+    prs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p.w2.isNotNull(),
+    )
+    pairs = docs.select(F.explode(prs).alias("p")).select("p.w1", "p.w2")
+    uni = docs.select(F.explode(toks).alias("w"))
+
+    wall = W.partitionBy()
+    uc = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("t_total", F.sum("c").over(wall))
+    )
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .withColumn("p_total", F.sum("pair_count").over(wall))
+    )
+    c1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"), "t_total")
+    c2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pc.filter(F.col("pair_count") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.log(
+                (F.col("pair_count") / F.col("p_total"))
+                / (
+                    (F.col("c1") / F.col("t_total"))
+                    * (F.col("c2") / F.col("t_total"))
+                )
+            ).alias("pmi"),
+        )
+    )
+
+
+_register(
+    text_pmi_bigrams,
+    f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pr AS (
+  SELECT unnest(list_transform(range(0, len(t) - 1),
+                               i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS p
+  FROM toks
+),
+pc AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS pair_count
+  FROM pr GROUP BY 1, 2
+),
+uc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS t_total FROM uc),
+ptot AS (SELECT SUM(pair_count) AS p_total FROM pc)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+       ln((pair_count / p_total) /
+          ((c1.c / t_total) * (c2.c / t_total))) AS pmi
+FROM pc, tot, ptot
+JOIN uc c1 ON pc.w1 = c1.w
+JOIN uc c2 ON pc.w2 = c2.w
+WHERE pair_count >= {PMI_MIN_COUNT}
+""",
+)
