@@ -1336,3 +1336,52 @@ def edge_metrics_directed(
         F.max(tri).alias("maximum_triangle_triplets"),
         F.max(rect).alias("maximum_rectangle_triplets"),
     )
+
+
+def k_core(
+    edges: DataFrame | None = None,
+    k: int = 3,
+    base: UndirectedGraphBase | None = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """k-core decomposition of the undirected simple graph: the maximal
+    subgraph in which every vertex has degree ≥ k, computed by the
+    standard iterative peel — drop all vertices with current degree
+    below k, recompute, repeat to fixpoint (Seidman 1983; the classic
+    graph-curation trim for spam/bot tendrils before community or
+    embedding passes). Beyond the reference's Gelly library (which
+    stops at degree/clustering metrics) but expressed in the same
+    delta-iteration discipline as its ConnectedComponents.
+
+    Returns (vertex,) — the k-core membership set. Plan per round: one
+    degree aggregation plus two left-semi joins on the surviving edge
+    set, lineage truncated with localCheckpoint; rounds are bounded by
+    the peel depth (≤ max_iterations guard). The edge frame only ever
+    SHRINKS, so per-round cost decreases — the workset property that
+    makes the loop safe at 100 TB.
+    """
+    base = _resolve_base(edges, base, undirected_graph_base)
+    e = base.und
+    prev = -1
+    for _ in range(max_iterations):
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .unionAll(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= k).select("x")
+        n = keep.count()
+        if n == prev:
+            break
+        prev = n
+        e = (
+            e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("vertex"))
+        .unionAll(e.select(F.col("v").alias("vertex")))
+        .distinct()
+    )

@@ -97,9 +97,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q55_tpch_q21",
     "q32_correlated_subquery",
     "q54_tpch_q20",
-    # kept: bounded all-pairs dedup demos (2)
-    "dedup_ngram_jaccard",
+    # kept: bounded all-pairs dedup demo (1; ngram twin rotates out,
+    # both were 2×-green and the dedup surface stays amply in-window)
     "dedup_embedding_cosine",
+    # new this round (rule 1): k-core decomposition (1)
+    "kcore_social",
     # never-driver-checked: CEP completion family (7)
     "cep_after_match_no_skip",
     "cep_after_match_skip_to_last",

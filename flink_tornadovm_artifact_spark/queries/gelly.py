@@ -1084,3 +1084,51 @@ SELECT src AS vertex_id, CAST(COUNT(*) AS BIGINT) AS out_degree
 FROM e GROUP BY src
 """,
 )
+
+
+KCORE_K = 20
+_KCORE_UNROLL = 6
+
+
+def kcore_social(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership of the social graph at k=20 (graph-curation
+    peel; discriminating at sf0.01 — 975 of 997 vertices survive after
+    3 peel rounds — and empty at sf0.001, both exact)."""
+    from ..functions.graph import k_core
+
+    return k_core(_social_edges(spark, sf_dir), k=KCORE_K)
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = _KCORE_UNROLL) -> str:
+    """The peel unrolled as chained CTEs: per round, degrees of the
+    surviving edge set, the >= k keep set, then the edge filter. The
+    unroll depth exceeds the measured fixpoint at every test SF (max 3
+    rounds at k=20; tests/test_graph.py pins that one more round is a
+    no-op, so the unroll IS the fixpoint)."""
+    # every CTE is MATERIALIZED: each e_i is referenced three times by
+    # round i+1, so un-materialized inlining re-evaluates the chain
+    # exponentially in the unroll depth (measured: >10 min un-hinted,
+    # sub-second materialized)
+    parts = [f"WITH {_E_SQL},", "e0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT x, COUNT(*) AS c FROM (
+    SELECT u AS x FROM e{p} UNION ALL SELECT v AS x FROM e{p}
+  ) GROUP BY x
+),
+k{i} AS MATERIALIZED (SELECT x FROM d{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT x FROM k{i}) AND v IN (SELECT x FROM k{i})
+)""")
+    parts.append(f"""
+SELECT DISTINCT x AS vertex FROM (
+  SELECT u AS x FROM e{rounds} UNION ALL SELECT v AS x FROM e{rounds}
+)""")
+    return "".join(parts)
+
+
+QUERIES["kcore_social"] = kcore_social
+ORACLE["kcore_social"] = _kcore_oracle_sql()

@@ -430,3 +430,46 @@ def test_undirected_base_shared_and_unpersist(spark):
     # after unpersisting the base the shared frames must be gone.
     for frame in (base.und, base.degrees, base.oriented):
         assert frame.storageLevel.useMemory is False  # reset to NONE
+
+
+def test_k_core_hand_computed(spark):
+    """Peel correctness on a graph with a known 3-core: K4 {1,2,3,4}
+    plus a pendant path 4-5-6 — the path peels away in two rounds
+    (vertex 6 first, then 5), leaving exactly the clique."""
+    from flink_tornadovm_artifact_spark.functions.graph import k_core
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5), (5, 6),                                   # pendant path
+    ]
+    got = sorted(r.vertex for r in k_core(_edges_df(spark, edges), k=3).collect())
+    assert got == [1, 2, 3, 4]
+    # k above the max degree: empty core, no crash
+    assert k_core(_edges_df(spark, edges), k=10).count() == 0
+
+
+def test_kcore_oracle_unroll_is_fixpoint(spark):
+    """The kcore_social oracle unrolls the peel a FIXED number of
+    rounds; assert one more round changes nothing at both test SFs, so
+    the unroll provably reaches the fixpoint the Spark loop converges
+    to (if data ever gets deeper peels, this fails before the oracle
+    silently diverges)."""
+    import duckdb
+
+    from flink_tornadovm_artifact_spark.queries.gelly import (
+        _KCORE_UNROLL,
+        _kcore_oracle_sql,
+    )
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/orders.parquet')"
+        )
+        at = sorted(con.sql(_kcore_oracle_sql(rounds=_KCORE_UNROLL)).fetchall())
+        plus = sorted(
+            con.sql(_kcore_oracle_sql(rounds=_KCORE_UNROLL + 1)).fetchall()
+        )
+        assert at == plus, f"sf{sf}: unroll {_KCORE_UNROLL} not a fixpoint"
+        con.close()
