@@ -1364,13 +1364,18 @@ def k_core(
     e = base.und
     prev = -1
     for _ in range(max_iterations):
-        deg = (
+        # checkpoint keep BEFORE counting: it feeds the count AND both
+        # semi-joins, so an un-checkpointed frame would re-run the
+        # degree aggregation per consumer (the sssp-loop discipline)
+        keep = (
             e.select(F.col("u").alias("x"))
             .unionAll(e.select(F.col("v").alias("x")))
             .groupBy("x")
             .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= k)
+            .select("x")
+            .localCheckpoint(eager=True)
         )
-        keep = deg.filter(F.col("c") >= k).select("x")
         n = keep.count()
         if n == prev:
             break
@@ -1379,6 +1384,12 @@ def k_core(
             e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
+        )
+    else:
+        # a silently-truncated peel would return a non-core superset
+        raise RuntimeError(
+            f"k_core did not converge in {max_iterations} rounds — raise "
+            "max_iterations (the peel depth exceeds the guard)"
         )
     return (
         e.select(F.col("u").alias("vertex"))

@@ -1718,8 +1718,11 @@ def _datasheet_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _datasheet_aggs() -> list:
-    """The shared (source, lang) rollup column list for v2/v3."""
+def _datasheet_signal_aggs() -> list:
+    """The (source, lang) rollup columns derivable from per-doc signals
+    ALONE — shared verbatim by the batch v2/v3 datasheets and the
+    streaming monitor (corpus_datasheet_stream), so the two cannot
+    drift."""
     return [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1733,6 +1736,13 @@ def _datasheet_aggs() -> list:
         F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0))
         .cast("bigint")
         .alias("n_pred_und"),
+    ]
+
+
+def _datasheet_aggs() -> list:
+    """The batch rollup list: the shared signal aggregates plus the
+    corpus-wide exact-dup rate (needs the copies join — batch-only)."""
+    return _datasheet_signal_aggs() + [
         F.avg(F.when(F.col("copies") > 1, 1.0).otherwise(0.0)).alias(
             "exact_dup_frac"
         ),
@@ -2148,20 +2158,7 @@ def corpus_datasheet_stream(docs_stream: DataFrame) -> DataFrame:
     the update-mode aggregate frame; attach a sink (memory /
     foreachBatch upsert) to serve it."""
     per_doc = datasheet_signals(docs_stream)
-    return per_doc.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.avg("n_tokens").alias("avg_tokens"),
-        F.avg("quality").alias("avg_quality"),
-        F.avg("dup_token_frac").alias("avg_dup_token_frac"),
-        F.avg("dup_2gram_frac").alias("avg_dup_2gram_frac"),
-        F.avg(
-            F.when(F.col("pred_lang") == F.col("lang"), 1.0).otherwise(0.0)
-        ).alias("lang_id_match_frac"),
-        F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_pred_und"),
-    )
+    return per_doc.groupBy("source", "lang").agg(*_datasheet_signal_aggs())
 
 
 # ---------------------------------------------------------------------------
@@ -2172,9 +2169,12 @@ def corpus_datasheet_stream(docs_stream: DataFrame) -> DataFrame:
 # PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over the corpus bigram /
 # unigram streams.
 #
-# Plan: one corpus scan feeding two keyed aggregations (bigram counts,
-# unigram counts) + two keyed joins back on the word — all shuffles on
-# token keys. The corpus totals ride unbounded-frame windows over the
+# Plan: two column-pruned scans of the text column (the bigram and
+# unigram streams are independent explode subtrees; at 100 TB each
+# scan reads ONE pruned column, and fusing them behind a persist would
+# trade the second scan for materializing the exploded token stream —
+# strictly worse) feeding two keyed aggregations + two keyed joins
+# back on the word, all shuffles on token keys. The corpus totals ride unbounded-frame windows over the
 # VOCABULARY-sized aggregate frames (bounded ≪ corpus; same documented
 # trade-off as text_vocab_coverage), not scalar cross joins. Output is
 # cut at PMI_MIN_COUNT, bounding cardinality by frequent-bigram count.

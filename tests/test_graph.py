@@ -448,28 +448,26 @@ def test_k_core_hand_computed(spark):
     assert k_core(_edges_df(spark, edges), k=10).count() == 0
 
 
-def test_kcore_oracle_unroll_is_fixpoint(spark):
+def test_kcore_oracle_unroll_is_fixpoint():
     """The kcore_social oracle unrolls the peel a FIXED number of
     rounds; assert one more round changes nothing at both test SFs, so
     the unroll provably reaches the fixpoint the Spark loop converges
     to (if data ever gets deeper peels, this fails before the oracle
-    silently diverges)."""
-    import duckdb
-
+    silently diverges). DuckDB-only — no spark fixture — and honors
+    the SF-dir env overrides like every other test."""
     from flink_tornadovm_artifact_spark.queries.gelly import (
         _KCORE_UNROLL,
         _kcore_oracle_sql,
     )
 
-    for sf in ("0.001", "0.01"):
-        con = duckdb.connect()
-        con.execute(
-            "CREATE VIEW orders AS SELECT * FROM "
-            f"read_parquet('/root/testdata/sf{sf}/orders.parquet')"
-        )
+    from .conftest import SF_ORACLE, SF_SMOKE
+    from .oracle import duckdb_con
+
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        con = duckdb_con(sf_dir)
         at = sorted(con.sql(_kcore_oracle_sql(rounds=_KCORE_UNROLL)).fetchall())
         plus = sorted(
             con.sql(_kcore_oracle_sql(rounds=_KCORE_UNROLL + 1)).fetchall()
         )
-        assert at == plus, f"sf{sf}: unroll {_KCORE_UNROLL} not a fixpoint"
+        assert at == plus, f"{sf_dir}: unroll {_KCORE_UNROLL} not a fixpoint"
         con.close()

@@ -10,22 +10,27 @@ import pytest
 
 from flink_tornadovm_artifact_spark.queries import ORACLE, QUERIES
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMOKE
 from .oracle import compare, duckdb_con
 
 
-@pytest.fixture(scope="module")
-def con():
-    c = duckdb_con(SF_ORACLE)
-    yield c
+#: Both scale factors run the SAME sweep body: sf0.01 mirrors the
+#: driver's CORRECTNESS gate; sf0.001 pins that no query bakes in
+#: "corpus is big enough" assumptions (empty groups, short signals —
+#: the sweep that caught dft_events' hardcoded signal length, round 6).
+@pytest.fixture(scope="module", params=[SF_ORACLE, SF_SMOKE])
+def sf_and_con(request):
+    c = duckdb_con(request.param)
+    yield request.param, c
     c.close()
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
-def test_query_matches_oracle(name, spark, con):
-    df = QUERIES[name](spark, SF_ORACLE)
+def test_query_matches_oracle(name, spark, sf_and_con):
+    sf_dir, con = sf_and_con
+    df = QUERIES[name](spark, sf_dir)
     ok, msg = compare(df, con, ORACLE[name])
-    assert ok, f"{name}: {msg}"
+    assert ok, f"{name}@{sf_dir}: {msg}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
