@@ -88,6 +88,12 @@ HEADLINE = [
     # (sketch-sized shuffle over a 4-wide token explode)
     "range_join_events",
     "sketch_count_min_tokens",
+    # round-6 additions (third batch): the hourly hypertable rollup,
+    # PMI collocations (two token-key aggregations + joins), and the
+    # k=20 k-core peel (iterative; saturated graph converges fast)
+    "hypertable_rollup_events",
+    "text_pmi_bigrams",
+    "kcore_social",
 ]
 
 
