@@ -1359,9 +1359,29 @@ def k_core(
     the peel depth (≤ max_iterations guard). The edge frame only ever
     SHRINKS, so per-round cost decreases — the workset property that
     makes the loop safe at 100 TB.
+
+    The peel only ever reads the canonical undirected edge set, so the
+    edges-path deliberately does NOT build an ``UndirectedGraphBase``
+    (round-6 verdict: the base persisted three frames — und, degrees,
+    oriented — of which the peel used one, leaking 3 CacheManager
+    entries per call for the session lifetime and polluting every later
+    query's audited plan). ``localCheckpoint`` materializes the start
+    set once without registering anything with the CacheManager; the
+    checkpoint RDDs are reclaimed by the ContextCleaner when the loop's
+    frames go out of scope. Callers that already hold a base pass it
+    via ``base=`` and keep ownership of its lifetime.
     """
-    base = _resolve_base(edges, base, undirected_graph_base)
-    e = base.und
+    if base is not None:
+        if edges is not None:
+            raise ValueError("pass either edges or base, not both")
+        e = base.und
+    elif edges is None:
+        raise ValueError("pass an edge DataFrame or a prebuilt base")
+    else:
+        # materialized once: round 1 reads it three times (degree union
+        # ×2 + the semi-join source) and would otherwise re-run the
+        # distinct per consumer
+        e = _undirect(edges).localCheckpoint(eager=True)
     prev = -1
     for _ in range(max_iterations):
         # checkpoint keep BEFORE counting: it feeds the count AND both

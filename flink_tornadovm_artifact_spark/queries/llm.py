@@ -1967,15 +1967,19 @@ FROM numbered
 
 
 # ---------------------------------------------------------------------------
-# Vocabulary coverage (round 6): the corpus token-frequency table with
-# rank and cumulative coverage fraction — the artifact a tokenizer/BPE
-# training run reads first ("how many types cover 99% of tokens").
-# One corpus scan + one shuffle on the token key; the ranked window
-# runs over the AGGREGATED type table, which is vocabulary-sized
-# (bounded by distinct types, ≪ corpus — the reason a single-partition
-# window is acceptable here and nowhere else; at web scale with
-# billions of types, rank only the head after a frequency cutoff).
-# Top VOCAB_TOP_K rows keep the output data-card sized.
+# Vocabulary coverage (round 6; restructured round 7): the corpus
+# token-frequency head with rank and cumulative coverage fraction — the
+# artifact a tokenizer/BPE training run reads first ("how many types
+# cover 99% of tokens"). One corpus scan + one shuffle on the token
+# key; the head is taken with orderBy().limit() — Spark plans that as
+# TakeOrderedAndProject, a per-partition top-K heap merged on one
+# K-sized reduce, so NO task ever sorts the full token-type table (at
+# 100 TB of web text the type table is billions of rows — URLs, typos,
+# numbers — and the round-6 global rank window forced it all through
+# one task; this was the r6 verdict's scale-killer #2). The corpus
+# total rides in as a 1-row aggregate broadcast, and the cumulative
+# window runs only over the ≤VOCAB_TOP_K survivors (bounded frame —
+# the one place a single-partition window is legitimate).
 # ---------------------------------------------------------------------------
 VOCAB_TOP_K = 50
 
@@ -1984,25 +1988,19 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("total"))
+    head = freq.orderBy(F.desc("freq"), F.asc("token")).limit(VOCAB_TOP_K)
     w = W.orderBy(F.desc("freq"), F.asc("token"))
-    # the corpus-total rides the same single-partition exchange as the
-    # rank window (no scalar cross join to trip the nested-loop audit)
-    ranked = freq.select(
+    return head.crossJoin(F.broadcast(total)).select(
         "token",
         "freq",
         F.row_number().over(w).alias("rank"),
-        F.sum("freq").over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ).alias("cum_freq"),
-        F.sum("freq").over(
-            w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        ).alias("total"),
-    )
-    return ranked.filter(F.col("rank") <= VOCAB_TOP_K).select(
-        "token",
-        "freq",
-        "rank",
-        (F.col("cum_freq") / F.col("total")).alias("cum_frac"),
+        (
+            F.sum("freq").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            / F.col("total")
+        ).alias("cum_frac"),
     )
 
 
@@ -2174,10 +2172,12 @@ def corpus_datasheet_stream(docs_stream: DataFrame) -> DataFrame:
 # scan reads ONE pruned column, and fusing them behind a persist would
 # trade the second scan for materializing the exploded token stream —
 # strictly worse) feeding two keyed aggregations + two keyed joins
-# back on the word, all shuffles on token keys. The corpus totals ride unbounded-frame windows over the
-# VOCABULARY-sized aggregate frames (bounded ≪ corpus; same documented
-# trade-off as text_vocab_coverage), not scalar cross joins. Output is
-# cut at PMI_MIN_COUNT, bounding cardinality by frequent-bigram count.
+# back on the word, all shuffles on token keys. The corpus totals are
+# 1-row aggregates broadcast-crossJoined onto the filtered pair table
+# (see the in-function note — restructured round 7 away from
+# unpartitioned windows, which put the full bigram-type table on one
+# task). Output is cut at PMI_MIN_COUNT, bounding cardinality by
+# frequent-bigram count.
 # ---------------------------------------------------------------------------
 PMI_MIN_COUNT = 5
 
@@ -2196,21 +2196,25 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.select(F.explode(prs).alias("p")).select("p.w1", "p.w2")
     uni = docs.select(F.explode(toks).alias("w"))
 
-    wall = W.partitionBy()
-    uc = (
-        uni.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("t_total", F.sum("c").over(wall))
-    )
-    pc = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .withColumn("p_total", F.sum("pair_count").over(wall))
-    )
-    c1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"), "t_total")
+    # Corpus totals as 1-row aggregates broadcast onto the filtered
+    # pair table (round-7 restructure): the round-6 version computed
+    # t_total/p_total with unpartitioned windows over the unigram- and
+    # bigram-TYPE tables — at 100 TB the bigram-type table is tens of
+    # billions of rows, all funnelled through ONE window task. A 1-row
+    # agg + broadcast crossJoin keeps both totals map-side-combined
+    # and the crossJoin cost at one row per partition (the documented
+    # "1-row stats join" pattern, cf. triadic_census). Totals are taken
+    # BEFORE the min-count filter, as PMI's probabilities require.
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    t_tot = uc.agg(F.sum("c").alias("t_total"))
+    p_tot = pc.agg(F.sum("pair_count").alias("p_total"))
+    c1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
         pc.filter(F.col("pair_count") >= PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(p_tot))
         .join(c1, "w1")
         .join(c2, "w2")
         .select(

@@ -454,10 +454,12 @@ GROUP BY o_year
 
 # ---------------------------------------------------------------------------
 # q47 — TPC-H Q15 shape: top supplier(s) by quarterly revenue. Grouped
-# revenue, then a global-max scalar join (the view + MAX subquery of the
-# original); expressed as a rank-1 window over an empty partition — the
-# single-partition window is safe because the grouped input is one row
-# per supplier.
+# revenue, then the classic view + MAX-subquery formulation: a 1-row
+# max aggregate broadcast back onto the grouped frame as an EQUI-join
+# on the revenue value (BroadcastHashJoin — rank() over an empty
+# partition, the round-6 version, funnels the whole per-supplier
+# aggregate (~SF×10k rows, ~1B suppliers at 100 TB) through one
+# window task; this matches the query's own DuckDB oracle shape).
 # ---------------------------------------------------------------------------
 def q47_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
@@ -468,10 +470,12 @@ def q47_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
     )
-    w = W.orderBy(F.desc("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        rev.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
+        rev.join(
+            F.broadcast(mx),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
         .select("supplier_no", "total_revenue")
     )
 

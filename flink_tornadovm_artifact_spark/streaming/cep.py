@@ -929,7 +929,7 @@ def cep_allow_combinations_stream(
     events: DataFrame,
     a_type: str = "click",
     b_type: str = "purchase",
-    max_run: int = 10,
+    max_run: int | None = None,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming twin of ``queries/cep.py:cep_allow_combinations`` —
@@ -944,9 +944,15 @@ def cep_allow_combinations_stream(
     enumeration produces — the exponential fan-out happens at EMIT
     time, never in state, so state stays O(1) per key while the NFA's
     combination branching is reproduced exactly. Runs longer than
-    ``max_run`` emit nothing (the batch analog's documented cap,
-    COMB_MAX_RUN).
+    ``max_run`` emit nothing; the default is imported from the batch
+    module's COMB_MAX_RUN so the two caps cannot desynchronize (a
+    hardcoded twin cap would silently diverge if the batch cap moved,
+    and the batch/stream differential runs well under the cap).
     """
+    if max_run is None:
+        from ..queries.cep import COMB_MAX_RUN
+
+        max_run = COMB_MAX_RUN
 
     def run(key, pdfs, state: GroupState):
         if state.exists:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from .core import ExternalQueryableState
 
@@ -99,11 +100,17 @@ class ContinuousAggregate:
     def _latest_or_empty(self, spark: SparkSession) -> DataFrame:
         try:
             return self._store.snapshot_df(spark).drop("__ckey")
-        except Exception:
-            if self.events_schema is None:
+        except AnalysisException as exc:
+            # Only the no-committed-batch-yet case (epoch-log path does
+            # not exist) may fall back to an empty rollup; any OTHER
+            # read failure — corrupt footer, permission error, transient
+            # FS fault — must surface, or a dashboard silently shows
+            # zero rows over a broken store.
+            cls = exc.getCondition() or ""
+            if self.events_schema is None or "PATH_NOT_FOUND" not in cls:
                 raise
-            # no committed batch yet: derive the exact rollup schema by
-            # aggregating an empty, correctly-typed events frame
+            # derive the exact rollup schema by aggregating an empty,
+            # correctly-typed events frame
             return self._partials(
                 spark.createDataFrame([], self.events_schema)
             )

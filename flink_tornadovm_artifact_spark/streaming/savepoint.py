@@ -160,9 +160,21 @@ class StateStoreQueryableState:
         )
 
     def get(self, **key):
-        """Point lookup by key column(s): ``get(user_id=7)`` → the
-        key's value row as a dict, or None if the key has no state."""
+        """Point lookup by the operator's FULL key: ``get(user_id=7)``
+        → the key's value row as a dict, or None if the key has no
+        state. Every key_* column of the store schema must be supplied
+        up front — a multiplicity check alone would let a partial key
+        that happens to match one row silently read an arbitrary key's
+        state once the keyspace shrinks."""
         df = self.snapshot()
+        key_cols = [c[len("key_"):] for c in df.columns if c.startswith("key_")]
+        missing = sorted(set(key_cols) - set(key))
+        unknown = sorted(set(key) - set(key_cols))
+        if missing or unknown:
+            raise ValueError(
+                f"state key columns are {sorted(key_cols)}; "
+                f"missing={missing}, unknown={unknown}"
+            )
         for col, val in key.items():
             df = df.filter(F.col(f"key_{col}") == val)
         rows = df.limit(2).collect()
@@ -170,8 +182,8 @@ class StateStoreQueryableState:
             return None
         if len(rows) > 1:
             raise ValueError(
-                f"key {key} matched {len(rows)}+ state rows — pass every "
-                "key column of the operator"
+                f"key {key} matched {len(rows)}+ state rows — the store "
+                "holds duplicate rows for a full key (corrupt snapshot?)"
             )
         d = rows[0].asDict()
         return {

@@ -1054,6 +1054,20 @@ def test_cep_allow_combinations_hand_computed(spark, tmp_path):
     ]
 
 
+def test_cep_allow_combinations_cap_single_source():
+    """The stream twin's run cap must default from the batch module's
+    COMB_MAX_RUN (one definition) — a hardcoded twin cap would silently
+    desynchronize if the batch cap moved (round-7 ADVICE fix)."""
+    import inspect
+
+    from flink_tornadovm_artifact_spark.streaming.cep import (
+        cep_allow_combinations_stream,
+    )
+
+    sig = inspect.signature(cep_allow_combinations_stream)
+    assert sig.parameters["max_run"].default is None
+
+
 def test_cep_allow_combinations_stream_matches_batch(spark, tmp_path):
     """Differential: the stream twin's carried run must survive a
     micro-batch boundary splitting user 1's 4-run, and the emitted

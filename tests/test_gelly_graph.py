@@ -128,6 +128,26 @@ def test_run_library_algorithm(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def test_run_dispatches_k_core(spark):
+    """k-core (the beyond-reference graph-curation peel) is reachable
+    through the same GraphAlgorithm.run facade as the shipped library
+    (round-7 wiring): run() hands the full edge list; the peel ignores
+    the value column."""
+    from flink_tornadovm_artifact_spark.functions.graph import k_core
+
+    # K4 plus a pendant path — the path peels away at k=3
+    g = Graph(
+        spark.createDataFrame([(i, 0) for i in range(1, 7)], "id long, value long"),
+        spark.createDataFrame(
+            [(1, 2, 0), (1, 3, 0), (1, 4, 0), (2, 3, 0), (2, 4, 0),
+             (3, 4, 0), (4, 5, 0), (5, 6, 0)],
+            "src long, dst long, value long",
+        ),
+    )
+    got = sorted(r.vertex for r in g.run(k_core, k=3).collect())
+    assert got == [1, 2, 3, 4]
+
+
 def test_run_weighted_algorithm_sees_edge_values(spark):
     """run() must hand the algorithm the FULL edge list so weighted
     library algorithms (sssp reads `weight`) work through the facade."""

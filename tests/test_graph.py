@@ -448,6 +448,20 @@ def test_k_core_hand_computed(spark):
     assert k_core(_edges_df(spark, edges), k=10).count() == 0
 
 
+def test_k_core_leaves_no_cache_entries(spark):
+    """Round-7 guard: the edges-path peel must register NOTHING with the
+    CacheManager. Round 6 built a full UndirectedGraphBase per call —
+    three persisted frames of which the peel read one, leaked for the
+    session lifetime and substituted by the CacheManager into every
+    later query's audited plan (the PLAN_AUDIT pollution)."""
+    from flink_tornadovm_artifact_spark.functions.graph import k_core
+
+    spark.catalog.clearCache()
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    assert k_core(_edges_df(spark, edges), k=2).count() == 3
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_kcore_oracle_unroll_is_fixpoint():
     """The kcore_social oracle unrolls the peel a FIXED number of
     rounds; assert one more round changes nothing at both test SFs, so

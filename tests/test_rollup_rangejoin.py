@@ -221,3 +221,24 @@ def test_continuous_aggregate_reads_before_first_commit(spark, tmp_path):
     )
     got = ca.serve(spark, tail).collect()
     assert len(got) == 1 and got[0].n == 1 and got[0].avg_v == 2.0
+
+
+def test_continuous_aggregate_broken_store_raises(spark, tmp_path):
+    """The events_schema fallback covers ONLY the no-committed-batch-yet
+    (missing path) case. A store path that exists but cannot be read —
+    corrupt footer here — must raise, not silently serve an empty
+    rollup to a dashboard (round-7 ADVICE fix)."""
+    from flink_tornadovm_artifact_spark.streaming import ContinuousAggregate
+
+    store = tmp_path / "broken_rollup"
+    store.mkdir()
+    (store / "part-00000.parquet").write_bytes(b"this is not parquet")
+    ca = ContinuousAggregate(
+        keys=["etype"], ts_col="ts", value_col="value", bucket="1 hour",
+        path=str(store),
+        events_schema="event_id long, etype string, ts timestamp, value double",
+    )
+    # surfaces as the JVM's corrupt-footer error (not AnalysisException,
+    # which _latest_or_empty narrows to the PATH_NOT_FOUND condition)
+    with pytest.raises(Exception, match="[Ff]ooter|[Pp]arquet"):
+        ca.rollup(spark).collect()

@@ -567,5 +567,12 @@ def test_statestore_queryable_state_live_lookup(spark, tmp_path):
         assert qs.get(user_id=3) == {"count": 1, "sum": 5.0}
         # the full snapshot is a partitioned scan, not a driver map
         assert qs.snapshot().count() == 3
+        # partial/unknown keys are rejected UP FRONT (round-7 ADVICE
+        # fix): a partial key matching one row must not silently read
+        # an arbitrary key's state
+        with pytest.raises(ValueError, match="missing"):
+            qs.get()
+        with pytest.raises(ValueError, match="unknown"):
+            qs.get(user_id=1, bogus=2)
     finally:
         q.stop()
