@@ -94,6 +94,13 @@ HEADLINE = [
     "hypertable_rollup_events",
     "text_pmi_bigrams",
     "kcore_social",
+    # round-7 additions: the restructured vocabulary-coverage head
+    # (TakeOrdered + 1-row total — was a global rank window), the HLL
+    # register sketch (512-row-bounded shuffle over the token explode),
+    # and the per-domain cap (WindowGroupLimit rank-limit pushdown)
+    "text_vocab_coverage",
+    "sketch_hyperloglog_tokens",
+    "text_domain_cap",
 ]
 
 

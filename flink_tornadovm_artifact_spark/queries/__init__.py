@@ -79,81 +79,90 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: text_decontaminate, similarity_ivf, multimodal_feature_extract, and
 #: the 2×-green TPC-H extras beyond the kept core. jaccard/adamic stay
 #: IN: their plans changed with the UndirectedGraphBase re-route.
+#: Round-7 rotation (STALENESS-DRIVEN — the new ledger guard in
+#: tests/test_driver_ledger.py makes this mandatory: a window slot held
+#: by a ≤2-round-old green entry while a ≥4-round-stale query waits is
+#: now a red test). Every never-checked query got its row in round 6,
+#: so the debt is now AGE: 64 queries' last driver row is from rounds
+#: 1-3. IN — the 5 new release-mechanics operators and the 4 whose
+#: plans changed this round (rule 1; the three global-window
+#: restructures + the k_core cache-leak fix), then the 41 stalest by
+#: last-green round: all 14 remaining r1-cohort, all 18 r2-cohort, and
+#: 9 of the r3-cohort chosen for operator diversity (iteration
+#: pipelines, dedup family, windows, interval join, lang-id). OUT —
+#: the round-6 window's 2×-green incumbents (CEP completion family,
+#: datasheets, undirected Gelly family, TPC-H heavies) — every one
+#: stays under the full 149-oracle pytest sweep at both SFs.
+WINDOW_KEEP_FRESH: dict[str, str] = {
+    # rule-1 holds: green in r6 but their PLANS changed this round, so
+    # the driver must re-verify the new shapes (the staleness guard
+    # exempts these from the fresh-incumbent check)
+    "text_vocab_coverage": "global rank window -> TakeOrdered + 1-row total",
+    "text_pmi_bigrams": "global total windows -> 1-row broadcast joins",
+    "kcore_social": "k_core no longer builds/leaks an UndirectedGraphBase",
+}
+
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # kept: iteration pipelines (2)
-    "kmeans_pipeline",
-    "sssp_pipeline",
-    # new this round (rule 1): chunking, vocab coverage, length
-    # histogram — registered round 6, driver-checked round 6 (3)
-    "text_chunk_windows",
+    # new this round (rule 1): release mechanics (5)
+    "corpus_train_split",
+    "text_domain_cap",
+    "sample_stratified_lang",
+    "dedup_incremental",
+    "sketch_hyperloglog_tokens",
+    # changed this round (rule 1): global-window restructures + k-core
+    # cache-leak fix (4; see WINDOW_KEEP_FRESH)
     "text_vocab_coverage",
-    "text_length_histogram",
-    # kept: TPC-H core breadth — anti/semi, correlated subquery,
-    # heavy multi-join shapes (7)
-    "q44_tpch_q22",
-    "q48_tpch_q11",
-    "q51_tpch_q9",
-    "q53_tpch_q2",
-    "q55_tpch_q21",
-    "q32_correlated_subquery",
-    "q54_tpch_q20",
-    # kept: bounded all-pairs dedup demo (1; ngram twin rotates out,
-    # both were 2×-green and the dedup surface stays amply in-window)
-    "dedup_embedding_cosine",
-    # new this round (rule 1): k-core decomposition (1)
+    "text_pmi_bigrams",
+    "q47_tpch_q15",
     "kcore_social",
-    # never-driver-checked: CEP completion family (7)
-    "cep_after_match_no_skip",
-    "cep_after_match_skip_to_last",
-    "cep_one_or_more_until",
-    "cep_followed_by_any",
-    "cep_group_followed_by",
-    "cep_not_next",
-    "cep_allow_combinations",
-    # never-driver-checked: text/LLM suite (6)
-    "text_repetition_metrics",
-    "text_bigram_lm_score",
-    "text_tfidf_keywords",
-    "text_importance_sample",
-    "text_boilerplate_ngrams",
-    "embedding_outlier_score",
-    # never-driver-checked: dedup composition + datasheets (4)
-    "dedup_cluster_representatives",
-    "corpus_datasheet",
-    "corpus_datasheet_v2",
-    "corpus_datasheet_v3",
-    # never-driver-checked: Gelly rest-of-tree (3)
-    "bipartite_projection_suppliers",
-    "asm_vertex_degrees",
-    "generator_hypercube_degrees",
-    # changed this round: ANSI-safe alpha_ratio; jaccard/adamic now
-    # read the persisted UndirectedGraphBase (plan changed) (3).
+    # stalest: last green round 1 (14)
+    "q25_intersect_except",
+    "q26_count_distinct",
+    "q27_sql_api",
+    "q28_pandas_udaf",
+    "q31_tpch_q18",
+    "q33_window_frames",
+    "q34_explode_tokens",
+    "q35_percentiles",
+    "q37_tpch_q4",
+    "q38_tpch_q6",
+    "q39_tpch_q12",
+    "q40_tpch_q13",
+    "q50_cube_grouping_id",
+    "q52_from_json_struct",
+    # stalest: last green round 2 (18)
+    "q01_filter_project",
+    "q02_global_agg",
+    "q04_tpch_q3",
+    "q05_outer_join",
+    "q06_broadcast_join",
+    "q07_semi_anti",
+    "q08_cogroup",
+    "q09_cross",
+    "q10_distinct",
+    "q11_maxby",
+    "q12_topk_global",
+    "q12_topk_per_group",
+    "q13_union_distinct",
+    "q14_rollup",
+    "q15_over_windows",
+    "q16_scalar_functions",
+    "q17_iot_global_reduce",
+    "q18_iot_window_agg",
+    # stalest: last green round 3, diversity picks (9).
     # q49_approx_aggregates stays OUT deliberately: the window must
     # stay fully oracle-backed (its sketches are rows-only by design —
     # pinned in test_queries_oracle.py), so it is the one registered
     # query without a driver-oracle row.
-    "text_quality_score",
-    "jaccard_similarity",
-    "adamic_adar_similarity",
-    # changed this round: UndirectedGraphBase re-routing (7)
-    "triangle_enum",
-    "local_clustering_coefficient",
-    "global_clustering_coefficient_q",
-    "average_clustering_coefficient_q",
-    "triadic_census_q",
-    "vertex_metrics_q",
-    "edge_metrics_q",
-    # kept: directed twins of the re-routed family, for differential
-    # cover while the undirected base lands (2)
-    "triadic_census_directed_q",
-    "edge_metrics_directed_q",
-    # new this round (rule 1): hypertable rollup, banded range join,
-    # count-min sketch, PMI collocations (4; q24 rotates out — TPC-H
-    # surface stays covered by the six kept fact-join shapes)
-    "hypertable_rollup_events",
-    "range_join_events",
-    "sketch_count_min_tokens",
-    "text_pmi_bigrams",
+    "connected_components_pipeline",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "logreg_pipeline",
+    "pagerank_pipeline",
+    "q03_tpch_q1",
+    "q21_session_window",
+    "q22_interval_join",
+    "text_lang_id",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

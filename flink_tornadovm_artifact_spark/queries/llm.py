@@ -2260,3 +2260,280 @@ JOIN uc c2 ON pc.w2 = c2.w
 WHERE pair_count >= {PMI_MIN_COUNT}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 — training-data pipeline operators, part 4: the release
+# mechanics a 100 TB curation run performs after dedup/quality — split
+# assignment, per-domain capping, stratified rebalancing, incremental
+# ingest dedup, and a mergeable distinct-count sketch. All hashes are
+# the repo's cross-engine salted-md5 idiom (deterministic, oracle-equal
+# bit-for-bit — no RNG, so a re-run or a backfill assigns every
+# document identically, which is what makes hash-based splits the
+# production norm over random ones).
+# ---------------------------------------------------------------------------
+
+def _md5_bucket(col, salt: str, mod: int):
+    """First 8 md5 hex chars of (col || salt) as a bigint in [0, mod) —
+    the engine-portable uniform hash (cf. sketch_count_min_tokens)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 8), 16, 10)
+        .cast("bigint")
+        % mod
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (80/10/10 by doc_id hash) with a
+# per-(split, source) doc/token summary — the first sanity panel after
+# cutting a release: does every source actually land in every split.
+# Plan: one scan with per-row expressions, then a (3 × sources)-row
+# groupBy — map-side combine collapses to tiny partials; nothing else
+# shuffles. Hash-based assignment keeps the split STABLE under
+# re-partitioning, backfills, and incremental appends (a random split
+# would re-deal on every run and leak val into train).
+# ---------------------------------------------------------------------------
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    h = _md5_bucket(F.col("doc_id").cast("string"), "#split", 100)
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_register(
+    corpus_train_split,
+    """
+WITH a AS (
+  SELECT CASE
+           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         source,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM a GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain frequency cap: keep at most DOMAIN_CAP_N documents per
+# source, chosen in deterministic hash order (the anti-boilerplate /
+# anti-SEO-farm trim — one domain may not dominate the corpus no
+# matter how many pages it contributes). The row_number-≤-N filter is
+# planned by Spark as WindowGroupLimit (rank-limit pushdown): each map
+# task keeps a per-source N-row heap BEFORE the shuffle, so the
+# exchange carries ≤ N rows per (task, source) and the final per-source
+# sort touches ≤ tasks×N rows — a giant domain never funnels its full
+# page list through one task (verified in tests/test_queries_extra.py).
+# ---------------------------------------------------------------------------
+DOMAIN_CAP_N = 20
+
+
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ord_h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#cap")))
+    w = W.partitionBy("source").orderBy(ord_h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP_N)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_register(
+    text_domain_cap,
+    f"""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#cap'), doc_id
+         ) AS INTEGER) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= {DOMAIN_CAP_N}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Stratified language rebalancing: downsample every language to the
+# size of the SMALLEST one by deterministic hash thresholding (the
+# md5-uniform u < min_count/lang_count), the curation move that stops
+# English from being 10× of everything else in the release. Plan: a
+# languages-sized groupBy, a 1-row min broadcast onto it, then one
+# per-doc expression filter behind a broadcast equi-join on lang — the
+# document stream itself never shuffles. Determinism makes the sample
+# reproducible and append-stable (a re-run keeps exactly the same
+# documents; cf. the sampling discussion in SCALE.md).
+# ---------------------------------------------------------------------------
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    frac = counts.crossJoin(F.broadcast(mn)).select(
+        "lang", (F.col("mn") / F.col("n")).alias("frac")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#strat"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(frac), "lang")
+        .filter(u < F.col("frac"))
+        .select("doc_id", "lang")
+    )
+
+
+_register(
+    sample_stratified_lang,
+    """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT MIN(n) AS mn FROM c),
+f AS (SELECT lang, mn / CAST(n AS DOUBLE) AS frac FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN f ON d.lang = f.lang
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '#strat'), 1, 8))
+           AS BIGINT) / 4294967296.0 < f.frac
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: an arriving batch (doc_id % 10 = 0 stands
+# in for "today's crawl") is checked against the EXISTING corpus by
+# opening-prefix fingerprint — md5 of the first DEDUP_PREFIX_K tokens,
+# the cheap header-dup heuristic that catches mirrored articles and
+# re-posted boilerplate whose tails differ (raw full-text md5 finds
+# nothing here; the LSH family is the expensive follow-up). Plan: one
+# scan split into the two sides, then a LEFT ANTI hash join on the
+# fingerprint — the canonical at-scale shape for "new data vs corpus"
+# (shuffles only digests + ids; with a corpus-side digest table kept
+# as a bucketed table the shuffle drops to the batch side alone).
+# ---------------------------------------------------------------------------
+DEDUP_PREFIX_K = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dg = F.md5(
+        F.array_join(F.slice(F.split("text", " "), 1, DEDUP_PREFIX_K), " ")
+    )
+    d = docs.select("doc_id", "source", dg.alias("dg"))
+    incoming = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select("dg")
+    return incoming.join(corpus, "dg", "left_anti").select("doc_id", "source")
+
+
+_register(
+    dedup_incremental,
+    f"""
+WITH d AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:{DEDUP_PREFIX_K}], ' ')) AS dg
+  FROM documents
+)
+SELECT a.doc_id, a.source FROM d a
+WHERE a.doc_id % 10 = 0
+  AND NOT EXISTS (SELECT 1 FROM d b WHERE b.doc_id % 10 <> 0 AND b.dg = a.dg)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table over corpus token types (Flajolet et al.
+# 2007): the mergeable distinct-count sketch behind every "how many
+# unique tokens/urls/users" panel. Like the count-min sketch above, the
+# registers are salted-md5-deterministic, so the sketch TABLE is
+# oracle-equal bit-for-bit across engines — unlike approx_count_distinct,
+# whose internal HLL state is engine-private. Two independent hashes
+# (bucket: 8 hex chars; rank source: 12 hex chars = 48 bits) keep the
+# leading-zero computation exact STRING arithmetic — no float log2,
+# whose libm rounding differs between JVM and C++ at powers of two.
+# Plan: explode → (bucket, rho) expressions → groupBy(bucket).max —
+# partial aggregation collapses every map task to ≤ HLL_BUCKETS rows,
+# so the shuffle carries ≤ tasks × 512 rows regardless of corpus size,
+# and duplicate tokens never widen state (max is insert-invariant).
+# tests/test_queries_extra.py pins the harmonic-mean estimate within
+# HLL's theoretical error of the true distinct count.
+# ---------------------------------------------------------------------------
+HLL_BUCKETS = 512
+
+
+def sketch_hyperloglog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    bucket = _md5_bucket(F.col("t"), "#hllb", HLL_BUCKETS).cast("int")
+    whex = F.substring(F.md5(F.concat(F.col("t"), F.lit("#hllw"))), 1, 12)
+    stripped = F.regexp_replace(whex, "^0+", "")
+    ln = F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    bits_first = (
+        F.when(first == "1", 1)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 3)
+        .otherwise(4)
+    )
+    # rho = leading zeros of the 48-bit value + 1 = 49 - bit_length
+    rho = F.when(ln == 0, F.lit(49)).otherwise(49 - (4 * (ln - 1) + bits_first))
+    return (
+        tok.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("rho_max"))
+    )
+
+
+_register(
+    sketch_hyperloglog_tokens,
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+r AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(t || '#hllb'), 1, 8)) AS BIGINT)
+              % {HLL_BUCKETS} AS INTEGER) AS bucket,
+         regexp_replace(substr(md5(t || '#hllw'), 1, 12), '^0+', '') AS s
+  FROM tok
+),
+rr AS (
+  SELECT bucket,
+         CASE WHEN len(s) = 0 THEN 49
+              ELSE 49 - (4 * (len(s) - 1) +
+                   CASE WHEN s[1] = '1' THEN 1
+                        WHEN s[1] IN ('2', '3') THEN 2
+                        WHEN s[1] IN ('4', '5', '6', '7') THEN 3
+                        ELSE 4 END)
+         END AS rho
+  FROM r
+)
+SELECT bucket, CAST(MAX(rho) AS INTEGER) AS rho_max FROM rr GROUP BY 1
+""",
+)

@@ -20,7 +20,12 @@ import re
 
 import pytest
 
-from flink_tornadovm_artifact_spark.queries import ORACLE, PRIORITY_WINDOW, QUERIES
+from flink_tornadovm_artifact_spark.queries import (
+    ORACLE,
+    PRIORITY_WINDOW,
+    QUERIES,
+    WINDOW_KEEP_FRESH,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER_PATH = os.path.join(REPO, "DRIVER_CHECKED.json")
@@ -99,6 +104,47 @@ def test_window_actually_rotates(ledger):
             f"PRIORITY_WINDOW is byte-identical to round {rnd}'s window "
             f"while {len(rotatable)} entries are twice-green — rotate."
         )
+
+
+def test_stale_queries_rotate_in(ledger):
+    """Round-7 guard (extends the never-checked rule to AGE): a window
+    slot may not be held by an entry whose driver row is ≤2 rounds old
+    while an oracle-backed query whose last row is ≥4 rounds stale
+    waits outside the window. Entries whose PLAN changed this round are
+    exempt via WINDOW_KEEP_FRESH (rule 1: changed queries must be
+    re-verified even if recently green) — the dict doubles as the
+    audit trail of why each fresh entry holds a slot. Red on the
+    round-6 window (50 fresh incumbents vs the r1-r3 cohort waiting);
+    green after the round-7 staleness rotation."""
+    current = ledger["current_round"]
+    green = ledger["green"]
+    last = {
+        q: max(green.get(q, [0])) for q in QUERIES if q in ORACLE
+    }
+    waiting_stale = [
+        q
+        for q, r in last.items()
+        if r and current - r >= 4 and q not in PRIORITY_WINDOW
+    ]
+    fresh_incumbents = [
+        w
+        for w in PRIORITY_WINDOW
+        if current - max(green.get(w, [0])) <= 2 and w not in WINDOW_KEEP_FRESH
+    ]
+    assert not (waiting_stale and fresh_incumbents), (
+        f"{len(waiting_stale)} queries ≥4 rounds stale wait outside the "
+        f"window while {len(fresh_incumbents)} slots are held by ≤2-round-"
+        f"old green entries not in WINDOW_KEEP_FRESH: "
+        f"{sorted(fresh_incumbents)}. Rotate the stalest in."
+    )
+
+
+def test_keep_fresh_entries_are_in_window():
+    """WINDOW_KEEP_FRESH lists plan-changed entries held per rule 1 —
+    each must actually be in the window (else the exemption is dead
+    weight that silently widens next round)."""
+    missing = sorted(set(WINDOW_KEEP_FRESH) - set(PRIORITY_WINDOW))
+    assert not missing, f"keep-fresh entries not in window: {missing}"
 
 
 def test_rows_only_exemption_is_exact(ledger):

@@ -50,6 +50,8 @@ NESTED_LOOP_ALLOWLIST = {
     # 1-row aggregate broadcasts instead of unpartitioned windows
     "text_pmi_bigrams": "1-row stats join (corpus t_total/p_total)",
     "text_vocab_coverage": "1-row corpus-total join onto the top-K head",
+    # round-7 release mechanics
+    "sample_stratified_lang": "1-row min-count join onto the lang table",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
@@ -59,6 +61,10 @@ NESTED_LOOP_ALLOWLIST = {
 #: with one is a regression.
 GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "text_vocab_coverage": "cum-coverage window over the LIMIT-50 head",
+    # two-phase zipWithIndex: the cumulative-offset window runs over
+    # the per-PARTITION-count table (rows = #partitions, bounded by
+    # cluster size, not data size — Flink DataSetUtils' own design)
+    "zip_with_index_contract": "offset window over per-partition counts",
 }
 
 
@@ -139,6 +145,13 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    # AQE wraps the plan in AdaptiveSparkPlan(isFinalPlan=false), which
+    # defers codegen-stage assignment to runtime — with it on, the
+    # codegen-span column reads 0 for every query (it did from rounds
+    # 1-6; the committed tables' column was dead). The audit is about
+    # the STATIC strategy, so print plans with AQE off; the runtime
+    # re-plan (skew splits, runtime broadcast) is additive on top.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     rows = []
     for name, fn in sorted(QUERIES.items()):
@@ -165,9 +178,10 @@ def main() -> None:
                     "nested_loop": effective_count(
                         plan, r"CartesianProduct|BroadcastNestedLoopJoin"
                     ),
-                    "codegen_spans": len(
-                        set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
-                    ),
+                    # spans print as `*(N) Operator` prefixes in the
+                    # non-adaptive executed plan (the old
+                    # `WholeStageCodegen (N)` pattern never matched)
+                    "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
                     "pushed": bool(
                         re.search(r"PushedFilters: \[[A-Za-z]", plan)
                     ),
