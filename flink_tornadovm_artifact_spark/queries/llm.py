@@ -2143,12 +2143,13 @@ FROM e GROUP BY 1, 2
 # definition, so batch and stream cannot drift). Update-mode keyed
 # aggregate: state is one row per (source, lang).
 #
-# Deliberately EXCLUDED from the stream variant: exact_dup_frac (it
-# needs corpus-wide digest counts — a second stateful aggregate, which
-# Structured Streaming does not chain in update mode) and the near-dup
-# columns (the LSH/CC composition is a batch job). The batch
-# corpus_datasheet_v2/v3 remain the authoritative release artifacts;
-# this is their monitoring twin.
+# Deliberately EXCLUDED from this single-query stream variant:
+# exact_dup_frac (it needs corpus-wide digest counts — a second
+# stateful aggregate, which Structured Streaming does not chain in
+# update mode; :class:`StreamingDatasheet` below closes that gap with
+# a second query + store-merge) and the near-dup columns (the LSH/CC
+# composition legitimately stays a batch job). The batch
+# corpus_datasheet_v2/v3 remain the authoritative release artifacts.
 # ---------------------------------------------------------------------------
 def corpus_datasheet_stream(docs_stream: DataFrame) -> DataFrame:
     """Streaming per-(source, lang) datasheet aggregate over a
@@ -2157,6 +2158,102 @@ def corpus_datasheet_stream(docs_stream: DataFrame) -> DataFrame:
     foreachBatch upsert) to serve it."""
     per_doc = datasheet_signals(docs_stream)
     return per_doc.groupBy("source", "lang").agg(*_datasheet_signal_aggs())
+
+
+def corpus_digest_counts_stream(docs_stream: DataFrame) -> DataFrame:
+    """Cumulative copy counts per (text digest, source, lang) over the
+    ingest stream — the streaming half of the exact-dup rate. Update
+    mode keeps the counts CUMULATIVE per key, which is what makes the
+    foreachBatch store upsert idempotent under micro-batch replay
+    (latest row per key wins; a delta-append would double-count)."""
+    return docs_stream.groupBy(
+        F.md5("text").alias("h"), "source", "lang"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+class StreamingDatasheet:
+    """Round-7 closure of the streaming exact-dup gap: the live data
+    card INCLUDING ``exact_dup_frac``, maintained by two update-mode
+    keyed aggregates over the SAME ingest stream, each upserted into a
+    parquet-backed key table (the ``ExternalQueryableState`` /
+    ``ContinuousAggregate`` partial-algebra pattern,
+    streaming/rollup.py):
+
+    * the signal card — one state row per (source, lang)
+      (:func:`corpus_datasheet_stream`, the shared expression set);
+    * digest counts — one state row per (md5, source, lang)
+      (:func:`corpus_digest_counts_stream`).
+
+    ``card(spark)`` merges the stores: a digest is a corpus-wide
+    duplicate when the SUM of its per-group counts exceeds 1, and a
+    group's ``exact_dup_frac`` is its duplicate-doc mass over its doc
+    count — algebraically identical to the batch v2 definition (the
+    differential in tests/test_corpus_datasheet.py pins every column).
+
+    100 TB note: the digest aggregate's state is one row per distinct
+    text — the unavoidable price of an EXACT rate (RocksDB state store
+    / state-store-in-cloud territory; the sketch family above is the
+    approximate alternative when that state is too dear). The serve
+    query is a distributed agg + broadcast-able join over the digest
+    store, not a driver loop. Near-dup columns stay batch-only.
+    """
+
+    def __init__(self, base_path: str):
+        from ..streaming.core import ExternalQueryableState
+
+        self._card_store = ExternalQueryableState(
+            "__ckey", base_path.rstrip("/") + "/card"
+        )
+        self._digest_store = ExternalQueryableState(
+            "__ckey", base_path.rstrip("/") + "/digests"
+        )
+
+    def attach(self, docs_stream: DataFrame, checkpoint_base: str | None = None):
+        """Start both maintenance queries; returns (card_q, digest_q)
+        — caller owns stop()."""
+
+        def _start(agg_df, store, name):
+            w = agg_df.writeStream.outputMode("update").foreachBatch(
+                store.on_batch
+            )
+            if checkpoint_base is not None:
+                w = w.option(
+                    "checkpointLocation", f"{checkpoint_base.rstrip('/')}/{name}"
+                )
+            return w.start()
+
+        card = corpus_datasheet_stream(docs_stream).withColumn(
+            "__ckey", F.struct("source", "lang")
+        )
+        digests = corpus_digest_counts_stream(docs_stream).withColumn(
+            "__ckey", F.struct("h", "source", "lang")
+        )
+        return (
+            _start(card, self._card_store, "card"),
+            _start(digests, self._digest_store, "digests"),
+        )
+
+    def card(self, spark: SparkSession) -> DataFrame:
+        """The live datasheet as of the last committed micro-batches:
+        the signal columns plus exact_dup_frac."""
+        sig = self._card_store.snapshot_df(spark).drop("__ckey")
+        dg = self._digest_store.snapshot_df(spark).drop("__ckey")
+        glob = dg.groupBy("h").agg(F.sum("cnt").alias("copies"))
+        dup = (
+            dg.join(glob, "h")
+            .groupBy("source", "lang")
+            .agg(
+                (
+                    F.sum(
+                        F.when(F.col("copies") > 1, F.col("cnt")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    / F.sum("cnt")
+                ).alias("exact_dup_frac")
+            )
+        )
+        return sig.join(dup, ["source", "lang"])
 
 
 # ---------------------------------------------------------------------------

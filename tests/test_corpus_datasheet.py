@@ -192,3 +192,75 @@ def test_datasheet_stream_matches_batch(spark, tmp_path):
             if c in ("source", "lang"):
                 continue
             assert batch[k][c] == pytest.approx(v), (k, c)
+
+
+def test_streaming_datasheet_with_exact_dup_matches_batch(spark, tmp_path):
+    """Round-7 gap closure: the two-store StreamingDatasheet must equal
+    the batch v2 datasheet on EVERY column — including exact_dup_frac,
+    which the single-query stream twin cannot maintain. The fixture's
+    duplicate pair is split across micro-batches, so the cumulative
+    digest counts must merge across batches for the rate to be right."""
+    from flink_tornadovm_artifact_spark.queries.llm import StreamingDatasheet
+
+    rows = [
+        ("web", "en", "the cat and the dog of a king"),
+        ("web", "en", "a quiet morning in the old town"),
+        ("web", "de", "der hund und die katze und das haus"),
+        ("web", "de", "the mislabeled english text of a crawl"),
+        ("web", "en", "the cat and the dog of a king"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    batch = {
+        (r["source"], r["lang"]): r.asDict()
+        for r in corpus_datasheet_v2(spark, sf).collect()
+    }
+    # the en group has a dup pair, the de group none — the column is
+    # discriminating, not constant
+    assert batch[("web", "en")]["exact_dup_frac"] == pytest.approx(2 / 3)
+    assert batch[("web", "de")]["exact_dup_frac"] == 0.0
+
+    src = tmp_path / "ds2_stream"
+    src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    collected = spark.read.parquet(sf + "/documents.parquet").orderBy(
+        "doc_id"
+    ).collect()
+    for name, part in (("b0", collected[:3]), ("b1", collected[3:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in part], pa.int64()),
+                    "source": pa.array([r.source for r in part], pa.string()),
+                    "lang": pa.array([r.lang for r in part], pa.string()),
+                    "text": pa.array([r.text for r in part], pa.string()),
+                }
+            ),
+            str(src / f"{name}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, lang string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ds = StreamingDatasheet(str(tmp_path / "ds2_store"))
+    q1, q2 = ds.attach(stream, checkpoint_base=str(tmp_path / "ds2_ckpt"))
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+    got = {
+        (r["source"], r["lang"]): r.asDict()
+        for r in ds.card(spark).collect()
+    }
+    assert set(got) == set(batch)
+    for k, srow in got.items():
+        for c in batch[k]:
+            if c in ("source", "lang"):
+                continue
+            assert batch[k][c] == pytest.approx(srow[c]), (k, c)
