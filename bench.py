@@ -101,6 +101,9 @@ HEADLINE = [
     "text_vocab_coverage",
     "sketch_hyperloglog_tokens",
     "text_domain_cap",
+    # the split-leakage audit (shingle pass + shingle-key hash join +
+    # tiny rollup — the heaviest round-7 addition)
+    "split_leakage_audit",
 ]
 
 

@@ -103,12 +103,13 @@ WINDOW_KEEP_FRESH: dict[str, str] = {
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # new this round (rule 1): release mechanics (5)
+    # new this round (rule 1): release mechanics (6)
     "corpus_train_split",
     "text_domain_cap",
     "sample_stratified_lang",
     "dedup_incremental",
     "sketch_hyperloglog_tokens",
+    "split_leakage_audit",
     # changed this round (rule 1): global-window restructures + k-core
     # cache-leak fix (4; see WINDOW_KEEP_FRESH)
     "text_vocab_coverage",
@@ -149,7 +150,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q16_scalar_functions",
     "q17_iot_global_reduce",
     "q18_iot_window_agg",
-    # stalest: last green round 3, diversity picks (9).
+    # stalest: last green round 3, diversity picks (8).
     # q49_approx_aggregates stays OUT deliberately: the window must
     # stay fully oracle-backed (its sketches are rows-only by design —
     # pinned in test_queries_oracle.py), so it is the one registered
@@ -162,7 +163,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q03_tpch_q1",
     "q21_session_window",
     "q22_interval_join",
-    "text_lang_id",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

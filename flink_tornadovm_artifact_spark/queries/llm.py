@@ -2390,12 +2390,28 @@ def _md5_bucket(col, salt: str, mod: int):
 # re-partitioning, backfills, and incremental appends (a random split
 # would re-deal on every run and leak val into train).
 # ---------------------------------------------------------------------------
+def _split_expr(doc_id_col):
+    """The ONE definition of split membership — shared by
+    corpus_train_split and split_leakage_audit so the audited splits
+    cannot drift from the assigned ones (the datasheet_signals
+    argument)."""
+    h = _md5_bucket(doc_id_col.cast("string"), "#split", 100)
+    return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
+
+#: DuckDB twin of _split_expr, spliced into both oracles.
+_SPLIT_SQL = """CASE
+           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END"""
+
+
 def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    h = _md5_bucket(F.col("doc_id").cast("string"), "#split", 100)
-    split = (
-        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
-    )
+    split = _split_expr(F.col("doc_id"))
     return (
         docs.select(
             split.alias("split"),
@@ -2412,15 +2428,9 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register(
     corpus_train_split,
-    """
+    f"""
 WITH a AS (
-  SELECT CASE
-           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
-                     AS BIGINT) % 100 < 80 THEN 'train'
-           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
-                     AS BIGINT) % 100 < 90 THEN 'val'
-           ELSE 'test'
-         END AS split,
+  SELECT {_SPLIT_SQL} AS split,
          source,
          len(string_split(text, ' ')) AS n_tok
   FROM documents
@@ -2428,6 +2438,85 @@ WITH a AS (
 SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM a GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: n-gram contamination of the val/test splits BY
+# the train split of the same release — the check a benchmark-hygiene
+# pass runs before shipping (an eval doc sharing verbatim 3-gram
+# shingles with train inflates downstream scores; Brown et al. 2020
+# §C ran exactly this audit for GPT-3). Composes the release's own
+# hash-split definition (_split_expr — the audited splits ARE the
+# assigned ones) with the decontamination shingle machinery.
+# Plan: one shingle pass, a distinct on train shingles, then an
+# eval-shingle ⋈ train-shingle hash join SHUFFLED on the shingle key —
+# deliberately NOT broadcast: at 100 TB the train shingle set is
+# corpus-sized (the small side is the eval explode, and AQE picks the
+# build side). Per-doc counts then a (split × source)-row rollup.
+# ---------------------------------------------------------------------------
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        _shingled(spark, sf_dir)
+        .select("doc_id", F.array_distinct("shingles").alias("sset"))
+        .join(docs, "doc_id")
+        .withColumn("split", _split_expr(F.col("doc_id")))
+    )
+    train_sh = (
+        tagged.filter(F.col("split") == "train")
+        .select(F.explode("sset").alias("s"))
+        .distinct()
+    )
+    ev = tagged.filter(F.col("split") != "train")
+    leaked = (
+        ev.select("doc_id", F.explode("sset").alias("s"))
+        .join(train_sh, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = ev.select("doc_id", "split", "source").join(
+        leaked, "doc_id", "left"
+    )
+    return per_doc.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_shared") >= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaky"),
+        F.avg(
+            F.when(F.col("n_shared") >= 1, 1.0).otherwise(0.0)
+        ).alias("leak_frac"),
+    )
+
+
+_register(
+    split_leakage_audit,
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), tagged AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS sset,
+         {_SPLIT_SQL} AS split
+  FROM toks
+), train_sh AS (
+  SELECT DISTINCT UNNEST(sset) AS s FROM tagged WHERE split = 'train'
+), ev_sh AS (
+  SELECT doc_id, UNNEST(sset) AS s FROM tagged WHERE split <> 'train'
+), leaked AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM ev_sh JOIN train_sh USING (s) GROUP BY 1
+)
+SELECT t.split, t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.n_shared >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky,
+       AVG(CASE WHEN l.n_shared >= 1 THEN 1.0 ELSE 0.0 END) AS leak_frac
+FROM tagged t LEFT JOIN leaked l ON t.doc_id = l.doc_id
+WHERE t.split <> 'train'
+GROUP BY 1, 2
 """,
 )
 

@@ -43,6 +43,12 @@ HEAVY = [
     "text_chunk_windows",     # shuffle-free corpus transform
     "similarity_ivf",         # ANN probe path
     "sssp_pipeline",          # delta iteration
+    # round-7 additions: the shingle-join leakage audit (the heaviest
+    # new path), the HLL register sketch (shuffle bounded at 512 rows
+    # per task), and the WindowGroupLimit domain cap
+    "split_leakage_audit",
+    "sketch_hyperloglog_tokens",
+    "text_domain_cap",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
