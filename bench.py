@@ -104,6 +104,16 @@ HEADLINE = [
     # the split-leakage audit (shingle pass + shingle-key hash join +
     # tiny rollup — the heaviest round-7 addition)
     "split_leakage_audit",
+    # round-7 additions (second batch): the 22nd TPC-H query
+    # (promotion-share join+agg), exact-substring duplicate passages
+    # (window-hash count + mark join + per-doc interval merge), the
+    # cross-source overlap matrix (hub-capped hash self-join), and the
+    # int8 embedding quantization (two dim-keyed collapses + broadcast
+    # codebook join over the 64× posexplode)
+    "q56_tpch_q14",
+    "text_duplicate_passages",
+    "source_overlap_matrix",
+    "embedding_quantize_int8",
 ]
 
 

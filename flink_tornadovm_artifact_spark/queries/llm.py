@@ -2723,3 +2723,326 @@ rr AS (
 SELECT bucket, CAST(MAX(rho) AS INTEGER) AS rho_max FROM rr GROUP BY 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-passage detection: EXACT-substring dedup at passage
+# granularity (the scale form of Lee et al. 2022's suffix-array
+# "deduplicating training data" pass — repeated >=PASSAGE_K-token spans,
+# not whole-document dups, which dedup_exact/minhash already cover).
+# Instead of a suffix array (quadratic memory per shard), every
+# PASSAGE_K-token window is hashed; a window whose hash occurs >=2
+# times anywhere in the corpus is a duplicated window, and per document
+# the covered token intervals [pos, pos+K-1] are merged into maximal
+# spans with a classic interval-merge (cumulative-max window per doc —
+# bounded frame, one doc's windows). Output is the (source, lang) data
+# card: how much of each slice is copied text.
+# Plan / 100 TB: the shingle table is linear in corpus tokens; the
+# count>=2 aggregation and the mark join both shuffle on the hash key
+# (map-side combine collapses the count); the interval merge windows
+# are partitioned by doc_id — no global windows, no all-pairs.
+# ---------------------------------------------------------------------------
+PASSAGE_K = 8
+
+
+def text_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.split("text", " ").alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    sh = base.filter(F.col("n_toks") >= PASSAGE_K).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_toks") - PASSAGE_K),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", i + 1, PASSAGE_K))
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    marked = sh.join(dup_h, "h").select("doc_id", "source", "lang", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + PASSAGE_K - 1).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = marked.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w))
+    spans = isl.groupBy("doc_id", "source", "lang", "span_id").agg(
+        F.min("pos").alias("s"),
+        F.max(F.col("pos") + PASSAGE_K - 1).alias("e"),
+    )
+    per_doc = spans.groupBy("doc_id", "source", "lang").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    totals = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+    )
+    dup_sl = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("docs_with_dup"),
+        F.sum("n_spans").alias("dup_spans"),
+        F.sum("dup_tokens").alias("dup_tokens"),
+    )
+    return (
+        totals.join(dup_sl, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "total_tokens",
+            F.coalesce("docs_with_dup", F.lit(0))
+            .cast("bigint")
+            .alias("docs_with_dup"),
+            F.coalesce("dup_spans", F.lit(0)).cast("bigint").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("total_tokens")
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+_register(
+    text_duplicate_passages,
+    f"""
+WITH base AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, source, lang, pos,
+         md5(array_to_string(t[pos + 1 : pos + {PASSAGE_K}], ' ')) AS h
+  FROM base, UNNEST(range(0, n_toks - {PASSAGE_K} + 1)) AS r(pos)
+  WHERE n_toks >= {PASSAGE_K}
+), dup_h AS (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2
+), marked AS (
+  SELECT s.doc_id, s.source, s.lang, s.pos FROM sh s JOIN dup_h USING (h)
+), isl AS (
+  SELECT *,
+         CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END AS new_span
+  FROM (SELECT doc_id, source, lang, pos,
+               MAX(pos + {PASSAGE_K} - 1) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        FROM marked)
+), isl2 AS (
+  SELECT *, SUM(new_span) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM isl
+), spans AS (
+  SELECT doc_id, source, lang, span_id,
+         MIN(pos) AS s, MAX(pos + {PASSAGE_K} - 1) AS e
+  FROM isl2 GROUP BY 1, 2, 3, 4
+), per_doc AS (
+  SELECT doc_id, source, lang, COUNT(*) AS n_spans,
+         SUM(e - s + 1) AS dup_tokens
+  FROM spans GROUP BY 1, 2, 3
+), totals AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+  FROM base GROUP BY 1, 2
+)
+SELECT t.source, t.lang,
+       CAST(t.n_docs AS BIGINT)                     AS n_docs,
+       t.total_tokens,
+       CAST(COALESCE(d.docs_with_dup, 0) AS BIGINT) AS docs_with_dup,
+       CAST(COALESCE(d.dup_spans, 0) AS BIGINT)     AS dup_spans,
+       CAST(COALESCE(d.dup_tokens, 0) AS BIGINT)    AS dup_tokens,
+       CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE) / t.total_tokens
+                                                    AS dup_token_frac
+FROM totals t
+LEFT JOIN (SELECT source, lang, COUNT(*) AS docs_with_dup,
+                  SUM(n_spans) AS dup_spans, SUM(dup_tokens) AS dup_tokens
+           FROM per_doc GROUP BY 1, 2) d USING (source, lang)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix: for every source pair, how many
+# duplicated passage hashes they SHARE — the data-card panel that tells
+# you source B is a scrape of source A before you pay to train on both.
+# Exact whole-document digests are too blunt (disjoint at this SF and
+# in real mixed crawls); passage hashes catch partial copying. Hub
+# guard: a hash spread over > OVERLAP_MAX_SOURCES sources is boilerplate
+# (navigation chrome, licence headers), not provenance, and is excluded
+# — the same hub-cap mitigation as the bipartite projection (SCALE.md).
+# Plan / 100 TB: distinct (h, source) collapses each hash to <= #sources
+# rows; the self-join explodes each hash to at most
+# C(OVERLAP_MAX_SOURCES, 2) pairs — bounded per key, never all-pairs —
+# and the pair groupBy output is #sources^2-bounded (a dashboard table).
+# ---------------------------------------------------------------------------
+OVERLAP_MAX_SOURCES = 16
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", F.split("text", " ").alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    sh = base.filter(F.col("n_toks") >= PASSAGE_K).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_toks") - PASSAGE_K),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", i + 1, PASSAGE_K))
+                ),
+            )
+        ).alias("h"),
+    )
+    hs = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_set("source").alias("srcs"),
+    )
+    eligible = hs.filter(
+        (F.col("cnt") >= 2)
+        & (F.size("srcs") >= 2)
+        & (F.size("srcs") <= OVERLAP_MAX_SOURCES)
+    ).select("h", F.explode("srcs").alias("source"))
+    a = eligible.alias("a")
+    b = eligible.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_passages"))
+    )
+
+
+_register(
+    source_overlap_matrix,
+    f"""
+WITH base AS (
+  SELECT source, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+), sh AS (
+  SELECT source,
+         md5(array_to_string(t[pos + 1 : pos + {PASSAGE_K}], ' ')) AS h
+  FROM base, UNNEST(range(0, n_toks - {PASSAGE_K} + 1)) AS r(pos)
+  WHERE n_toks >= {PASSAGE_K}
+), hs AS (
+  SELECT h, COUNT(*) AS cnt, COUNT(DISTINCT source) AS n_srcs
+  FROM sh GROUP BY h
+), eligible AS (
+  SELECT DISTINCT s.h, s.source
+  FROM sh s JOIN hs ON s.h = hs.h
+  WHERE hs.cnt >= 2 AND hs.n_srcs BETWEEN 2 AND {OVERLAP_MAX_SOURCES}
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_passages
+FROM eligible a JOIN eligible b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of the embedding column (the compression
+# step in front of every large-scale ANN index — FAISS SQ8 semantics:
+# per-dimension [min, max] codebook, 255 levels). Returns the codebook
+# WITH reconstruction-error stats per dimension, i.e. both the artifact
+# a serving index needs and the QA panel that says whether 8 bits are
+# enough. Deterministic: quantization is round((x-lo)/scale) on doubles
+# — identical IEEE ops in both engines.
+# Plan / 100 TB: posexplode is linear (rows × dim); both groupBy(dim)
+# aggregations collapse map-side to <= 64 rows per task, so the two
+# shuffles carry tasks × dim rows; the codebook joins back as a
+# broadcast (dim-sized). No driver collect, no global windows.
+# ---------------------------------------------------------------------------
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    cb = (
+        el.groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .withColumn("scale", (F.col("hi") - F.col("lo")) / F.lit(255.0))
+    )
+    q = el.join(F.broadcast(cb), "dim").withColumn(
+        "qv",
+        F.when(
+            F.col("scale") > 0,
+            F.round((F.col("x") - F.col("lo")) / F.col("scale"), 0),
+        ).otherwise(F.lit(0.0)),
+    )
+    err = F.abs(F.col("qv") * F.col("scale") + F.col("lo") - F.col("x"))
+    return (
+        q.select("dim", "lo", "hi", "scale", err.alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.min("scale").alias("scale"),
+            F.avg("err").alias("mean_abs_err"),
+            F.max("err").alias("max_abs_err"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "lo",
+            "hi",
+            "scale",
+            "mean_abs_err",
+            "max_abs_err",
+            "n_values",
+        )
+    )
+
+
+_register(
+    embedding_quantize_int8,
+    """
+WITH el AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+), cb AS (
+  SELECT dim, MIN(x) AS lo, MAX(x) AS hi,
+         (MAX(x) - MIN(x)) / 255.0 AS scale
+  FROM el GROUP BY dim
+), q AS (
+  SELECT el.dim, cb.lo, cb.hi, cb.scale,
+         CASE WHEN cb.scale > 0
+              THEN ROUND((el.x - cb.lo) / cb.scale, 0)
+              ELSE 0.0 END AS qv,
+         el.x
+  FROM el JOIN cb ON el.dim = cb.dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       MIN(lo) AS lo, MIN(hi) AS hi, MIN(scale) AS scale,
+       AVG(ABS(qv * scale + lo - x)) AS mean_abs_err,
+       MAX(ABS(qv * scale + lo - x)) AS max_abs_err,
+       COUNT(*) AS n_values
+FROM q GROUP BY dim
+""",
+)

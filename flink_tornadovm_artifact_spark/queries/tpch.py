@@ -815,6 +815,52 @@ GROUP BY s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q56 — TPC-H Q14 (canonical month-sliced form). q24_promo_revenue
+# already covers the conditional-revenue-share SHAPE over the whole
+# history; this is the query as TPC-H actually states it — a one-month
+# l_shipdate slice UNDER the fact-dim join — which adds the dimension
+# q24 lacks: the selective date filter must reach the lineitem parquet
+# scan before the join builds. With it every TPC-H query Q1-Q22 is
+# registered under its own name (adapted to the testdata schema where
+# noted). Scale notes: part (SF*200k — ~20B rows at 100 TB) stays
+# UNhinted so AQE chooses broadcast at small SF and a shuffled hash
+# join at scale; the division happens on the 1-row aggregated sums.
+# ---------------------------------------------------------------------------
+def q56_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE["q56_tpch_q14"] = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE)       AS promo_revenue_pct,
+       CAST(SUM({_REV}) AS DOUBLE)               AS total_revenue,
+       COUNT(*)                                  AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

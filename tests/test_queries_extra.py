@@ -286,3 +286,130 @@ def test_dedup_incremental_is_discriminating(spark):
     )
     assert 0 < len(kept) < incoming_n
     assert all(r.doc_id % 10 == 0 for r in kept)
+
+
+def _py_dup_passages(texts, k):
+    """Pure-Python reference for the passage machinery: returns
+    {doc_idx: (n_spans, dup_tokens)} plus the duplicated-hash → sources
+    map, independently of any SQL engine."""
+    import hashlib
+    from collections import Counter
+
+    win = {}  # (doc, pos) -> digest
+    counts = Counter()
+    for d, text in enumerate(texts):
+        toks = text.split(" ")
+        for i in range(len(toks) - k + 1):
+            h = hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            win[(d, i)] = h
+            counts[h] += 1
+    per_doc = {}
+    for d in range(len(texts)):
+        poss = sorted(
+            p for (dd, p), h in win.items() if dd == d and counts[h] >= 2
+        )
+        spans = []
+        for p in poss:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        if spans:
+            per_doc[d] = (
+                len(spans),
+                sum(e - s + 1 for s, e in spans),
+            )
+    return per_doc, win, counts
+
+
+def test_duplicate_passages_matches_python_reference(spark):
+    """Differential against a from-scratch Python implementation of
+    window-hash → count>=2 → interval-merge at the smoke SF: the
+    (source, lang) dup_tokens totals must agree exactly."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        PASSAGE_K,
+        text_duplicate_passages,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    docs = sorted(
+        load(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    per_doc, _, _ = _py_dup_passages([r.text for r in docs], PASSAGE_K)
+    expected = {}
+    for i, r in enumerate(docs):
+        key = (r.source, r.lang)
+        got = per_doc.get(i)
+        e = expected.setdefault(key, [0, 0, 0])
+        if got:
+            e[0] += 1
+            e[1] += got[0]
+            e[2] += got[1]
+    rows = text_duplicate_passages(spark, SF_SMOKE).collect()
+    assert any(r.dup_tokens > 0 for r in rows)  # discriminating
+    for r in rows:
+        exp = expected.get((r.source, r.lang), [0, 0, 0])
+        assert (r.docs_with_dup, r.dup_spans, r.dup_tokens) == tuple(exp), (
+            r.source,
+            r.lang,
+        )
+        assert 0.0 <= r.dup_token_frac <= 1.0
+
+
+def test_source_overlap_matches_python_reference(spark):
+    """The overlap matrix equals the Python-reference pairwise count of
+    shared duplicated window hashes under the same hub cap."""
+    from collections import Counter
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        OVERLAP_MAX_SOURCES,
+        PASSAGE_K,
+        source_overlap_matrix,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    _, win, counts = _py_dup_passages([r.text for r in docs], PASSAGE_K)
+    srcs_of = {}
+    for (d, _), h in win.items():
+        srcs_of.setdefault(h, set()).add(docs[d].source)
+    expected = Counter()
+    for h, srcs in srcs_of.items():
+        if counts[h] >= 2 and 2 <= len(srcs) <= OVERLAP_MAX_SOURCES:
+            ss = sorted(srcs)
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    expected[(ss[i], ss[j])] += 1
+    got = {
+        (r.source_a, r.source_b): r.shared_passages
+        for r in source_overlap_matrix(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expected)
+    for a, b in got:
+        assert a < b
+
+
+def test_quantize_int8_error_bound(spark):
+    """Round-to-nearest scalar quantization can never miss by more than
+    half a step: max_abs_err <= scale/2 (+ float slack); every dimension
+    of every vector is covered."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        embedding_quantize_int8,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    rows = embedding_quantize_int8(spark, SF_SMOKE).collect()
+    n_vecs = load(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.n_values == n_vecs
+        assert r.hi > r.lo and r.scale > 0
+        assert r.max_abs_err <= r.scale / 2 + 1e-12, r.dim
+        assert 0 <= r.mean_abs_err <= r.max_abs_err
