@@ -114,6 +114,11 @@ HEADLINE = [
     "text_duplicate_passages",
     "source_overlap_matrix",
     "embedding_quantize_int8",
+    # BPE merge training: 8 rounds over the vocabulary-sized type
+    # table, each a pair-count groupBy + 1-row TakeOrdered argmax +
+    # expression-fold merge (measures the iterative driver-loop
+    # pattern on a non-graph workload)
+    "bpe_merge_table",
 ]
 
 

@@ -115,6 +115,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_duplicate_passages",
     "source_overlap_matrix",
     "embedding_quantize_int8",
+    # new this round, third batch (rule 1): BPE merge training.
+    # Displaced: q01_filter_project (scan+filter+project is under every
+    # TPC-H entry in the window, q04/q56 directly).
+    "bpe_merge_table",
     "text_domain_cap",
     "sample_stratified_lang",
     "dedup_incremental",
@@ -141,7 +145,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q50_cube_grouping_id",
     "q52_from_json_struct",
     # stalest: last green round 2 (18)
-    "q01_filter_project",
     "q04_tpch_q3",
     "q05_outer_join",
     "q06_broadcast_join",

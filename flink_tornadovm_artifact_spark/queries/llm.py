@@ -3046,3 +3046,143 @@ SELECT CAST(dim AS BIGINT) AS dim,
 FROM q GROUP BY dim
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016, "Neural Machine Translation
+# of Rare Words with Subword Units"): learn the first BPE_N_MERGES merge
+# rules from corpus word frequencies — the tokenizer-construction step
+# that text_vocab_coverage and text_pmi_bigrams prepare for. Classic
+# algorithm: words split to character symbols; each round counts
+# adjacent symbol pairs weighted by word frequency, picks the most
+# frequent pair (ties: lexicographically smallest — deterministic), and
+# replaces its occurrences greedily left-to-right non-overlapping.
+# Spark side: the corpus-sized work happens ONCE (token explode →
+# word-frequency groupBy); every iteration then runs over the
+# VOCABULARY-sized type table — pair explode + groupBy, a 1-row
+# TakeOrdered argmax collect (the kmeans k-row pattern), and a
+# shuffle-free F.aggregate fold implementing the greedy merge as a pure
+# JVM expression (the merged token a||b can never equal the left symbol
+# a, so a plain replace-last fold IS greedy non-overlap).
+# localCheckpoint per round cuts the 8-deep expression lineage.
+# The DuckDB oracle is an INDEPENDENT formulation — island/odd-even
+# selection over match positions with a list rebuild — so agreement
+# checks the greedy semantics themselves, not a shared shape.
+# ---------------------------------------------------------------------------
+BPE_N_MERGES = 8
+
+
+def _bpe_merge_word(a: str, b: str):
+    """Greedy left-to-right non-overlapping replace of (a,b)->a||b over
+    the syms array, as a sequential fold."""
+    merged = F.lit(a + b)
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"), step
+    )
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for k in range(BPE_N_MERGES):
+        pairs = (
+            # sequence(1, 0) DESCENDS in Spark, so single-symbol words
+            # must be excluded before the pair window is generated
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((k, a, b, cnt))
+        words = words.withColumn(
+            "syms", _bpe_merge_word(a, b)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq,
+         list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w
+)"""
+    ]
+    for k in range(n_merges):
+        ctes.append(f"""pairs{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w{k}, UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+), best{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pairs{k} ORDER BY cnt DESC, l, r LIMIT 1
+), sel{k} AS MATERIALIZED (
+  SELECT w, list(i) AS sel
+  FROM (SELECT w, i, i - MIN(i) OVER (PARTITION BY w, grp) AS off
+        FROM (SELECT m.w, m.i,
+                     m.i - ROW_NUMBER() OVER (PARTITION BY m.w ORDER BY m.i) AS grp
+              FROM (SELECT t.w, u.i
+                    FROM w{k} t, best{k} b, UNNEST(range(1, len(t.syms))) AS u(i)
+                    WHERE t.syms[u.i] = b.l AND t.syms[u.i + 1] = b.r) m))
+  WHERE off % 2 = 0 GROUP BY w
+), w{k + 1} AS MATERIALIZED (
+  SELECT t.w, t.freq,
+         CASE WHEN s.sel IS NULL THEN t.syms
+              ELSE list_filter(
+                     list_transform(range(1, len(t.syms) + 1), i ->
+                       CASE WHEN list_contains(s.sel, i)
+                              THEN t.syms[i] || t.syms[i + 1]
+                            WHEN list_contains(s.sel, i - 1) THEN NULL
+                            ELSE t.syms[i] END),
+                     x -> x IS NOT NULL) END AS syms
+  FROM w{k} t LEFT JOIN sel{k} s USING (w)
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM best{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+_register(bpe_merge_table, _bpe_oracle_sql(BPE_N_MERGES))

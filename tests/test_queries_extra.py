@@ -413,3 +413,89 @@ def test_quantize_int8_error_bound(spark):
         assert r.hi > r.lo and r.scale > 0
         assert r.max_abs_err <= r.scale / 2 + 1e-12, r.dim
         assert 0 <= r.mean_abs_err <= r.max_abs_err
+
+
+def test_bpe_merge_fold_greedy_semantics(spark):
+    """The F.aggregate fold must implement greedy left-to-right
+    NON-OVERLAPPING replacement — the classic 'aaa' + (a,a) case keeps
+    the third symbol unmerged."""
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.queries.llm import _bpe_merge_word
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "a", "a"]),
+            (2, ["b", "a", "a", "b"]),
+            (3, ["a", "a", "a", "a"]),
+            (4, ["x"]),
+            (5, []),
+        ],
+        "id int, syms array<string>",
+    )
+    got = {
+        r.id: r.m
+        for r in df.select(
+            "id", _bpe_merge_word("a", "a").alias("m")
+        ).collect()
+    }
+    assert got == {
+        1: ["aa", "a"],
+        2: ["b", "aa", "b"],
+        3: ["aa", "aa"],
+        4: ["x"],
+        5: [],
+    }
+    df2 = spark.createDataFrame(
+        [(1, ["a", "a", "b", "b"])], "id int, syms array<string>"
+    )
+    assert df2.select(_bpe_merge_word("a", "b").alias("m")).collect()[
+        0
+    ].m == ["a", "ab", "b"]
+
+
+def test_bpe_matches_python_reference(spark):
+    """Third independent implementation: plain-Python BPE (dict loop,
+    while-scan greedy merge) must produce the identical merge table at
+    the smoke SF."""
+    from collections import Counter
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        BPE_N_MERGES,
+        bpe_merge_table,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    freqs = Counter()
+    for r in load(spark, SF_SMOKE, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                freqs[w] += 1
+    words = {w: list(w) for w in freqs}
+    expected = []
+    for k in range(BPE_N_MERGES):
+        counts = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += freqs[w]
+        if not counts:
+            break
+        (a, b), c = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected.append((k, a, b, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    got = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in sorted(
+            bpe_merge_table(spark, SF_SMOKE).collect(), key=lambda r: r.step
+        )
+    ]
+    assert got == expected
