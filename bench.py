@@ -119,6 +119,12 @@ HEADLINE = [
     # expression-fold merge (measures the iterative driver-loop
     # pattern on a non-graph workload)
     "bpe_merge_table",
+    # tokenizer application + training-mix + release sharding: the
+    # apply-side vocab join, the tiny post-groupBy mix panel, and the
+    # keep-set shard manifest
+    "bpe_encode_fertility",
+    "corpus_mixture_weights",
+    "release_shard_manifest",
 ]
 
 

@@ -119,6 +119,16 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # Displaced: q01_filter_project (scan+filter+project is under every
     # TPC-H entry in the window, q04/q56 directly).
     "bpe_merge_table",
+    # new this round, fourth batch (rule 1): tokenizer application +
+    # training-mix + release sharding (3). Displaced (surface stays
+    # in-window via siblings): q26_count_distinct (the distinct-count
+    # aggregate shape is dedup_exact's n_distinct, in-window),
+    # q34_explode_tokens (token explode is under bpe_merge_table /
+    # text_duplicate_passages directly), q16_scalar_functions (scalar
+    # expression surface is under every text_* entry).
+    "bpe_encode_fertility",
+    "corpus_mixture_weights",
+    "release_shard_manifest",
     "text_domain_cap",
     "sample_stratified_lang",
     "dedup_incremental",
@@ -132,12 +142,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "kcore_social",
     # stalest: last green round 1 (14)
     "q25_intersect_except",
-    "q26_count_distinct",
     "q27_sql_api",
     "q28_pandas_udaf",
     "q31_tpch_q18",
     "q33_window_frames",
-    "q34_explode_tokens",
     "q35_percentiles",
     "q37_tpch_q4",
     "q39_tpch_q12",
@@ -156,7 +164,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q13_union_distinct",
     "q14_rollup",
     "q15_over_windows",
-    "q16_scalar_functions",
     "q17_iot_global_reduce",
     "q18_iot_window_agg",
     # stalest: last green round 3, diversity picks (8).

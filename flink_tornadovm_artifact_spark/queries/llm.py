@@ -3095,7 +3095,11 @@ def _bpe_merge_word(a: str, b: str):
     )
 
 
-def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge-learning loop; returns (merge list, word-type
+    DataFrame with the post-merge ``syms`` encoding). The corpus-sized
+    work is the one word-frequency groupBy; every round after runs on
+    the vocabulary-sized type table."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -3136,12 +3140,19 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.withColumn(
             "syms", _bpe_merge_word(a, b)
         ).localCheckpoint(eager=True)
+    return merges, words
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint"
     )
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """The shared islands/odd-even CTE chain: w{k} carries the
+    vocabulary encoding after k merges, best{k} the k-th rule."""
     ctes = [
         """w0 AS MATERIALIZED (
   SELECT w, COUNT(*) AS freq,
@@ -3178,11 +3189,215 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                      x -> x IS NOT NULL) END AS syms
   FROM w{k} t LEFT JOIN sel{k} s USING (w)
 )""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INTEGER) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM best{k}"
         for k in range(n_merges)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return _bpe_oracle_ctes(n_merges) + "\n" + selects
 
 
 _register(bpe_merge_table, _bpe_oracle_sql(BPE_N_MERGES))
+
+
+# ---------------------------------------------------------------------------
+# BPE application / fertility panel: encode the corpus with the merges
+# just learned and report per-source tokenizer fit — fertility (subword
+# tokens per whitespace word) and chars-per-token, the two numbers a
+# tokenizer report card leads with. The encoded vocabulary is the
+# training loop's own post-merge type table (train once, apply by a
+# vocab-keyed hash join — never re-encoding the corpus text); the
+# corpus-sized work is one (source, word) groupBy. The oracle reuses
+# the islands CTE chain, whose final w{N} IS the encoded vocabulary.
+# ---------------------------------------------------------------------------
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, words = _bpe_train(spark, sf_dir)
+    enc = words.select("w", F.size("syms").alias("n_sub"))
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sub"))
+            .cast("bigint")
+            .alias("n_subwords"),
+            (
+                F.sum(F.col("c") * F.col("n_sub")) / F.sum("c")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("c") * F.length("w"))
+                / F.sum(F.col("c") * F.col("n_sub"))
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+_register(
+    bpe_encode_fertility,
+    _bpe_oracle_ctes(BPE_N_MERGES)
+    + f""",
+ws AS MATERIALIZED (
+  SELECT source, w, COUNT(*) AS c
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY source, w
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * len(syms)) AS BIGINT) AS n_subwords,
+       SUM(c * len(syms)) * 1.0 / SUM(c) AS fertility,
+       SUM(c * len(w)) * 1.0 / SUM(c * len(syms)) AS chars_per_token
+FROM ws JOIN w{BPE_N_MERGES} USING (w)
+GROUP BY source
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture weights (temperature sampling over sources — the
+# GPT-3 / PaLM data-mixing step): per-source token shares are raised to
+# alpha < 1 so low-resource sources are upsampled, then renormalized;
+# expected epochs per source follow from a token budget expressed as a
+# multiple of the corpus (budget = MIX_BUDGET_EPOCHS x corpus tokens, so
+# the panel is scale-free). One corpus-sized groupBy(source); everything
+# after runs on the #sources-row table with totals as 1-row aggregate
+# broadcasts (the allowlisted "1-row stats join" pattern).
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.7
+MIX_BUDGET_EPOCHS = 5.0
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"))
+    w = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("raw_share", F.col("n_tokens") / F.col("t"))
+        .withColumn("pa", F.pow("raw_share", F.lit(MIX_ALPHA)))
+    )
+    z = w.agg(F.sum("pa").alias("s"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "raw_share",
+        (F.col("pa") / F.col("s")).alias("weight"),
+        (
+            (F.col("pa") / F.col("s"))
+            * F.lit(MIX_BUDGET_EPOCHS)
+            / F.col("raw_share")
+        ).alias("expected_epochs"),
+    )
+
+
+_register(
+    corpus_mixture_weights,
+    """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / t AS raw_share,
+         POWER(n_tokens / t, 0.7) AS pa
+  FROM per, tot
+), z AS (SELECT SUM(pa) AS s FROM w)
+SELECT source, n_docs, n_tokens, raw_share,
+       pa / s AS weight,
+       (pa / s) * 5.0 / raw_share AS expected_epochs
+FROM w, z
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Release shard manifest — the write-side of a data release: the
+# exact-dedup keep-set (min-doc_id representative per content digest)
+# is hash-assigned to N_SHARDS output shards, and the manifest reports
+# per-shard doc/token/byte totals plus the skew ratio against a
+# perfectly balanced layout (the number a release engineer checks
+# before a 100 TB write — one hot shard serializes the whole job's
+# tail). Sharding is the engine-portable md5 bucket, so the layout is
+# reproducible across runs and engines; totals ride as a 1-row
+# aggregate broadcast (allowlisted "1-row stats join").
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+
+
+def release_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    per = (
+        kept.select(
+            _md5_bucket(F.col("doc_id").cast("string"), "#shard", N_SHARDS)
+            .cast("int")
+            .alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_bytes"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        (F.col("n_tokens") / F.col("t")).alias("token_share"),
+        (F.col("n_tokens") * F.lit(float(N_SHARDS)) / F.col("t")).alias(
+            "skew"
+        ),
+    )
+
+
+_register(
+    release_shard_manifest,
+    f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), k AS (
+  SELECT d.* FROM documents d JOIN keep USING (doc_id)
+), s AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8))
+                   AS BIGINT) % {N_SHARDS} AS INTEGER) AS shard,
+         len(string_split(text, ' ')) AS n_tok, n_chars
+  FROM k
+), per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+  FROM s GROUP BY shard
+), tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per)
+SELECT shard, n_docs, n_tokens, n_bytes,
+       n_tokens / t AS token_share,
+       n_tokens * {float(N_SHARDS)} / t AS skew
+FROM per, tot
+""",
+)

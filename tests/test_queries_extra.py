@@ -499,3 +499,66 @@ def test_bpe_matches_python_reference(spark):
         )
     ]
     assert got == expected
+
+
+def test_mixture_weights_contract(spark):
+    """Temperature weights must normalize to 1 and upsample
+    low-resource sources relative to their raw share (alpha < 1)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        MIX_BUDGET_EPOCHS,
+        corpus_mixture_weights,
+    )
+
+    rows = corpus_mixture_weights(spark, SF_SMOKE).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-9
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        # alpha=0.7 compresses toward uniform: below-mean sources gain
+        # weight, above-mean sources lose it
+        if r.raw_share < mean_share - 1e-12:
+            assert r.weight > r.raw_share, r.source
+        if r.raw_share > mean_share + 1e-12:
+            assert r.weight < r.raw_share, r.source
+        # epochs = budget x weight / raw_share
+        assert abs(r.expected_epochs - MIX_BUDGET_EPOCHS * r.weight / r.raw_share) < 1e-9
+
+
+def test_shard_manifest_contract(spark):
+    """Shards must partition the exact-dedup keep-set: doc totals equal
+    the distinct-digest count, shares sum to 1, skew = share x N."""
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        N_SHARDS,
+        release_shard_manifest,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    rows = release_shard_manifest(spark, SF_SMOKE).collect()
+    assert {r.shard for r in rows} <= set(range(N_SHARDS))
+    n_keep = (
+        load(spark, SF_SMOKE, "documents")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_keep
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r.skew - r.token_share * N_SHARDS) < 1e-9
+
+
+def test_bpe_fertility_contract(spark):
+    """Fertility panel invariants: every corpus word is covered by the
+    trained vocabulary (it was built FROM this corpus), fertility >= 1
+    (a word is at least one subword) and <= avg word length (merges
+    only shrink the character split)."""
+    from flink_tornadovm_artifact_spark.queries.llm import bpe_encode_fertility
+
+    rows = bpe_encode_fertility(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_subwords >= r.n_words >= 1, r.source
+        assert 1.0 <= r.fertility, r.source
+        assert r.chars_per_token >= 1.0, r.source

@@ -52,6 +52,8 @@ NESTED_LOOP_ALLOWLIST = {
     "text_vocab_coverage": "1-row corpus-total join onto the top-K head",
     # round-7 release mechanics
     "sample_stratified_lang": "1-row min-count join onto the lang table",
+    "corpus_mixture_weights": "1-row corpus-total + weight-normalizer joins",
+    "release_shard_manifest": "1-row token-total join onto the shard table",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
