@@ -125,6 +125,9 @@ HEADLINE = [
     "bpe_encode_fertility",
     "corpus_mixture_weights",
     "release_shard_manifest",
+    # d^2-bounded shuffle: upper-triangle pair products map-side
+    # combined, 64-row mean table broadcast
+    "embedding_covariance_panel",
 ]
 
 

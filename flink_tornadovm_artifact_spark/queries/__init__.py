@@ -129,6 +129,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "bpe_encode_fertility",
     "corpus_mixture_weights",
     "release_shard_manifest",
+    # new this round, fifth batch (rule 1): the embedding covariance /
+    # anisotropy panel. Displaced: q33_window_frames (frame-spec window
+    # surface stays in-window under q15_over_windows).
+    "embedding_covariance_panel",
     "text_domain_cap",
     "sample_stratified_lang",
     "dedup_incremental",
@@ -145,7 +149,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q27_sql_api",
     "q28_pandas_udaf",
     "q31_tpch_q18",
-    "q33_window_frames",
     "q35_percentiles",
     "q37_tpch_q4",
     "q39_tpch_q12",

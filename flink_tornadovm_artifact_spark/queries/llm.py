@@ -3401,3 +3401,94 @@ SELECT shard, n_docs, n_tokens, n_bytes,
 FROM per, tot
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance / anisotropy panel — the statistics PCA
+# whitening and "all-but-the-top" post-processing (Mu & Viswanath,
+# ICLR 2018) start from: the dim x dim covariance matrix plus each
+# dimension's share of total variance (embedding spaces with one
+# dominant direction hurt cosine retrieval — this panel is how you
+# catch that before building the ANN index). Plan: one posexplode to
+# the upper-triangle pair products (d(d+1)/2 rows per vector,
+# map-side-combined to <= d^2 rows per task before the shuffle — the
+# shuffle is dimension-bounded, never corpus-bounded) + a 64-row
+# per-dim mean/variance table riding as a broadcast. Products are
+# cast to double BEFORE multiplying on both engines so the only
+# cross-engine difference is summation order (ulp-level).
+# ---------------------------------------------------------------------------
+def embedding_covariance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(v)), i ->"
+                " transform(sequence(i, size(v)), j ->"
+                " struct(i AS i, j AS j, v[i-1] * v[j-1] AS p))))"
+            )
+        ).alias("x")
+    )
+    raw = (
+        pairs.groupBy(
+            F.col("x.i").cast("int").alias("i"),
+            F.col("x.j").cast("int").alias("j"),
+        )
+        .agg(F.sum("x.p").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    means = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("i"))
+        .agg(F.avg("val").alias("mu"))
+    )
+    mi = means.select(F.col("i"), F.col("mu").alias("mu_i"))
+    mj = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    cov = (
+        raw.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("s") / F.col("n") - F.col("mu_i") * F.col("mu_j")).alias(
+                "cov"
+            ),
+        )
+    )
+    # total variance = sum of the diagonal, as a 1-row broadcast; each
+    # diagonal row gains its variance share (anisotropy read-out)
+    tot = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("cov").alias("var_total")
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "i",
+        "j",
+        "cov",
+        F.when(F.col("i") == F.col("j"), F.col("cov") / F.col("var_total"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("var_share"),
+    )
+
+
+_register(
+    embedding_covariance_panel,
+    """
+WITH e AS (SELECT embedding AS v FROM embeddings),
+x AS (
+  SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+         SUM(CAST(v[i.i] AS DOUBLE) * CAST(v[j.j] AS DOUBLE)) AS s,
+         COUNT(*) AS n
+  FROM e, UNNEST(range(1, len(v) + 1)) AS i(i), UNNEST(range(1, len(v) + 1)) AS j(j)
+  WHERE j.j >= i.i GROUP BY 1, 2
+), m AS (
+  SELECT CAST(u.i AS INTEGER) AS i, AVG(CAST(v[u.i] AS DOUBLE)) AS mu
+  FROM e, UNNEST(range(1, len(v) + 1)) AS u(i) GROUP BY 1
+), c AS (
+  SELECT x.i, x.j, s / n - mi.mu * mj.mu AS cov
+  FROM x JOIN m mi ON x.i = mi.i JOIN m mj ON x.j = mj.i
+), t AS (SELECT SUM(cov) AS var_total FROM c WHERE i = j)
+SELECT i, j, cov,
+       CASE WHEN i = j THEN cov / var_total END AS var_share
+FROM c, t
+""",
+)

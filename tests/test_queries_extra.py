@@ -562,3 +562,40 @@ def test_bpe_fertility_contract(spark):
         assert r.n_subwords >= r.n_words >= 1, r.source
         assert 1.0 <= r.fertility, r.source
         assert r.chars_per_token >= 1.0, r.source
+
+
+def test_covariance_panel_matches_numpy(spark):
+    """Differential vs numpy's own covariance (population, ddof=0) at
+    the smoke SF, plus the Cauchy-Schwarz bound on off-diagonals."""
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        embedding_covariance_panel,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    X = np.array(
+        [
+            r.embedding
+            for r in load(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, ddof=0)
+    rows = embedding_covariance_panel(spark, SF_SMOKE).collect()
+    d = X.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    tr = float(np.trace(C))
+    for r in rows:
+        assert r.j >= r.i
+        got, want = r.cov, C[r.i - 1, r.j - 1]
+        assert abs(got - want) < 1e-9, (r.i, r.j)
+        if r.i == r.j:
+            assert got > 0
+            assert abs(r.var_share - want / tr) < 1e-9
+        else:
+            assert r.var_share is None
+            bound = np.sqrt(C[r.i - 1, r.i - 1] * C[r.j - 1, r.j - 1])
+            assert abs(got) <= bound + 1e-12

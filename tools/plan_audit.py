@@ -54,6 +54,7 @@ NESTED_LOOP_ALLOWLIST = {
     "sample_stratified_lang": "1-row min-count join onto the lang table",
     "corpus_mixture_weights": "1-row corpus-total + weight-normalizer joins",
     "release_shard_manifest": "1-row token-total join onto the shard table",
+    "embedding_covariance_panel": "1-row trace join onto the d^2-row table",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,

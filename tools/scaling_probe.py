@@ -49,6 +49,18 @@ HEAVY = [
     "split_leakage_audit",
     "sketch_hyperloglog_tokens",
     "text_domain_cap",
+    # round-7 later batches: window-hash passage dedup, the dim-keyed
+    # quantization panel, the 8-round BPE driver loops (train and
+    # train+apply), the hub-capped overlap self-join, and the two
+    # release panels
+    "text_duplicate_passages",
+    "embedding_quantize_int8",
+    "bpe_merge_table",
+    "bpe_encode_fertility",
+    "source_overlap_matrix",
+    "corpus_mixture_weights",
+    "release_shard_manifest",
+    "embedding_covariance_panel",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
