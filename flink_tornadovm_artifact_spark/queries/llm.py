@@ -3492,3 +3492,75 @@ SELECT i, j, cov,
 FROM c, t
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-retention curve — the filter-calibration panel: for each
+# quality threshold t in {0.00, 0.05, ..., 1.00}, how many documents
+# and tokens survive `quality >= t` (how a curation team picks the
+# cutoff: you don't choose 0.4 a priori, you read it off this curve
+# against your token budget). Corpus-sized work is ONE expression scan
+# + a <=21-row bucket groupBy; the curve itself is a shuffle-free
+# sequence-explode over the bucket table (each bucket row fans out to
+# the thresholds it satisfies — no join, no window), with the total as
+# a 1-row broadcast. NULL-quality docs (empty text) are unscoreable
+# and excluded; the curve is relative to scoreable docs (threshold
+# 0.0 row = 100%).
+# ---------------------------------------------------------------------------
+def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = text_quality_score(spark, sf_dir).filter(
+        F.col("quality").isNotNull()
+    )
+    b = q.groupBy(
+        F.floor(F.col("quality") * 20).cast("int").alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_tokens").cast("bigint").alias("tk"),
+    )
+    r = (
+        b.select(
+            F.explode(F.sequence(F.lit(0), F.col("b"))).alias("k"),
+            "c",
+            "tk",
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("c").cast("bigint").alias("docs_retained"),
+            F.sum("tk").cast("bigint").alias("tokens_retained"),
+        )
+    )
+    tot = r.filter(F.col("k") == 0).select(
+        F.col("tokens_retained").alias("tot")
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        (F.col("k").cast("double") / 20).alias("threshold"),
+        "docs_retained",
+        "tokens_retained",
+        (F.col("tokens_retained") / F.col("tot")).alias("token_frac"),
+    )
+
+
+_register(
+    quality_retention_curve,
+    f"""
+WITH q AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text))
+         + 0.5 * (len(list_filter(string_split(text, ' '), t -> t IN ({_stop_in})))
+                    / len(string_split(text, ' '))) AS quality
+  FROM documents
+), b AS (
+  SELECT CAST(FLOOR(quality * 20) AS INTEGER) AS b,
+         COUNT(*) AS c, CAST(SUM(n_tokens) AS BIGINT) AS tk
+  FROM q WHERE quality IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT u.k AS k, CAST(SUM(c) AS BIGINT) AS docs_retained,
+         CAST(SUM(tk) AS BIGINT) AS tokens_retained
+  FROM b, UNNEST(range(0, b + 1)) AS u(k) GROUP BY 1
+), t AS (SELECT tokens_retained AS tot FROM r WHERE k = 0)
+SELECT CAST(k AS DOUBLE) / 20 AS threshold,
+       docs_retained, tokens_retained,
+       CAST(tokens_retained AS DOUBLE) / tot AS token_frac
+FROM r, t
+""",
+)
