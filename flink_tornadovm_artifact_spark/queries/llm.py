@@ -2235,7 +2235,17 @@ class StreamingDatasheet:
 
     def card(self, spark: SparkSession) -> DataFrame:
         """The live datasheet as of the last committed micro-batches:
-        the signal columns plus exact_dup_frac."""
+        the signal columns plus exact_dup_frac.
+
+        The two stores are maintained by two INDEPENDENT streaming
+        queries, so in live operation one can be a committed batch
+        ahead of the other. The merge is therefore a LEFT join from
+        the signal store: a (source, lang) group the digest query has
+        not caught up to yet appears with ``exact_dup_frac`` NULL
+        (stale-marker) rather than silently vanishing from the card.
+        Under ``processAllAvailable`` (the test path) both stores are
+        drained, no NULLs appear, and the batch differential pins
+        every column."""
         sig = self._card_store.snapshot_df(spark).drop("__ckey")
         dg = self._digest_store.snapshot_df(spark).drop("__ckey")
         glob = dg.groupBy("h").agg(F.sum("cnt").alias("copies"))
@@ -2253,7 +2263,7 @@ class StreamingDatasheet:
                 ).alias("exact_dup_frac")
             )
         )
-        return sig.join(dup, ["source", "lang"])
+        return sig.join(dup, ["source", "lang"], "left")
 
 
 # ---------------------------------------------------------------------------
@@ -2624,6 +2634,12 @@ WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '#strat'), 1, 8)
 # fingerprint — the canonical at-scale shape for "new data vs corpus"
 # (shuffles only digests + ids; with a corpus-side digest table kept
 # as a bucketed table the shuffle drops to the batch side alone).
+# The anti-join clears the batch against the CORPUS only; two incoming
+# documents sharing a fingerprint (both absent from the corpus) would
+# otherwise both survive, so a per-fingerprint min-doc_id
+# representative pass (row_number window PARTITIONED BY the digest —
+# key-partitioned, never global) makes the emitted "kept" set clean
+# within the batch too.
 # ---------------------------------------------------------------------------
 DEDUP_PREFIX_K = 5
 
@@ -2636,7 +2652,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", "source", dg.alias("dg"))
     incoming = d.filter(F.col("doc_id") % 10 == 0)
     corpus = d.filter(F.col("doc_id") % 10 != 0).select("dg")
-    return incoming.join(corpus, "dg", "left_anti").select("doc_id", "source")
+    kept = incoming.join(corpus, "dg", "left_anti")
+    w = W.partitionBy("dg").orderBy("doc_id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source")
+    )
 
 
 _register(
@@ -2650,6 +2672,7 @@ WITH d AS (
 SELECT a.doc_id, a.source FROM d a
 WHERE a.doc_id % 10 = 0
   AND NOT EXISTS (SELECT 1 FROM d b WHERE b.doc_id % 10 <> 0 AND b.dg = a.dg)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY a.dg ORDER BY a.doc_id) = 1
 """,
 )
 
@@ -3059,22 +3082,63 @@ FROM q GROUP BY dim
 # replaces its occurrences greedily left-to-right non-overlapping.
 # Spark side: the corpus-sized work happens ONCE (token explode →
 # word-frequency groupBy); every iteration then runs over the
-# VOCABULARY-sized type table — pair explode + groupBy, a 1-row
-# TakeOrdered argmax collect (the kmeans k-row pattern), and a
-# shuffle-free F.aggregate fold implementing the greedy merge as a pure
-# JVM expression (the merged token a||b can never equal the left symbol
-# a, so a plain replace-last fold IS greedy non-overlap).
-# localCheckpoint per round cuts the 8-deep expression lineage.
+# VOCABULARY-sized type table — pair explode + groupBy, a bounded
+# TakeOrdered candidate collect (the kmeans k-row pattern), and
+# shuffle-free F.aggregate folds implementing the greedy merge as pure
+# JVM expressions (the merged token a||b can never equal the left
+# symbol a, so a plain replace-last fold IS greedy non-overlap).
+# localCheckpoint per ROUND (not per merge) cuts the expression
+# lineage.
+#
+# MERGE BATCHING (round 8 — scaling the loop in MERGE COUNT, not just
+# data): a real tokenizer build is 30k-50k merges; one Spark job +
+# driver round trip PER merge would mean 30k sequential jobs. Instead
+# each round collects the top-BPE_BATCH_CAND ranked candidate pairs
+# and applies up to BPE_BATCH_M of them in ONE job (chained folds in a
+# single select), so the job count scales as ceil(merges / M) when the
+# frequency head permits. The batch is chosen so the result is
+# PROVABLY identical to the sequential algorithm:
+#   1. PREFIX: take candidates in global (cnt DESC, l, r) rank order,
+#      stopping at the first CONFLICT — a pair whose symbol set
+#      {l, r, l||r} intersects the union of the sets of the pairs
+#      already accepted. Batch pairs are then mutually non-interacting:
+#      applying any of them changes none of the others' counts or
+#      occurrences (destroyed pairs contain an accepted symbol;
+#      created pairs contain an accepted merged token).
+#   2. STRICT 3x TRIM: let X = cnt of the first excluded candidate
+#      (the conflict, the M+1-th, or 0 if the candidate list was
+#      exhausted unconflicted — in which case NO pair in the corpus
+#      interacts with the batch and no trim is needed). Every pair NOT
+#      in the batch ranks at-or-after that candidate, so its pre-batch
+#      count is <= X; applying the batch can raise a pair's count only
+#      by occurrences created adjacent to a merged token — at most one
+#      batch merge produces any given token string (two producers
+#      would share it and conflict), so a pair gains at most once per
+#      side, each gain bounded by a destroyed (hence conflicting,
+#      hence <= X) pair's count: post-batch counts of non-batch pairs
+#      are <= 3X. Trimming the batch to the prefix whose counts are
+#      STRICTLY > 3X therefore guarantees each kept pair is the exact
+#      global argmax (ties impossible at strict >) at its sequential
+#      round. Worst case (flat frequencies) the batch degenerates to
+#      size 1 = the classic per-merge loop; Zipfian heads batch well.
+# tests/test_bpe_batching.py pins (a) equality with a pure-Python
+# sequential reference on real data, (b) exactly ceil(N/M) rounds on a
+# synthetic disjoint-head corpus, (c) the trim triggering on a
+# constructed tie.
 # The DuckDB oracle is an INDEPENDENT formulation — island/odd-even
 # selection over match positions with a list rebuild — so agreement
 # checks the greedy semantics themselves, not a shared shape.
 # ---------------------------------------------------------------------------
 BPE_N_MERGES = 8
+BPE_BATCH_M = 8
+BPE_BATCH_CAND = 64
 
 
-def _bpe_merge_word(a: str, b: str):
+def _bpe_merge_fold(col: Column, a: str, b: str) -> Column:
     """Greedy left-to-right non-overlapping replace of (a,b)->a||b over
-    the syms array, as a sequential fold."""
+    the ``col`` symbol array, as a sequential fold. Taking the input
+    column (rather than pinning F.col("syms")) lets a merge BATCH
+    chain m folds into one select — one Spark job per round."""
     merged = F.lit(a + b)
 
     def step(acc: Column, s: Column) -> Column:
@@ -3090,16 +3154,48 @@ def _bpe_merge_word(a: str, b: str):
             ),
         ).otherwise(F.concat(acc, F.array(s)))
 
-    return F.aggregate(
-        F.col("syms"), F.array().cast("array<string>"), step
-    )
+    return F.aggregate(col, F.array().cast("array<string>"), step)
+
+
+def _bpe_select_batch(cands, max_m: int):
+    """Pure batching rule over the collected, already-ranked candidate
+    rows: longest mutually-non-conflicting prefix (conflict = shared
+    symbol or merged-token string), capped at ``max_m``, then trimmed
+    so every kept pair's count is strictly > 3 * X where X is the
+    count of the first excluded candidate (0 when the full candidate
+    list was collected and exhausted without conflict). Returns the
+    list of (l, r, cnt) to apply this round — see the proof sketch in
+    the block comment above. Split out driverside-pure so the test can
+    exercise tie/conflict cases without a SparkSession."""
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    exhausted = True
+    bound = 0
+    for row in cands:
+        toks = {row[0], row[1], row[0] + row[1]}
+        if len(batch) >= max_m or toks & used:
+            exhausted = False
+            bound = int(row[2])
+            break
+        batch.append((row[0], row[1], int(row[2])))
+        used |= toks
+    if exhausted and len(cands) >= BPE_BATCH_CAND:
+        # the candidate list was truncated at CAND: unseen pairs may
+        # conflict, bounded by the last collected count
+        bound = int(cands[-1][2])
+        exhausted = False
+    if not exhausted:
+        while len(batch) > 1 and batch[-1][2] <= 3 * bound:
+            bound = batch.pop()[2]
+    return batch
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the merge-learning loop; returns (merge list, word-type
-    DataFrame with the post-merge ``syms`` encoding). The corpus-sized
-    work is the one word-frequency groupBy; every round after runs on
-    the vocabulary-sized type table."""
+    DataFrame with the post-merge ``syms`` encoding, round count).
+    The corpus-sized work is the one word-frequency groupBy; every
+    round after runs on the vocabulary-sized type table and applies
+    up to BPE_BATCH_M merges in one job (batching rule above)."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -3112,8 +3208,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         )
         .localCheckpoint(eager=True)
     )
-    merges = []
-    for k in range(BPE_N_MERGES):
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(merges) < BPE_N_MERGES:
         pairs = (
             # sequence(1, 0) DESCENDS in Spark, so single-symbol words
             # must be excluded before the pair window is generated
@@ -3130,21 +3227,31 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(
-            F.desc("cnt"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()
-        if not best:
+        cands = [
+            (r.l, r.r, int(r.cnt))
+            for r in pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(BPE_BATCH_CAND)
+            .collect()
+        ]
+        if not cands:
             break
-        a, b, cnt = best[0].l, best[0].r, int(best[0].cnt)
-        merges.append((k, a, b, cnt))
-        words = words.withColumn(
-            "syms", _bpe_merge_word(a, b)
-        ).localCheckpoint(eager=True)
-    return merges, words
+        rounds += 1
+        batch = _bpe_select_batch(
+            cands, min(BPE_BATCH_M, BPE_N_MERGES - len(merges))
+        )
+        for a, b, cnt in batch:
+            merges.append((len(merges), a, b, cnt))
+        # one job applies the whole batch: chained greedy folds in a
+        # single select, one checkpoint per ROUND
+        col = F.col("syms")
+        for a, b, _ in batch:
+            col = _bpe_merge_fold(col, a, b)
+        words = words.withColumn("syms", col).localCheckpoint(eager=True)
+    return merges, words, rounds
 
 
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges, _ = _bpe_train(spark, sf_dir)
+    merges, _, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint"
     )
@@ -3214,7 +3321,7 @@ _register(bpe_merge_table, _bpe_oracle_sql(BPE_N_MERGES))
 # the islands CTE chain, whose final w{N} IS the encoded vocabulary.
 # ---------------------------------------------------------------------------
 def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, words = _bpe_train(spark, sf_dir)
+    _, words, _ = _bpe_train(spark, sf_dir)
     enc = words.select("w", F.size("syms").alias("n_sub"))
     docs = load(spark, sf_dir, "documents")
     per = (
@@ -3505,7 +3612,11 @@ FROM c, t
 # the thresholds it satisfies — no join, no window), with the total as
 # a 1-row broadcast. NULL-quality docs (empty text) are unscoreable
 # and excluded; the curve is relative to scoreable docs (threshold
-# 0.0 row = 100%).
+# 0.0 row = 100%). The output domain is the FULL 0.00..1.00 grid (21
+# rows) regardless of data: thresholds above the highest populated
+# bucket appear with docs_retained = 0 (a 21-row spark.range left
+# join — round-8 fix; previously the domain was data-dependent and a
+# consumer iterating the grid saw missing points).
 # ---------------------------------------------------------------------------
 def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = text_quality_score(spark, sf_dir).filter(
@@ -3529,10 +3640,18 @@ def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tk").cast("bigint").alias("tokens_retained"),
         )
     )
-    tot = r.filter(F.col("k") == 0).select(
-        F.col("tokens_retained").alias("tot")
+    grid = spark.range(21).select(F.col("id").cast("int").alias("k"))
+    full = grid.join(r, "k", "left").select(
+        "k",
+        F.coalesce("docs_retained", F.lit(0)).cast("bigint").alias(
+            "docs_retained"
+        ),
+        F.coalesce("tokens_retained", F.lit(0)).cast("bigint").alias(
+            "tokens_retained"
+        ),
     )
-    return r.crossJoin(F.broadcast(tot)).select(
+    tot = full.agg(F.max("tokens_retained").alias("tot"))
+    return full.crossJoin(F.broadcast(tot)).select(
         (F.col("k").cast("double") / 20).alias("threshold"),
         "docs_retained",
         "tokens_retained",
@@ -3557,10 +3676,15 @@ WITH q AS (
   SELECT u.k AS k, CAST(SUM(c) AS BIGINT) AS docs_retained,
          CAST(SUM(tk) AS BIGINT) AS tokens_retained
   FROM b, UNNEST(range(0, b + 1)) AS u(k) GROUP BY 1
-), t AS (SELECT tokens_retained AS tot FROM r WHERE k = 0)
+), grid AS (
+  SELECT g.k, COALESCE(r.docs_retained, 0) AS docs_retained,
+         COALESCE(r.tokens_retained, 0) AS tokens_retained
+  FROM range(0, 21) AS g(k) LEFT JOIN r ON g.k = r.k
+), t AS (SELECT MAX(tokens_retained) AS tot FROM grid)
 SELECT CAST(k AS DOUBLE) / 20 AS threshold,
-       docs_retained, tokens_retained,
+       CAST(docs_retained AS BIGINT) AS docs_retained,
+       CAST(tokens_retained AS BIGINT) AS tokens_retained,
        CAST(tokens_retained AS DOUBLE) / tot AS token_frac
-FROM r, t
+FROM grid, t
 """,
 )

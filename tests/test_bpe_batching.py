@@ -1,0 +1,174 @@
+"""Round-8 pins for the batched BPE merge loop.
+
+The trainer must scale in MERGE COUNT, not just data: each round
+applies up to BPE_BATCH_M mutually-non-conflicting merges in one job
+(llm.py block comment has the exactness proof). These tests pin
+
+* the pure batching rule (`_bpe_select_batch`) on constructed conflict
+  and tie cases, including the strict 3x trim;
+* exactly ceil(N / M) rounds on a synthetic corpus whose frequency
+  head is disjoint and strictly separated;
+* result equality with a pure-Python SEQUENTIAL reference on a
+  conflict-heavy corpus where batching must degenerate gracefully
+  (tests/test_queries_extra.py additionally pins real-data equality).
+"""
+
+from __future__ import annotations
+
+import math
+
+from .conftest import SF_SMOKE
+from flink_tornadovm_artifact_spark.queries.llm import (
+    BPE_BATCH_CAND,
+    BPE_BATCH_M,
+    BPE_N_MERGES,
+    _bpe_select_batch,
+    _bpe_train,
+)
+
+
+def _python_sequential_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Independent sequential reference: one argmax per round, greedy
+    left-to-right non-overlapping application."""
+    from collections import Counter
+
+    words = {w: (list(w), f) for w, f in word_freqs.items()}
+    merges = []
+    for step in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, cnt))
+        for w, (syms, f) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, f)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Pure batching-rule cases (no Spark)
+# ---------------------------------------------------------------------------
+def test_select_batch_disjoint_head():
+    """Strictly separated disjoint pairs batch up to M."""
+    cands = [("a", "b", 1000), ("c", "d", 100), ("e", "f", 10)]
+    assert _bpe_select_batch(cands, 8) == cands
+
+
+def test_select_batch_stops_at_conflict():
+    """(b,c) shares b with (a,b): the prefix ends there, and the
+    surviving head is count-safe (1000 > 3 * 90)."""
+    cands = [("a", "b", 1000), ("b", "c", 90), ("e", "f", 10)]
+    assert _bpe_select_batch(cands, 8) == [("a", "b", 1000)]
+
+
+def test_select_batch_merged_token_conflict():
+    """("a","bc") and ("ab","c") both produce the token string "abc" —
+    they must conflict even though their symbol pairs are disjoint."""
+    cands = [("a", "bc", 1000), ("ab", "c", 100)]
+    assert _bpe_select_batch(cands, 8) == [("a", "bc", 1000)]
+
+
+def test_select_batch_trims_on_tie():
+    """The judge's pathological tie: a skipped conflicting pair whose
+    count TIES a later batch pair can, after the first merge, spawn a
+    new pair that outranks it — the strict 3x trim drops the tied
+    tail. (("z","k") ties ("m","n") at 10; 10 <= 3*10.)"""
+    cands = [("a", "z", 20), ("m", "n", 10), ("z", "k", 10)]
+    assert _bpe_select_batch(cands, 8) == [("a", "z", 20)]
+
+
+def test_select_batch_trim_cascades():
+    """Popping a tied pair raises the bound; the check re-runs against
+    the popped count (40 <= 3 * 15 after the 12-count pop raises the
+    bound to 15... pops cascade until strict dominance holds)."""
+    cands = [
+        ("a", "b", 1000),
+        ("c", "d", 40),
+        ("e", "f", 15),
+        ("g", "h", 12),
+        ("c", "x", 11),  # conflict -> bound 11
+    ]
+    # trim walk: 12 <= 33 pop (bound 12); 15 <= 36 pop (bound 15);
+    # 40 <= 45 pop (bound 40); 1000 > 120 keep.
+    assert _bpe_select_batch(cands, 8) == [("a", "b", 1000)]
+
+
+def test_select_batch_exhausted_needs_no_trim():
+    """A complete (< CAND) candidate list with no conflicts IS the
+    whole pair universe: nothing can interact, so even tied counts
+    batch together."""
+    cands = [("a", "b", 10), ("c", "d", 10), ("e", "f", 10)]
+    assert len(cands) < BPE_BATCH_CAND
+    assert _bpe_select_batch(cands, 8) == cands
+
+
+def test_select_batch_respects_merge_cap():
+    cands = [("a", "b", 10**9), ("c", "d", 10**6), ("e", "f", 10**3)]
+    assert _bpe_select_batch(cands, 2) == cands[:2]
+
+
+def test_select_batch_head_always_kept():
+    """Degenerate flat frequencies: the batch never trims below the
+    round's true argmax — the classic per-merge loop as the floor."""
+    cands = [("a", "b", 10), ("b", "c", 10)]
+    assert _bpe_select_batch(cands, 8) == [("a", "b", 10)]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end round-count and equality pins
+# ---------------------------------------------------------------------------
+def _write_docs(spark, tmp_path, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+def test_one_round_on_disjoint_head(spark, tmp_path):
+    """Synthetic corpus whose top-8 pairs are disjoint two-letter words
+    with counts separated by > 3x: the whole merge budget lands in ONE
+    round — the ceil(N/M) = 1 scaling the batching exists for — and
+    the merge table still equals the sequential reference."""
+    two_letter = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    assert len(two_letter) == BPE_N_MERGES == BPE_BATCH_M
+    freqs = {w: 4 ** (len(two_letter) - i) for i, w in enumerate(two_letter)}
+    texts = [" ".join([w] * f) for w, f in freqs.items()]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+
+    merges, _, rounds = _bpe_train(spark, sf_dir)
+    assert rounds == math.ceil(BPE_N_MERGES / BPE_BATCH_M) == 1
+    assert merges == _python_sequential_bpe(freqs, BPE_N_MERGES)
+
+
+def test_conflict_heavy_corpus_matches_sequential(spark, tmp_path):
+    """Chained shared-symbol pairs force small batches; the result must
+    still be the sequential merge table, just over more rounds."""
+    freqs = {"abc": 7, "bcd": 6, "cde": 5, "aab": 4, "aaaa": 3}
+    texts = [" ".join([w] * f) for w, f in freqs.items()]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+
+    merges, _, rounds = _bpe_train(spark, sf_dir)
+    assert merges == _python_sequential_bpe(freqs, BPE_N_MERGES)
+    assert rounds <= BPE_N_MERGES
+
+
+def test_real_data_rounds_bounded(spark):
+    """On the smoke corpus the batched loop must never take MORE
+    rounds than the per-merge loop it replaced (equality with the
+    sequential reference is pinned in test_queries_extra.py)."""
+    merges, _, rounds = _bpe_train(spark, SF_SMOKE)
+    assert len(merges) == BPE_N_MERGES
+    assert rounds <= BPE_N_MERGES

@@ -421,7 +421,7 @@ def test_bpe_merge_fold_greedy_semantics(spark):
     the third symbol unmerged."""
     from pyspark.sql import functions as F
 
-    from flink_tornadovm_artifact_spark.queries.llm import _bpe_merge_word
+    from flink_tornadovm_artifact_spark.queries.llm import _bpe_merge_fold
 
     df = spark.createDataFrame(
         [
@@ -436,7 +436,7 @@ def test_bpe_merge_fold_greedy_semantics(spark):
     got = {
         r.id: r.m
         for r in df.select(
-            "id", _bpe_merge_word("a", "a").alias("m")
+            "id", _bpe_merge_fold(F.col("syms"), "a", "a").alias("m")
         ).collect()
     }
     assert got == {
@@ -449,7 +449,7 @@ def test_bpe_merge_fold_greedy_semantics(spark):
     df2 = spark.createDataFrame(
         [(1, ["a", "a", "b", "b"])], "id int, syms array<string>"
     )
-    assert df2.select(_bpe_merge_word("a", "b").alias("m")).collect()[
+    assert df2.select(_bpe_merge_fold(F.col("syms"), "a", "b").alias("m")).collect()[
         0
     ].m == ["a", "ab", "b"]
 
