@@ -128,6 +128,20 @@ HEADLINE = [
     # d^2-bounded shuffle: upper-triangle pair products map-side
     # combined, 64-row mean table broadcast
     "embedding_covariance_panel",
+    # round-8 additions: shard-partitioned sequence packing (keyed
+    # cumsum windows + boundary explode), SemDeDup LSH-cell pruning
+    # (in-cell cosine + min_by), Kneser-Ney bigram LM (bigram explode
+    # + three keyed joins), char-entropy panel (char explode + keyed
+    # windows), snapshot vocabulary delta (distinct-type anti join),
+    # hard-negative mining (broadcast anchors + label-split rerank),
+    # and the quality-retention grid
+    "release_sequence_packing",
+    "dedup_semantic",
+    "lm_kn_bigram",
+    "text_char_entropy",
+    "corpus_snapshot_delta",
+    "similarity_hard_negatives",
+    "quality_retention_curve",
 ]
 
 

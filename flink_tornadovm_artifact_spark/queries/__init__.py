@@ -79,109 +79,104 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: text_decontaminate, similarity_ivf, multimodal_feature_extract, and
 #: the 2×-green TPC-H extras beyond the kept core. jaccard/adamic stay
 #: IN: their plans changed with the UndirectedGraphBase re-route.
-#: Round-7 rotation (STALENESS-DRIVEN — the new ledger guard in
+#: Round-7 rotation (STALENESS-DRIVEN — the round-6 ledger guard in
 #: tests/test_driver_ledger.py makes this mandatory: a window slot held
 #: by a ≤2-round-old green entry while a ≥4-round-stale query waits is
 #: now a red test). Every never-checked query got its row in round 6,
 #: so the debt is now AGE: 64 queries' last driver row is from rounds
-#: 1-3. IN — the 5 new release-mechanics operators and the 4 whose
-#: plans changed this round (rule 1; the three global-window
-#: restructures + the k_core cache-leak fix), then the 41 stalest by
-#: last-green round: all 14 remaining r1-cohort, all 18 r2-cohort, and
-#: 9 of the r3-cohort chosen for operator diversity (iteration
-#: pipelines, dedup family, windows, interval join, lang-id). OUT —
-#: the round-6 window's 2×-green incumbents (CEP completion family,
-#: datasheets, undirected Gelly family, TPC-H heavies) — every one
-#: stays under the full 149-oracle pytest sweep at both SFs.
+#: 1-3. IN — 16 new operators (release mechanics, passage dedup,
+#: overlap matrix, quantization, BPE pair, mixture/shards, covariance)
+#: and the 4 whose plans changed (the three global-window restructures
+#: + the k_core cache-leak fix), then the 30 stalest by last-green
+#: round: the 10 remaining r1-cohort, the 13 r2-cohort picks, and 8 of
+#: the r3-cohort chosen for operator diversity (iteration pipelines,
+#: dedup family, windows, interval join). OUT — the round-6 window's
+#: 2×-green incumbents (CEP completion family, datasheets, undirected
+#: Gelly family, TPC-H heavies) — every one stays under the
+#: full-oracle pytest sweep at both SFs.
+#:
+#: Round-8 rotation. IN — quality_retention_curve FIRST (the one
+#: registered query with zero driver rows — VERDICT r7 Next 1; its
+#: threshold domain also changed to the full 0..20 grid), the 3 whose
+#: plans changed this round (bpe_merge_table + bpe_encode_fertility:
+#: the merge loop now batches top-M non-conflicting merges per round;
+#: dedup_incremental: intra-batch min-doc_id representative), the 6
+#: new round-8 operators (sequence packing, SemDeDup, KN bigram LM,
+#: char entropy, snapshot delta, hard negatives), then the ENTIRE
+#: remaining stale backlog: all 4 r1-cohort, all 5 r2-cohort, all 23
+#: r3-cohort (nothing ≥4 rounds stale is left outside the window),
+#: topped up with 8 r5-cohort diversity picks (CEP base + quantifier,
+#: HITS, label propagation, as-of join, decontamination, IVF, TPC-H
+#: Q16). OUT — the entire r7 window's 50 green entries except the
+#: keep-fresh trio — all stay under the full-oracle pytest sweep at
+#: both SFs every run.
 WINDOW_KEEP_FRESH: dict[str, str] = {
-    # rule-1 holds: green in r6 but their PLANS changed this round, so
+    # rule-1 holds: green in r7 but their PLANS changed this round, so
     # the driver must re-verify the new shapes (the staleness guard
     # exempts these from the fresh-incumbent check)
-    "text_vocab_coverage": "global rank window -> TakeOrdered + 1-row total",
-    "text_pmi_bigrams": "global total windows -> 1-row broadcast joins",
-    "kcore_social": "k_core no longer builds/leaks an UndirectedGraphBase",
+    "bpe_merge_table": "merge loop batches top-M non-conflicting merges/round",
+    "bpe_encode_fertility": "encodes with the batched trainer's type table",
+    "dedup_incremental": "added per-fingerprint min-doc_id representative",
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # new this round (rule 1): release mechanics (6)
-    "corpus_train_split",
-    # new this round, second batch (rule 1): the 22nd TPC-H query and
-    # the passage/quantization trio (4). Displaced to make room (their
-    # operator surface stays in-window via siblings and under the
-    # full-oracle pytest sweep): q38_tpch_q6 (filter+agg — q01/q02
-    # family), q10_distinct (q13_union_distinct), q02_global_agg
-    # (q17_iot_global_reduce), q12_topk_global (q12_topk_per_group).
-    "q56_tpch_q14",
-    "text_duplicate_passages",
-    "source_overlap_matrix",
-    "embedding_quantize_int8",
-    # new this round, third batch (rule 1): BPE merge training.
-    # Displaced: q01_filter_project (scan+filter+project is under every
-    # TPC-H entry in the window, q04/q56 directly).
+    # never-driver-checked (VERDICT r7 Next 1) + domain fix (1)
+    "quality_retention_curve",
+    # changed this round (rule 1; see WINDOW_KEEP_FRESH) (3)
     "bpe_merge_table",
-    # new this round, fourth batch (rule 1): tokenizer application +
-    # training-mix + release sharding (3). Displaced (surface stays
-    # in-window via siblings): q26_count_distinct (the distinct-count
-    # aggregate shape is dedup_exact's n_distinct, in-window),
-    # q34_explode_tokens (token explode is under bpe_merge_table /
-    # text_duplicate_passages directly), q16_scalar_functions (scalar
-    # expression surface is under every text_* entry).
     "bpe_encode_fertility",
-    "corpus_mixture_weights",
-    "release_shard_manifest",
-    # new this round, fifth batch (rule 1): the embedding covariance /
-    # anisotropy panel. Displaced: q33_window_frames (frame-spec window
-    # surface stays in-window under q15_over_windows).
-    "embedding_covariance_panel",
-    "text_domain_cap",
-    "sample_stratified_lang",
     "dedup_incremental",
-    "sketch_hyperloglog_tokens",
-    "split_leakage_audit",
-    # changed this round (rule 1): global-window restructures + k-core
-    # cache-leak fix (4; see WINDOW_KEEP_FRESH)
-    "text_vocab_coverage",
-    "text_pmi_bigrams",
-    "q47_tpch_q15",
-    "kcore_social",
-    # stalest: last green round 1 (14)
-    "q25_intersect_except",
-    "q27_sql_api",
-    "q28_pandas_udaf",
-    "q31_tpch_q18",
-    "q35_percentiles",
-    "q37_tpch_q4",
-    "q39_tpch_q12",
-    "q40_tpch_q13",
-    "q50_cube_grouping_id",
-    "q52_from_json_struct",
-    # stalest: last green round 2 (18)
-    "q04_tpch_q3",
-    "q05_outer_join",
-    "q06_broadcast_join",
-    "q07_semi_anti",
-    "q08_cogroup",
-    "q09_cross",
-    "q11_maxby",
-    "q12_topk_per_group",
-    "q13_union_distinct",
-    "q14_rollup",
-    "q15_over_windows",
-    "q17_iot_global_reduce",
-    "q18_iot_window_agg",
-    # stalest: last green round 3, diversity picks (8).
-    # q49_approx_aggregates stays OUT deliberately: the window must
-    # stay fully oracle-backed (its sketches are rows-only by design —
-    # pinned in test_queries_oracle.py), so it is the one registered
-    # query without a driver-oracle row.
-    "connected_components_pipeline",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "logreg_pipeline",
-    "pagerank_pipeline",
-    "q03_tpch_q1",
-    "q21_session_window",
-    "q22_interval_join",
+    # new this round (rule 1) (6)
+    "release_sequence_packing",
+    "dedup_semantic",
+    "lm_kn_bigram",
+    "text_char_entropy",
+    "corpus_snapshot_delta",
+    "similarity_hard_negatives",
+    # stalest: last green round 1 (4)
+    "q26_count_distinct",
+    "q33_window_frames",
+    "q34_explode_tokens",
+    "q38_tpch_q6",
+    # stalest: last green round 2 (5)
+    "q01_filter_project",
+    "q02_global_agg",
+    "q10_distinct",
+    "q12_topk_global",
+    "q16_scalar_functions",
+    # stalest: last green round 3 (23 — the whole cohort)
+    "dedup_lsh_verified",
+    "dedup_simhash",
+    "dft_events",
+    "matmul_rows_kernel",
+    "multimodal_binary_meta",
+    "pi_estimation_weyl",
+    "q19_iot_outliers",
+    "q20_kmeans_assign",
+    "q21_session_window_dynamic",
+    "q21_sliding_window",
+    "q21_tumbling_window",
+    "q23_tpch_q10",
+    "q29_reduce_group",
+    "q30_tpch_q5",
+    "q36_json_extract",
+    "similarity_lsh_bucketed",
+    "similarity_topk",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_rolling_hash",
+    "text_token_count",
+    "text_udtf_ngrams",
+    "vector_add_kernel",
+    # next-stalest: last green round 5, diversity picks (8)
+    "cep_followed_by",
+    "cep_times_range",
+    "hits_scores",
+    "label_propagation_communities",
+    "temporal_join_events",
+    "text_decontaminate",
+    "similarity_ivf",
+    "q41_tpch_q16",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -462,6 +462,19 @@ WHERE rn <= 5
 )
 
 
+def _plane_sign(j: int) -> Column:
+    """Sign bit of hyperplane j over the ``v`` array column: plane j has
+    components +1/-1 by md5 bit of (j, dim). Deterministic, so the LSH
+    bucketing is oracle-checkable (shared by similarity_lsh_bucketed and
+    dedup_semantic; SQL twin: _plane_bit_sql)."""
+    signed = F.expr(
+        "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, d) ->"
+        f" if(substr(md5(concat('p{j}#', d)), 1, 1) >= '8', x, -x)),"
+        " 0.0d, (acc, x) -> acc + x)"
+    )
+    return F.when(signed >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing, then exact cosine
     only within buckets (the 100 TB strategy — candidates shrink by the
@@ -474,15 +487,6 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table before the oracle was added).
     """
     emb = _emb_with_norm2(spark, sf_dir)
-    # 8 hyperplanes; plane j has components +1/-1 by md5 bit of (j, dim).
-    def plane_sign(j: int) -> Column:
-        signed = F.expr(
-            "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, d) ->"
-            f" if(substr(md5(concat('p{j}#', d)), 1, 1) >= '8', x, -x)),"
-            " 0.0d, (acc, x) -> acc + x)"
-        )
-        return F.when(signed >= 0, F.lit("1")).otherwise(F.lit("0"))
-
     # Signatures once: bucket ids only, emit in-bucket candidate id pairs
     # from the grouped array (same shape as dedup_minhash_lsh), then join
     # the vectors back by id for the exact-cosine rerank. At scale this is
@@ -490,7 +494,7 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hyperplane folds never run twice.
     bucketed = emb.select(
         "vec_id",
-        F.concat(*[plane_sign(j) for j in range(8)]).alias("bucket"),
+        F.concat(*[_plane_sign(j) for j in range(8)]).alias("bucket"),
     )
     buckets = (
         bucketed.groupBy("bucket")
@@ -3686,5 +3690,530 @@ SELECT CAST(k AS DOUBLE) / 20 AS threshold,
        CAST(tokens_retained AS BIGINT) AS tokens_retained,
        CAST(tokens_retained AS DOUBLE) / tot AS token_frac
 FROM grid, t
+""",
+)
+
+
+# ===========================================================================
+# Round-8 operators: release packing, semantic dedup, KN bigram LM,
+# char-entropy quality signal, snapshot delta, hard-negative mining.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-split): training releases don't
+# ship documents, they ship fixed-length token sequences. Docs are
+# deterministically shuffled (md5 order — the standard hash-shuffle a
+# release does before packing), concatenated within a shard, and split
+# at SEQ_LEN boundaries; a doc straddling a boundary contributes tokens
+# to both sequences. Output is the per-(shard, sequence) manifest: how
+# many docs touch it, how many start in it, and its token fill.
+# Plan / 100 TB: packing is embarrassingly parallel ACROSS shards —
+# the cumulative-sum window is PARTITIONED by shard (never global), so
+# each shard packs independently exactly like a packing worker; at
+# 100 TB NSHARDS rises to O(10k) and each shard is one task. The
+# boundary explode fans a doc only over the <= ceil(len/SEQ_LEN)+1
+# sequences it overlaps.
+# ---------------------------------------------------------------------------
+PACK_SEQ_LEN = 256
+PACK_NSHARDS = 8
+
+
+def release_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tk")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#pack"))), 1, 8
+    )
+    d = docs.select(
+        "doc_id",
+        "tk",
+        (_md5_bucket(F.col("doc_id").cast("string"), "#shard", PACK_NSHARDS))
+        .cast("int")
+        .alias("shard"),
+        h.alias("h"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pos = d.withColumn("cum", F.sum("tk").over(w)).select(
+        "shard",
+        "doc_id",
+        "tk",
+        (F.col("cum") - F.col("tk")).alias("start"),
+        F.col("cum").alias("end"),
+    )
+    # fan each doc over the sequences [floor(start/L), floor((end-1)/L)]
+    L = PACK_SEQ_LEN
+    spans = pos.filter(F.col("tk") > 0).select(
+        "shard",
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / L),
+                F.floor((F.col("end") - 1) / L),
+            )
+        ).alias("seq_id"),
+    )
+    contrib = spans.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        (
+            F.least(F.col("end"), (F.col("seq_id") + 1) * L)
+            - F.greatest(F.col("start"), F.col("seq_id") * L)
+        ).alias("toks_in_seq"),
+        (
+            (F.col("start") >= F.col("seq_id") * L)
+            & (F.col("start") < (F.col("seq_id") + 1) * L)
+        )
+        .cast("int")
+        .alias("starts_here"),
+    )
+    return contrib.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks_in_seq").cast("bigint").alias("n_tokens"),
+        F.sum("starts_here").cast("bigint").alias("n_docs_starting"),
+    )
+
+
+_register(
+    release_sequence_packing,
+    f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8))
+              AS BIGINT) % {PACK_NSHARDS} AS INTEGER) AS shard,
+         substr(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 8) AS h
+  FROM documents
+), pos AS (
+  SELECT shard, doc_id, tk,
+         CAST(SUM(tk) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) - tk AS BIGINT) AS start,
+         CAST(SUM(tk) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS "end"
+  FROM d
+), spans AS (
+  SELECT shard, doc_id, start, "end", u.s AS seq_id
+  FROM pos, UNNEST(range(start // {PACK_SEQ_LEN}, ("end" - 1) // {PACK_SEQ_LEN} + 1)) AS u(s)
+  WHERE tk > 0
+)
+SELECT shard, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST("end", (seq_id + 1) * {PACK_SEQ_LEN})
+                - GREATEST(start, seq_id * {PACK_SEQ_LEN})) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN start >= seq_id * {PACK_SEQ_LEN}
+                      AND start < (seq_id + 1) * {PACK_SEQ_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting
+FROM spans GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication"): prune
+# embedding-near-duplicate documents, keeping ONE representative per
+# semantic cluster. Clusters here are the deterministic md5-hyperplane
+# LSH cells (the oracle-checkable stand-in for SemDeDup's k-means
+# cells — same role: restrict the pairwise check to a cell); within a
+# cell, vector v is DROPPED when some lower-id u has cosine >= tau,
+# and the emitted row names its representative (arg-min u) — the
+# greedy id-ordered pruning policy SemDeDup applies per cluster.
+# Plan / 100 TB: the cell signature is one fold per vector; pairwise
+# cosine runs ONLY within cells (shuffle key = cell signature), never
+# all-pairs; the keep-decision is a per-v min_by aggregate.
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.3
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_norm2(spark, sf_dir)
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        "n2",
+        F.concat(*[_plane_sign(j) for j in range(8)]).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = _cos_pre("a", "b")
+    pairs = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("vid"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    return pairs.groupBy("vid").agg(
+        F.min("u").cast("bigint").alias("kept_by"),
+        F.min_by("cosine", "u").alias("cosine_to_rep"),
+    ).select(F.col("vid").alias("vec_id"), "kept_by", "cosine_to_rep")
+
+
+_register(
+    dedup_semantic,
+    f"""
+WITH vv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {_plane_bit_sql} AS bucket FROM vv
+), pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS vid,
+         list_dot_product(a.v, b.v)
+           / sqrt(list_dot_product(a.v, a.v))
+           / sqrt(list_dot_product(b.v, b.v)) AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vid AS vec_id, CAST(MIN(u) AS BIGINT) AS kept_by,
+       arg_min(cosine, u) AS cosine_to_rep
+FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
+GROUP BY vid
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+# 1999 formulation with absolute discount D): the probability table a
+# CCNet-style perplexity filter scores documents with. For bigram
+# (w1, w2): p_kn(w2|w1) = max(c - D, 0)/c(w1)
+#                          + (D * N1+(w1,.)/c(w1)) * Pcont(w2)
+# with Pcont(w2) = N1+(., w2) / |bigram types|. Every factor is a keyed
+# aggregate over the bigram-type table: c(w1) and N1+(w1,.) from a
+# groupBy(w1), N1+(., w2) from a groupBy(w2), |types| a 1-row broadcast.
+# Output bounded by the pair_count >= KN_MIN_COUNT head.
+# Plan / 100 TB: one corpus-sized bigram explode+count; everything after
+# is vocabulary-sized joins on token keys; no windows, no all-pairs.
+# ---------------------------------------------------------------------------
+KN_DISCOUNT = 0.75
+KN_MIN_COUNT = 5
+
+
+def lm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("text")
+    toks = F.split("text", " ")
+    prs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p.w2.isNotNull(),
+    )
+    bc = (
+        docs.select(F.explode(prs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    pre = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    types = bc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    D = KN_DISCOUNT
+    return (
+        bc.filter(F.col("c") >= KN_MIN_COUNT)
+        .join(ctx, "w1")
+        .join(pre, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("pair_count"),
+            (
+                F.greatest(F.col("c") - D, F.lit(0.0)) / F.col("c1")
+                + (D * F.col("n1p") / F.col("c1"))
+                * (F.col("n_prec") / F.col("n_types"))
+            ).alias("p_kn"),
+        )
+    )
+
+
+_register(
+    lm_kn_bigram,
+    f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pr AS (
+  SELECT unnest(list_transform(range(0, len(t) - 1),
+                               i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS p
+  FROM toks
+),
+bc AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c FROM pr GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, SUM(c) AS c1, COUNT(*) AS n1p FROM bc GROUP BY 1
+),
+pre AS (SELECT w2, COUNT(*) AS n_prec FROM bc GROUP BY 1),
+types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bc)
+SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS pair_count,
+       GREATEST(bc.c - {KN_DISCOUNT}, 0.0) / ctx.c1
+         + ({KN_DISCOUNT} * ctx.n1p / ctx.c1) * (pre.n_prec / types.n_types)
+         AS p_kn
+FROM bc JOIN ctx ON bc.w1 = ctx.w1 JOIN pre ON bc.w2 = pre.w2, types
+WHERE bc.c >= {KN_MIN_COUNT}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: per-document Shannon entropy (nats)
+# of the non-space character distribution — the classic cheap gibberish
+# / repeated-char / encoding-garbage detector a quality pipeline runs
+# beside the stopword and length signals (cf. Gopher rules, Rae et al.
+# 2021). Low entropy = few distinct characters dominating (aaaa...,
+# base64 walls score HIGH and are caught by the alpha-ratio signal
+# instead). Panel per source: doc count, avg/min/max entropy, and the
+# count under ENTROPY_LOW nats.
+# Plan / 100 TB: char explode is corpus-char-linear with map-side
+# combine on (doc_id, ch); the per-doc entropy fold and the per-source
+# rollup are keyed aggregates; no windows.
+# ---------------------------------------------------------------------------
+ENTROPY_LOW = 2.5
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ch = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text)),"
+                    " i -> substring(text, i, 1))"
+                )
+            ).alias("ch"),
+        )
+        .filter(F.col("ch") != " ")
+        .groupBy("doc_id", "source", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    with_n = ch.withColumn(
+        "n", F.sum("c").over(W.partitionBy("doc_id")).cast("double")
+    )
+    per_doc = with_n.groupBy("doc_id", "source").agg(
+        (
+            -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")))
+        ).alias("entropy")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("entropy").alias("avg_entropy"),
+        F.min("entropy").alias("min_entropy"),
+        F.max("entropy").alias("max_entropy"),
+        F.sum((F.col("entropy") < ENTROPY_LOW).cast("int"))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+    )
+
+
+_register(
+    text_char_entropy,
+    f"""
+WITH ch AS (
+  SELECT doc_id, source, u.ch AS ch, COUNT(*) AS c
+  FROM documents,
+       UNNEST(list_transform(range(1, length(text) + 1), i -> text[i])) AS u(ch)
+  WHERE u.ch <> ' '
+  GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, source,
+         -SUM((c / n) * ln(c / n)) AS entropy
+  FROM (SELECT doc_id, source, c,
+               CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+        FROM ch)
+  GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       AVG(entropy) AS avg_entropy,
+       MIN(entropy) AS min_entropy,
+       MAX(entropy) AS max_entropy,
+       CAST(SUM(CASE WHEN entropy < {ENTROPY_LOW} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy
+FROM per_doc GROUP BY 1
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta — the "what changed since the last crawl" panel a
+# continuously-ingesting corpus publishes per refresh: the incoming
+# batch (a deterministic md5 10% of doc_ids — doc_id %% 10 would
+# correlate with the fixture's round-robin source assignment and
+# starve 18 of 20 sources of a base side) against the standing
+# corpus, per source: volume added, relative
+# growth, and how many token TYPES are new to that source's vocabulary
+# (vocabulary drift — the early-warning signal for a source changing
+# character, e.g. a forum turning spammy).
+# Plan / 100 TB: one scan split into the two sides; the vocabulary
+# delta is a distinct (source, token) LEFT ANTI join on (source,
+# token) — shuffles carry type tables, not the corpus; panel is
+# #sources rows.
+# ---------------------------------------------------------------------------
+def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    b = _md5_bucket(F.col("doc_id").cast("string"), "#snap", 10)
+    new = docs.filter(b == 0)
+    base = docs.filter(b != 0)
+    stats_new = new.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_new"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens_new"),
+    )
+    stats_base = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_base")
+    )
+    tok_new = new.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    tok_base = base.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    fresh = (
+        tok_new.join(tok_base, ["source", "w"], "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_token_types"))
+    )
+    return (
+        stats_new.join(stats_base, "source")
+        .join(fresh, "source", "left")
+        .select(
+            "source",
+            "n_docs_new",
+            "n_tokens_new",
+            "n_docs_base",
+            (F.col("n_docs_new") / F.col("n_docs_base")).alias("growth"),
+            F.coalesce("new_token_types", F.lit(0))
+            .cast("bigint")
+            .alias("new_token_types"),
+        )
+    )
+
+
+_register(
+    corpus_snapshot_delta,
+    """
+WITH tagged AS (
+  SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#snap'), 1, 8))
+                 AS BIGINT) % 10 AS b
+  FROM documents
+), new_side AS (
+  SELECT * FROM tagged WHERE b = 0
+), base_side AS (
+  SELECT * FROM tagged WHERE b <> 0
+), sn AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_new,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_new
+  FROM new_side GROUP BY 1
+), sb AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_base
+  FROM base_side GROUP BY 1
+), tn AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w FROM new_side
+), tb AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w FROM base_side
+), fresh AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS new_token_types
+  FROM tn WHERE NOT EXISTS (
+    SELECT 1 FROM tb WHERE tb.source = tn.source AND tb.w = tn.w)
+  GROUP BY 1
+)
+SELECT sn.source, sn.n_docs_new, sn.n_tokens_new, sb.n_docs_base,
+       CAST(sn.n_docs_new AS DOUBLE) / sb.n_docs_base AS growth,
+       CAST(COALESCE(fresh.new_token_types, 0) AS BIGINT) AS new_token_types
+FROM sn JOIN sb ON sn.source = sb.source
+LEFT JOIN fresh ON sn.source = fresh.source
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep, cf. DPR /
+# Contriever): for each anchor vector, the top-HARDNEG_K most-similar
+# vectors with a DIFFERENT label — the "hard negatives" a contrastive
+# trainer pairs against the anchor — plus the anchor's best SAME-label
+# cosine (its positive ceiling) and the triplet margin pos - neg. A
+# negative with positive margin near zero is the valuable kind; a
+# NEGATIVE margin flags label noise.
+# Plan / 100 TB: this is the exact brute-force baseline over a
+# broadcast anchor set (the similarity_topk shape + label exclusion);
+# the scale path swaps the crossJoin for the IVF/LSH candidate
+# generation exactly as similarity_topk -> similarity_ivf does.
+# ---------------------------------------------------------------------------
+HARDNEG_K = 5
+
+
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n2", _dot("v", "v"))
+    q = emb.filter(F.col("vec_id") % 25 == 0).alias("q")
+    c = emb.alias("c")
+    sim = _cos_pre("q", "c")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.col("q.label") == F.col("c.label")).alias("same"),
+            sim.alias("cosine"),
+        )
+    )
+    pos = scored.filter("same").groupBy("query_id").agg(
+        F.max("cosine").alias("pos_cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    neg = (
+        scored.filter(~F.col("same"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARDNEG_K)
+    )
+    return neg.join(pos, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rn").cast("bigint").alias("rn"),
+        "pos_cos",
+        (F.col("pos_cos") - F.col("cosine")).alias("margin"),
+    )
+
+
+_register(
+    similarity_hard_negatives,
+    f"""
+WITH vv AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.label = c.label AS same,
+         list_dot_product(q.v, c.v)
+           / sqrt(list_dot_product(q.v, q.v))
+           / sqrt(list_dot_product(c.v, c.v)) AS cosine
+  FROM vv q JOIN vv c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 25 = 0
+), pos AS (
+  SELECT query_id, MAX(cosine) AS pos_cos FROM scored WHERE same GROUP BY 1
+), neg AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC)
+              AS BIGINT) AS rn
+  FROM scored WHERE NOT same
+)
+SELECT n.query_id, n.neighbor_id, n.cosine, n.rn, p.pos_cos,
+       p.pos_cos - n.cosine AS margin
+FROM neg n LEFT JOIN pos p ON n.query_id = p.query_id
+WHERE n.rn <= {HARDNEG_K}
 """,
 )

@@ -55,6 +55,10 @@ NESTED_LOOP_ALLOWLIST = {
     "corpus_mixture_weights": "1-row corpus-total + weight-normalizer joins",
     "release_shard_manifest": "1-row token-total join onto the shard table",
     "embedding_covariance_panel": "1-row trace join onto the d^2-row table",
+    # round-8 additions
+    "lm_kn_bigram": "1-row bigram-type-count join (the Pcont normalizer)",
+    "quality_retention_curve": "1-row corpus-token-total join onto the 21-row grid",
+    "similarity_hard_negatives": "broadcast anchor side (vec_id %% 25 — small Q by design, the similarity_topk shape)",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,

@@ -61,6 +61,17 @@ HEAVY = [
     "corpus_mixture_weights",
     "release_shard_manifest",
     "embedding_covariance_panel",
+    # round-8: the remaining release-mechanics family (VERDICT r7 Next
+    # 7) and the six new operators
+    "corpus_train_split",
+    "sample_stratified_lang",
+    "quality_retention_curve",
+    "release_sequence_packing",
+    "dedup_semantic",
+    "lm_kn_bigram",
+    "text_char_entropy",
+    "corpus_snapshot_delta",
+    "similarity_hard_negatives",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
