@@ -142,6 +142,20 @@ HEADLINE = [
     "corpus_snapshot_delta",
     "similarity_hard_negatives",
     "quality_retention_curve",
+    # round-8 additions (second batch, queries/pipeline.py): the
+    # regex PII/ID audit (per-table single-pass column aggregates),
+    # CCNet perplexity terciles (KN-model join + histogram-bounded
+    # quantile windows), the Zipf rank-frequency fit (WindowGroupLimit
+    # top-K + closed-form regression agg), the Deequ-style column
+    # profile (one Expand-backed multi-NDV scan), the referential
+    # constraint suite (two FK left joins + conditional aggs), and the
+    # power-of-two padding panel (one expression + tiny groupBy)
+    "pii_pattern_audit",
+    "lm_perplexity_bucket",
+    "zipf_token_panel",
+    "dq_table_profile",
+    "dq_referential_checks",
+    "release_length_buckets",
 ]
 
 

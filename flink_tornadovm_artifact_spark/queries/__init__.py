@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cep, gelly, iot, llm, ml, procedural, relational, temporal_q, tpch, utils_q, windows
+from . import cep, gelly, iot, llm, ml, pipeline, procedural, relational, temporal_q, tpch, utils_q, windows
 
-_MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, utils_q, temporal_q)
+_MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, gelly, utils_q, temporal_q)
 
 #: The verification driver oracle-checks only the FIRST 50 registry
 #: entries, so registration order is itself a correctness-coverage
@@ -100,16 +100,18 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, procedural, cep, gelly, uti
 #: threshold domain also changed to the full 0..20 grid), the 3 whose
 #: plans changed this round (bpe_merge_table + bpe_encode_fertility:
 #: the merge loop now batches top-M non-conflicting merges per round;
-#: dedup_incremental: intra-batch min-doc_id representative), the 6
-#: new round-8 operators (sequence packing, SemDeDup, KN bigram LM,
-#: char entropy, snapshot delta, hard negatives), then the ENTIRE
-#: remaining stale backlog: all 4 r1-cohort, all 5 r2-cohort, all 23
-#: r3-cohort (nothing ≥4 rounds stale is left outside the window),
-#: topped up with 8 r5-cohort diversity picks (CEP base + quantifier,
-#: HITS, label propagation, as-of join, decontamination, IVF, TPC-H
-#: Q16). OUT — the entire r7 window's 50 green entries except the
-#: keep-fresh trio — all stay under the full-oracle pytest sweep at
-#: both SFs every run.
+#: dedup_incremental: intra-batch min-doc_id representative), the 12
+#: new round-8 operators (batch 1: sequence packing, SemDeDup, KN
+#: bigram LM, char entropy, snapshot delta, hard negatives; batch 2,
+#: queries/pipeline.py: PII pattern audit, CCNet perplexity buckets,
+#: Zipf panel, column profile, DQ constraint suite, length buckets),
+#: then the ENTIRE remaining stale backlog: all 4 r1-cohort, all 5
+#: r2-cohort, all 23 r3-cohort (nothing ≥4 rounds stale is left
+#: outside the window), topped up with 2 r5-cohort diversity picks
+#: (CEP base, HITS — batch 2 displaced the other six; the r5 cohort
+#: is 3 rounds stale, under the guard's threshold). OUT — the entire
+#: r7 window's 50 green entries except the keep-fresh trio — all stay
+#: under the full-oracle pytest sweep at both SFs every run.
 WINDOW_KEEP_FRESH: dict[str, str] = {
     # rule-1 holds: green in r7 but their PLANS changed this round, so
     # the driver must re-verify the new shapes (the staleness guard
@@ -126,13 +128,20 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "bpe_merge_table",
     "bpe_encode_fertility",
     "dedup_incremental",
-    # new this round (rule 1) (6)
+    # new this round (rule 1) (12 — second batch: the release-audit
+    # and profiling family from queries/pipeline.py)
     "release_sequence_packing",
     "dedup_semantic",
     "lm_kn_bigram",
     "text_char_entropy",
     "corpus_snapshot_delta",
     "similarity_hard_negatives",
+    "pii_pattern_audit",
+    "lm_perplexity_bucket",
+    "zipf_token_panel",
+    "dq_table_profile",
+    "dq_referential_checks",
+    "release_length_buckets",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -168,15 +177,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_token_count",
     "text_udtf_ngrams",
     "vector_add_kernel",
-    # next-stalest: last green round 5, diversity picks (8)
+    # next-stalest: last green round 5, diversity picks (2 — the
+    # second new-operator batch displaced six of the eight r5 picks;
+    # rule 1 outranks diversity, and the r5 cohort is only 3 rounds
+    # stale so the staleness guard holds without them)
     "cep_followed_by",
-    "cep_times_range",
     "hits_scores",
-    "label_propagation_communities",
-    "temporal_join_events",
-    "text_decontaminate",
-    "similarity_ivf",
-    "q41_tpch_q16",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

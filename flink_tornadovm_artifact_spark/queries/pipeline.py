@@ -1,0 +1,586 @@
+"""Data-release pipeline operators: audits, profiling, and packing.
+
+Round-8 additions beyond the reference's own operator set (the brief's
+"operations a large-scale training-data pipeline would need" axis, same
+category as queries/llm.py's dedup/release families):
+
+- ``pii_pattern_audit``     — regex PII/ID-pattern audit over the string
+                              columns of the release tables (redaction
+                              volume accounting included).
+- ``lm_perplexity_bucket``  — CCNet-style head/middle/tail perplexity
+                              terciles per language, scored with the
+                              Kneser-Ney bigram model from
+                              ``lm_kn_bigram`` (Wenzek et al. 2020).
+- ``zipf_token_panel``      — per-source Zipf rank-frequency fit (log-log
+                              regression slope + fit quality) over the
+                              top-K token types; a corpus-health signal
+                              (natural text ≈ -1; spam/boilerplate
+                              deviates).
+- ``dq_table_profile``      — Deequ-style per-column profile
+                              (completeness, exact NDV, min/max) of the
+                              ``orders`` table (Schelter et al. 2018).
+- ``dq_referential_checks`` — declarative constraint suite: PK
+                              uniqueness, FK integrity, domain and range
+                              checks, one row per check.
+- ``release_length_buckets``— padding-efficiency panel: docs bucketed to
+                              power-of-two sequence lengths, per-bucket
+                              padding waste (the batch-shape companion to
+                              ``release_sequence_packing``).
+
+Every operator is pure JVM expressions / keyed aggregates (no Python on
+the hot path); scale notes are per-op below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .llm import lm_kn_bigram
+
+ORACLE: dict[str, str] = {}
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _register(fn: Callable, sql: str | None) -> Callable:
+    QUERIES[fn.__name__] = fn
+    if sql is not None:
+        ORACLE[fn.__name__] = sql
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# PII / identifier pattern audit. A release audit scans every free-text
+# column for account-number-shaped digit runs, entity#id patterns, and
+# emails, and accounts for how many characters redaction would remove —
+# the pre-publication privacy panel. Patterns are RE2-safe (no
+# backtracking constructs) so Java regex and the DuckDB oracle agree.
+# Plan / 100 TB: one scan per table computing all column aggregates in a
+# single pass (map-side partial aggregation to a 1-row frame), then a
+# constant-width stack unpivot and a tiny union — the scans never
+# shuffle row data, only the per-column counter rows.
+# ---------------------------------------------------------------------------
+PII_ID_PATTERN = "[A-Za-z]+#[0-9]+"
+PII_EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_DIGIT_RUN = "[0-9]{6,}"
+PII_ANY = f"({PII_ID_PATTERN}|{PII_EMAIL_PATTERN}|{PII_DIGIT_RUN})"
+
+#: table -> string columns audited (the release's free-text surface)
+PII_COLUMNS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_name", "c_mktsegment"),
+    "supplier": ("s_name",),
+    "part": ("p_name", "p_brand", "p_type"),
+}
+
+
+def pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for table, cols in PII_COLUMNS.items():
+        df = load(spark, sf_dir, table)
+        aggs = []
+        for c in cols:
+            v = F.col(c)
+            aggs += [
+                F.count(v).alias(f"nv_{c}"),
+                F.sum(v.rlike(PII_DIGIT_RUN).cast("int")).alias(f"dr_{c}"),
+                F.sum(v.rlike(PII_ID_PATTERN).cast("int")).alias(f"id_{c}"),
+                F.sum(v.rlike(PII_EMAIL_PATTERN).cast("int")).alias(
+                    f"em_{c}"
+                ),
+                F.sum(
+                    F.length(v) - F.length(F.regexp_replace(v, PII_ANY, ""))
+                ).alias(f"rc_{c}"),
+            ]
+        one = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', nv_{c}, dr_{c}, id_{c}, em_{c}, rc_{c}" for c in cols
+        )
+        frames.append(
+            one.select(
+                F.lit(table).alias("table_name"),
+                F.expr(
+                    f"stack({len(cols)}, {stack}) AS "
+                    "(column_name, n_values, digit_run_hits, id_hits, "
+                    "email_hits, redacted_chars)"
+                ),
+            ).select(
+                "table_name",
+                "column_name",
+                F.col("n_values").cast("bigint").alias("n_values"),
+                F.col("digit_run_hits").cast("bigint").alias("digit_run_hits"),
+                F.col("id_hits").cast("bigint").alias("id_hits"),
+                F.col("email_hits").cast("bigint").alias("email_hits"),
+                F.col("redacted_chars").cast("bigint").alias("redacted_chars"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _pii_oracle_one(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}' AS table_name, '{col}' AS column_name,
+       CAST(COUNT({col}) AS BIGINT) AS n_values,
+       CAST(SUM(CASE WHEN regexp_matches({col}, '{PII_DIGIT_RUN}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS digit_run_hits,
+       CAST(SUM(CASE WHEN regexp_matches({col}, '{PII_ID_PATTERN}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS id_hits,
+       CAST(SUM(CASE WHEN regexp_matches({col}, '{PII_EMAIL_PATTERN}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS email_hits,
+       CAST(SUM(length({col})
+                - length(regexp_replace({col}, '{PII_ANY}', '', 'g')))
+            AS BIGINT) AS redacted_chars
+FROM {table}"""
+
+
+_register(
+    pii_pattern_audit,
+    "\nUNION ALL\n".join(
+        _pii_oracle_one(t, c) for t, cols in PII_COLUMNS.items() for c in cols
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+# document with the corpus's own Kneser-Ney bigram model
+# (lm_kn_bigram), then split each language into head/middle/tail
+# perplexity terciles. The tercile boundaries are computed EXACTLY but
+# scalably: per-doc cross-entropy is quantized to integer millinats and
+# histogrammed per language (a keyed aggregate with map-side combine),
+# the cumulative window then runs over the HISTOGRAM — whose row count
+# is bounded by the quantized entropy range (a few thousand keys), not
+# the corpus — and the tercile keys broadcast back onto the per-doc
+# frame. A per-language ntile() over the document table would be the
+# 1/n_langs-partition sort this construction exists to avoid (the same
+# scale rule that restructured text_vocab_coverage in round 7).
+# Plan / 100 TB: bigram explode (corpus-linear, map-side combined on
+# the model join key), model join is vocabulary-sized, histogram agg +
+# bounded window + broadcast join; no corpus-sized windows.
+# ---------------------------------------------------------------------------
+def lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = lm_kn_bigram(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split("text", " ")
+    prs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p.w2.isNotNull(),
+    )
+    pairs = docs.select(
+        "doc_id", "lang", F.explode(prs).alias("p")
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    scored = (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg((-F.avg(F.log("p_kn"))).alias("xent"))
+        .withColumn(
+            "qx", F.floor(F.col("xent") * 1000).cast("bigint")
+        )
+    )
+    hist = scored.groupBy("lang", "qx").agg(F.count(F.lit(1)).alias("c"))
+    wc = W.partitionBy("lang").orderBy("qx")
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(wc)
+    ).withColumn("n", F.sum("c").over(W.partitionBy("lang")))
+    bounds = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") >= F.col("n") / 3.0, F.col("qx"))).alias(
+            "k1"
+        ),
+        F.min(
+            F.when(F.col("cum") >= 2.0 * F.col("n") / 3.0, F.col("qx"))
+        ).alias("k2"),
+    )
+    bucket = (
+        F.when(F.col("qx") <= F.col("k1"), "head")
+        .when(F.col("qx") <= F.col("k2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(bounds), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg("xent").alias("avg_xent"),
+            F.avg(F.exp("xent")).alias("avg_ppl"),
+        )
+    )
+
+
+# the model CTE is the lm_kn_bigram oracle verbatim (composition in
+# the oracle mirrors composition in the Spark code)
+from . import llm as _llm  # noqa: E402  (oracle text composition)
+
+_register(lm_perplexity_bucket, None)
+ORACLE["lm_perplexity_bucket"] = f"""
+WITH model AS ({_llm.ORACLE["lm_kn_bigram"]}),
+dpr AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(0, len(t) - 1),
+                               i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS p
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+),
+scored AS (
+  SELECT doc_id, lang, -AVG(ln(p_kn)) AS xent
+  FROM dpr JOIN model ON dpr.p.w1 = model.w1 AND dpr.p.w2 = model.w2
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT doc_id, lang, xent,
+         CAST(FLOOR(xent * 1000) AS BIGINT) AS qx
+  FROM scored
+),
+hist AS (SELECT lang, qx, COUNT(*) AS c FROM q GROUP BY 1, 2),
+cum AS (
+  SELECT lang, qx,
+         SUM(c) OVER (PARTITION BY lang ORDER BY qx) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+bounds AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= n / 3.0 THEN qx END) AS k1,
+         MIN(CASE WHEN cum >= 2.0 * n / 3.0 THEN qx END) AS k2
+  FROM cum GROUP BY 1
+)
+SELECT q.lang,
+       CASE WHEN qx <= k1 THEN 'head'
+            WHEN qx <= k2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       AVG(xent) AS avg_xent,
+       AVG(exp(xent)) AS avg_ppl
+FROM q JOIN bounds ON q.lang = bounds.lang
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency panel: per source, fit ln(freq) = a + slope *
+# ln(rank) over the top-K token types and report the slope (natural
+# text ≈ -1, Zipf 1935 / Piantadosi 2014) plus r² fit quality —
+# boilerplate-heavy or spammy sources bend the curve. Rank is
+# row_number over (freq DESC, token ASC) per source, filtered to
+# ZIPF_TOP immediately so Spark's WindowGroupLimit rewrites the window
+# into a per-partition top-K heap (the text_domain_cap pattern) —
+# vocabulary-sized input, never a full sort at scale; the regression is
+# a per-source closed-form aggregate (covar_pop / var_pop).
+# Plan / 100 TB: token explode with map-side combine onto the type
+# table; top-K heap per source; sources-sized output.
+# ---------------------------------------------------------------------------
+ZIPF_TOP = 500
+
+
+def zipf_token_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    freq = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("t").asc()
+    )
+    top = freq.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= ZIPF_TOP
+    )
+    lnr = F.log(F.col("rk").cast("double"))
+    lnf = F.log(F.col("freq").cast("double"))
+    return top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (F.covar_pop(lnr, lnf) / F.var_pop(lnr)).alias("zipf_slope"),
+        F.pow(F.corr(lnr, lnf), F.lit(2.0)).alias("r2"),
+    )
+
+
+_register(
+    zipf_token_panel,
+    f"""
+WITH freq AS (
+  SELECT source, u.t AS t, COUNT(*) AS freq
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT source, freq,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY freq DESC, t ASC) AS rk
+  FROM freq
+  QUALIFY rk <= {ZIPF_TOP}
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+       covar_pop(ln(CAST(rk AS DOUBLE)), ln(CAST(freq AS DOUBLE)))
+         / var_pop(ln(CAST(rk AS DOUBLE))) AS zipf_slope,
+       pow(corr(ln(CAST(rk AS DOUBLE)), ln(CAST(freq AS DOUBLE))), 2) AS r2
+FROM top GROUP BY 1
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style column profile (Schelter et al. 2018) of the orders
+# table: completeness (non-null count), EXACT distinct count, and
+# min/max rendered as strings, one row per column. All six columns
+# profile in ONE scan — the multi-count-distinct agg expands the input
+# 6× behind map-side partial aggregation (Spark's Expand operator),
+# which is the standard exact-NDV trade; a 100 TB profile would flip
+# the NDV leg to approx_count_distinct, and the q49_approx_aggregates
+# entry already covers that sketch path.
+# ---------------------------------------------------------------------------
+PROFILE_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in PROFILE_COLUMNS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLUMNS)}, {stack}) AS "
+            "(column_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_nonnull").cast("bigint").alias("n_nonnull"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
+_register(
+    dq_table_profile,
+    "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in PROFILE_COLUMNS
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint suite (the Deequ check DSL
+# reduced to its evaluation semantics): PK uniqueness, two FK
+# referential checks, and four domain/range checks — one row per
+# check with the violation count and verdict. Each FK check is a LEFT
+# join + conditional count in a single pass (no separate count job, no
+# 1-row crossJoin); the key-side projections shuffle only the join
+# keys. Domain checks are single-scan conditional aggregates.
+# Plan / 100 TB: two key-hash shuffles (the FK joins — dimension side
+# broadcast where it fits, orders→customer would be shuffle at scale
+# and is written as a plain equi-join so AQE picks the strategy) and
+# map-side-combined 1-row aggregates for everything else.
+# ---------------------------------------------------------------------------
+def dq_referential_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+
+    def row(name: str, checked, viol) -> DataFrame:
+        return checked.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(viol.cast("int")).cast("bigint").alias("n_violations"),
+        ).withColumn("passed", F.col("n_violations") == 0)
+
+    pk = orders.agg(
+        F.lit("orders_pk_unique").alias("check_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).withColumn("passed", F.col("n_violations") == 0)
+
+    fk_li = row(
+        "lineitem_fk_orders",
+        lineitem.select("l_orderkey").join(
+            orders.select(F.col("o_orderkey").alias("_ok")),
+            F.col("l_orderkey") == F.col("_ok"),
+            "left",
+        ),
+        F.col("_ok").isNull(),
+    )
+    fk_cu = row(
+        "orders_fk_customer",
+        orders.select("o_custkey").join(
+            customer.select(F.col("c_custkey").alias("_ck")),
+            F.col("o_custkey") == F.col("_ck"),
+            "left",
+        ),
+        F.col("_ck").isNull(),
+    )
+    price = row(
+        "orders_totalprice_nonneg", orders, F.col("o_totalprice") < 0
+    )
+    status = row(
+        "orders_status_domain",
+        orders,
+        ~F.col("o_orderstatus").isin("O", "F", "P"),
+    )
+    qty = row(
+        "lineitem_quantity_range",
+        lineitem,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    disc = row(
+        "lineitem_discount_range",
+        lineitem,
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+    )
+    out = pk
+    for f in (fk_li, fk_cu, price, status, qty, disc):
+        out = out.unionByName(f)
+    return out
+
+
+_register(
+    dq_referential_checks,
+    """
+SELECT 'orders_pk_unique' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'orders_totalprice_nonneg',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_status_domain',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+           THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+           THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+           THEN 1 ELSE 0 END) = 0
+FROM lineitem
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing panel: the padding-efficiency twin of
+# release_sequence_packing. Each document's token count is rounded up
+# to the next power-of-two bucket (floor 16 — the dynamic-batching
+# scheme in Tensor2Tensor / fairseq-style loaders); per bucket:
+# document count, real tokens, padded slots, and waste fraction. A
+# trainer reading this panel picks bucket boundaries (or decides
+# packing beats padding — compare against release_sequence_packing's
+# exact fill).
+# Plan / 100 TB: one per-doc expression, one ≤~20-key groupBy with
+# map-side combine. Nothing else.
+# ---------------------------------------------------------------------------
+LENGTH_BUCKET_FLOOR = 16
+
+
+def release_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("double").alias("n_tok")
+    )
+    bucket = F.greatest(
+        F.lit(LENGTH_BUCKET_FLOOR),
+        F.pow(F.lit(2.0), F.ceil(F.log2("n_tok"))).cast("bigint"),
+    ).alias("bucket_len")
+    per = docs.select(bucket, F.col("n_tok").cast("bigint").alias("n_tok"))
+    return (
+        per.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "total_tokens",
+            (F.col("bucket_len") * F.col("n_docs")).alias("padded_tokens"),
+            (
+                F.lit(1.0)
+                - F.col("total_tokens")
+                / (F.col("bucket_len") * F.col("n_docs")).cast("double")
+            ).alias("waste_frac"),
+        )
+    )
+
+
+_register(
+    release_length_buckets,
+    f"""
+WITH per AS (
+  SELECT GREATEST({LENGTH_BUCKET_FLOOR},
+                  CAST(pow(2, CEIL(log2(CAST(len(string_split(text, ' '))
+                                             AS DOUBLE)))) AS BIGINT))
+           AS bucket_len,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT bucket_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(bucket_len * COUNT(*) AS BIGINT) AS padded_tokens,
+       1.0 - SUM(n_tok) / CAST(bucket_len * COUNT(*) AS DOUBLE) AS waste_frac
+FROM per GROUP BY 1
+""",
+)

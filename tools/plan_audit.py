@@ -57,6 +57,7 @@ NESTED_LOOP_ALLOWLIST = {
     "embedding_covariance_panel": "1-row trace join onto the d^2-row table",
     # round-8 additions
     "lm_kn_bigram": "1-row bigram-type-count join (the Pcont normalizer)",
+    "lm_perplexity_bucket": "inherits lm_kn_bigram's 1-row type-count broadcast (scores against that model)",
     "quality_retention_curve": "1-row corpus-token-total join onto the 21-row grid",
     "similarity_hard_negatives": "broadcast anchor side (vec_id %% 25 — small Q by design, the similarity_topk shape)",
 }
