@@ -156,6 +156,12 @@ HEADLINE = [
     "dq_table_profile",
     "dq_referential_checks",
     "release_length_buckets",
+    # asymmetric containment dedup: rare-shingle candidate buckets
+    # (df-capped pair fan-out) + set-intersection scoring joins
+    "dedup_containment",
+    # JS token-distribution drift: one type-table explode + sources-
+    # sized totals broadcast + per-source rollup
+    "corpus_drift_js",
 ]
 
 

@@ -100,17 +100,18 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: threshold domain also changed to the full 0..20 grid), the 3 whose
 #: plans changed this round (bpe_merge_table + bpe_encode_fertility:
 #: the merge loop now batches top-M non-conflicting merges per round;
-#: dedup_incremental: intra-batch min-doc_id representative), the 12
+#: dedup_incremental: intra-batch min-doc_id representative), the 14
 #: new round-8 operators (batch 1: sequence packing, SemDeDup, KN
 #: bigram LM, char entropy, snapshot delta, hard negatives; batch 2,
 #: queries/pipeline.py: PII pattern audit, CCNet perplexity buckets,
-#: Zipf panel, column profile, DQ constraint suite, length buckets),
-#: then the ENTIRE remaining stale backlog: all 4 r1-cohort, all 5
-#: r2-cohort, all 23 r3-cohort (nothing ≥4 rounds stale is left
-#: outside the window), topped up with 2 r5-cohort diversity picks
-#: (CEP base, HITS — batch 2 displaced the other six; the r5 cohort
-#: is 3 rounds stale, under the guard's threshold). OUT — the entire
-#: r7 window's 50 green entries except the keep-fresh trio — all stay
+#: Zipf panel, column profile, DQ constraint suite, length buckets;
+#: batch 3: containment dedup, JS token drift), then the ENTIRE
+#: remaining stale backlog: all 4 r1-cohort, all 5 r2-cohort, all 23
+#: r3-cohort (nothing ≥4 rounds stale is left outside the window).
+#: OUT — the entire r7 window's 50 green entries except the
+#: keep-fresh trio, and all eight r5-cohort diversity picks (rule 1
+#: outranks diversity; the r5 cohort is 3 rounds stale, under the
+#: guard's threshold, and heads the r9 staleness queue) — all stay
 #: under the full-oracle pytest sweep at both SFs every run.
 WINDOW_KEEP_FRESH: dict[str, str] = {
     # rule-1 holds: green in r7 but their PLANS changed this round, so
@@ -142,6 +143,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dq_table_profile",
     "dq_referential_checks",
     "release_length_buckets",
+    "dedup_containment",
+    "corpus_drift_js",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -177,12 +180,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_token_count",
     "text_udtf_ngrams",
     "vector_add_kernel",
-    # next-stalest: last green round 5, diversity picks (2 — the
-    # second new-operator batch displaced six of the eight r5 picks;
-    # rule 1 outranks diversity, and the r5 cohort is only 3 rounds
-    # stale so the staleness guard holds without them)
-    "cep_followed_by",
-    "hits_scores",
+    # (no r5 diversity picks left: the batch-2/3 new operators
+    # displaced all eight — rule 1 outranks diversity, and the r5
+    # cohort is only 3 rounds stale so the staleness guard holds
+    # without them; they head the r9 staleness queue)
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

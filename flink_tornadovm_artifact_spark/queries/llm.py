@@ -2701,9 +2701,10 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a.dg ORDER BY a.doc_id) = 1
 HLL_BUCKETS = 512
 
 
-def sketch_hyperloglog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+def _hll_register_rows(tok: DataFrame) -> DataFrame:
+    """(bucket, rho) rows for a ``t`` token frame — ONE definition
+    shared by the batch sketch and its streaming twin (the
+    datasheet_signals no-drift discipline)."""
     bucket = _md5_bucket(F.col("t"), "#hllb", HLL_BUCKETS).cast("int")
     whex = F.substring(F.md5(F.concat(F.col("t"), F.lit("#hllw"))), 1, 12)
     stripped = F.regexp_replace(whex, "^0+", "")
@@ -2717,8 +2718,38 @@ def sketch_hyperloglog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rho = leading zeros of the 48-bit value + 1 = 49 - bit_length
     rho = F.when(ln == 0, F.lit(49)).otherwise(49 - (4 * (ln - 1) + bits_first))
+    return tok.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+
+
+def sketch_hyperloglog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
     return (
-        tok.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        _hll_register_rows(tok)
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("rho_max"))
+    )
+
+
+def sketch_hll_registers_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`sketch_hyperloglog_tokens`: the live
+    distinct-token register table, maintained as an update-mode
+    ``groupBy(bucket).max(rho)`` over the ingest stream — the register
+    algebra (max) IS the streaming merge, so cumulative state per
+    bucket equals the batch sketch over everything ingested so far
+    (differential-pinned in tests/test_round8b_ops.py, with the fixture
+    split across micro-batches so cross-batch merging is exercised).
+
+    100 TB note: state is ≤ HLL_BUCKETS rows TOTAL (vs the exact
+    digest store's row-per-distinct-text in StreamingDatasheet) — this
+    is the sketch leg of that documented trade, and why a live
+    distinct-count card stays cheap at any corpus size. Serve via
+    ``ExternalQueryableState`` keyed on the bucket (upsert-latest is
+    correct because the update-mode aggregate is already cumulative).
+    """
+    tok = docs_stream.select(F.explode(F.split("text", " ")).alias("t"))
+    return (
+        _hll_register_rows(tok)
         .groupBy("bucket")
         .agg(F.max("rho").cast("int").alias("rho_max"))
     )
@@ -4215,5 +4246,119 @@ SELECT n.query_id, n.neighbor_id, n.cosine, n.rn, p.pos_cos,
        p.pos_cos - n.cosine AS margin
 FROM neg n LEFT JOIN pos p ON n.query_id = p.query_id
 WHERE n.rn <= {HARDNEG_K}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (Broder 1997's containment coefficient;
+# the Lee et al. 2022 / quote-detection complement to symmetric
+# Jaccard): C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct 3-token
+# shingle sets. Jaccard-based MinHash misses a short document embedded
+# verbatim in a much longer one (the union term swamps the overlap);
+# containment is the right score for subset/quote relationships, so a
+# curation pipeline runs both. Candidates come from RARE shingles —
+# shingles with document frequency in [2, CONTAIN_DF_MAX] — because a
+# containment pair must share at least one shingle, and rare shingles
+# are the discriminative ones; the df cap bounds pair fan-out per
+# shingle at C(df_max, 2) = 6, so the candidate set is linear in the
+# rare-shingle count, never all-pairs (common boilerplate shingles are
+# exactly the ones dropped, the same hub-cap move as
+# source_overlap_matrix).
+# Plan / 100 TB: shingle explode (corpus-linear, map-side combined) →
+# df groupBy → hash join back on the shingle key → per-bucket i<j pair
+# emission (≤6 rows/bucket) → distinct pairs → two doc_id-keyed joins
+# to the shingle-set table → expression math. All shuffles on shingle
+# or doc keys; no windows; no driver loops.
+# ---------------------------------------------------------------------------
+CONTAIN_DF_MAX = 4
+CONTAIN_THRESHOLD = 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    rare_keys = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter((F.col("dfreq") >= 2) & (F.col("dfreq") <= CONTAIN_DF_MAX))
+        .select("s")
+    )
+    buckets = (
+        sh.join(rare_keys, "s")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+    # NB: 2-ary transform lambda — PySpark passes the element index
+    # as the second argument (same idiom as dedup_minhash_lsh).
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sset = _shingled(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sset")
+    )
+    a, b = sset.alias("a"), sset.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    c_ab = inter / F.size(F.col("a.sset"))
+    c_ba = inter / F.size(F.col("b.sset"))
+    union = F.size(F.col("a.sset")) + F.size(F.col("b.sset")) - inter
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(
+            F.greatest("containment_ab", "containment_ba")
+            >= CONTAIN_THRESHOLD
+        )
+    )
+
+
+_register(
+    dedup_containment,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sset AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(t) - 2),
+                       i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS ss
+  FROM toks
+), sh AS (SELECT doc_id, unnest(ss) AS s FROM sset),
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND {CONTAIN_DF_MAX}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare USING (s) JOIN sh b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       len(list_intersect(a.ss, b.ss)) / len(a.ss) AS containment_ab,
+       len(list_intersect(a.ss, b.ss)) / len(b.ss) AS containment_ba,
+       len(list_intersect(a.ss, b.ss))
+         / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS jaccard
+FROM pairs p JOIN sset a ON p.doc_a = a.doc_id JOIN sset b ON p.doc_b = b.doc_id
+WHERE GREATEST(len(list_intersect(a.ss, b.ss)) / len(a.ss),
+               len(list_intersect(a.ss, b.ss)) / len(b.ss))
+      >= {CONTAIN_THRESHOLD}
 """,
 )

@@ -26,6 +26,10 @@ category as queries/llm.py's dedup/release families):
                               power-of-two sequence lengths, per-bucket
                               padding waste (the batch-shape companion to
                               ``release_sequence_packing``).
+- ``corpus_drift_js``       — per-source Jensen-Shannon divergence of the
+                              incoming batch's token distribution vs the
+                              standing corpus (the statistical drift
+                              companion to ``corpus_snapshot_delta``).
 
 Every operator is pure JVM expressions / keyed aggregates (no Python on
 the hot path); scale notes are per-op below.
@@ -582,5 +586,101 @@ SELECT bucket_len,
        CAST(bucket_len * COUNT(*) AS BIGINT) AS padded_tokens,
        1.0 - SUM(n_tok) / CAST(bucket_len * COUNT(*) AS DOUBLE) AS waste_frac
 FROM per GROUP BY 1
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift (Jensen-Shannon divergence): the statistical
+# companion to corpus_snapshot_delta's vocabulary delta — per source,
+# JS(P_incoming || P_standing) over token unigram distributions, the
+# bounded-symmetric divergence a continuously-ingesting corpus
+# monitors for "this source changed character" (Lin 1991; 0 = same
+# distribution, ln 2 = disjoint support). The incoming batch is the
+# SAME deterministic md5-10% split as corpus_snapshot_delta (one
+# definition of "the new crawl" across both panels). A side with no
+# mass AT ALL (zero docs — not a distribution) contributes p = 0
+# everywhere, so only the present half sums and the score is exactly
+# ln2/2: a deliberate sentinel (flagged by n_types_* = 0)
+# distinguishable from both agreement (0) and true disjoint-support
+# drift between two populated sides (ln 2).
+# Plan / 100 TB: one token explode map-side-combined onto the
+# (source, token) TYPE table carrying both sides' counts (sub-linear,
+# Heaps' law), a sources-sized totals broadcast, and a per-source
+# rollup. No windows, no corpus-sized shuffles.
+# ---------------------------------------------------------------------------
+def corpus_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import _md5_bucket
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_new = _md5_bucket(F.col("doc_id").cast("string"), "#snap", 10) == 0
+    tok = docs.select(
+        "source",
+        is_new.alias("is_new"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    cnt = tok.groupBy("source", "w").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("c_new"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("c_base"),
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c_new").alias("t_new"), F.sum("c_base").alias("t_base")
+    )
+    j = cnt.join(F.broadcast(tot), "source")
+    p = F.when(F.col("t_new") > 0, F.col("c_new") / F.col("t_new")).otherwise(
+        F.lit(0.0)
+    )
+    q = F.when(
+        F.col("t_base") > 0, F.col("c_base") / F.col("t_base")
+    ).otherwise(F.lit(0.0))
+    m = (p + q) / 2.0
+    term = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        q > 0, 0.5 * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return j.groupBy("source").agg(
+        F.sum(term).alias("js_divergence"),
+        F.sum((F.col("c_new") > 0).cast("int")).cast("bigint").alias("n_types_new"),
+        F.sum((F.col("c_base") > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_types_base"),
+        F.sum(((F.col("c_new") > 0) & (F.col("c_base") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("n_types_shared"),
+    )
+
+
+_register(
+    corpus_drift_js,
+    """
+WITH tok AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#snap'), 1, 8))
+              AS BIGINT) % 10 = 0 AS is_new,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w,
+         SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS c_new,
+         SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS c_base
+  FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT source, SUM(c_new) AS t_new, SUM(c_base) AS t_base
+  FROM cnt GROUP BY 1
+), terms AS (
+  SELECT cnt.source,
+         CASE WHEN t_new > 0 THEN c_new / t_new ELSE 0.0 END AS p,
+         CASE WHEN t_base > 0 THEN c_base / t_base ELSE 0.0 END AS q,
+         c_new, c_base
+  FROM cnt JOIN tot ON cnt.source = tot.source
+)
+SELECT source,
+       SUM(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+         AS js_divergence,
+       CAST(SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_new,
+       CAST(SUM(CASE WHEN c_base > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_base,
+       CAST(SUM(CASE WHEN c_new > 0 AND c_base > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_types_shared
+FROM terms GROUP BY 1
 """,
 )

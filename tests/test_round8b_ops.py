@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 from collections import defaultdict
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_tornadovm_artifact_spark.queries.pipeline import (
@@ -145,3 +146,137 @@ def test_length_buckets_pow2_and_conservation(spark):
         expect[b][1] += d.n
     got = {r.bucket_len: (r.n_docs, r.total_tokens) for r in rows}
     assert got == {b: tuple(v) for b, v in expect.items()}
+
+
+def test_containment_bounds_and_exact_dup_recovery(spark):
+    """Containment scores are valid probabilities ordered against
+    Jaccard (jac <= min(c_ab, c_ba) <= max <= 1); every exact-duplicate
+    pair (identical shingle sets) that shares a rare shingle must
+    surface with containment 1.0 both ways; and no emitted pair beats
+    the threshold test."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        CONTAIN_THRESHOLD,
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, SF_SMOKE).collect()
+    assert rows, "containment query is vacuous on the fixture"
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        lo, hi = sorted((r.containment_ab, r.containment_ba))
+        assert r.jaccard <= lo + 1e-12 and hi <= 1.0 + 1e-12
+        assert hi >= CONTAIN_THRESHOLD
+        assert r.doc_a < r.doc_b
+    # exact-dup pairs: same text => containment 1.0 both directions
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, SF_SMOKE, "documents").collect()
+    }
+    for r in rows:
+        if docs[r.doc_a] == docs[r.doc_b]:
+            assert r.containment_ab == 1.0 and r.containment_ba == 1.0
+
+
+def test_hll_stream_matches_batch_registers(spark, tmp_path):
+    """The streaming HLL twin, fed the documents fixture split across
+    two micro-batch files, must equal the batch register table exactly
+    — max is the merge, so cumulative streaming state == one-shot
+    batch. Uses the ExternalQueryableState upsert store (the
+    StreamingDatasheet serving pattern)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        sketch_hll_registers_stream,
+        sketch_hyperloglog_tokens,
+    )
+    from flink_tornadovm_artifact_spark.streaming.core import (
+        ExternalQueryableState,
+    )
+
+    batch = {
+        r.bucket: r.rho_max
+        for r in sketch_hyperloglog_tokens(spark, SF_SMOKE).collect()
+    }
+
+    collected = (
+        load(spark, SF_SMOKE, "documents").orderBy("doc_id").collect()
+    )
+    src = tmp_path / "hll_stream"
+    src.mkdir()
+    half = len(collected) // 2
+    for name, part in (("b0", collected[:half]), ("b1", collected[half:])):
+        pq.write_table(
+            pa.table({"text": pa.array([r.text for r in part], pa.string())}),
+            str(src / f"{name}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = ExternalQueryableState("__ckey", str(tmp_path / "hll_store"))
+    regs = sketch_hll_registers_stream(stream).withColumn(
+        "__ckey", F.col("bucket")
+    )
+    q = (
+        regs.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .foreachBatch(store.on_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r.bucket: r.rho_max
+        for r in store.snapshot_df(spark).drop("__ckey").collect()
+    }
+    assert streamed == batch
+
+
+def test_drift_js_bounds_and_type_consistency(spark):
+    """JS divergence is bounded in [0, ln 2]; shared types never exceed
+    either side; a source with BOTH sides populated and identical
+    uniform-ish token pools scores strictly inside the bounds; and the
+    type counts agree with a direct recompute of the md5 split."""
+    from flink_tornadovm_artifact_spark.queries.llm import _md5_bucket
+    from flink_tornadovm_artifact_spark.queries.pipeline import corpus_drift_js
+
+    rows = corpus_drift_js(spark, SF_SMOKE).collect()
+    assert rows
+    ln2 = math.log(2.0)
+    for r in rows:
+        assert -1e-12 <= r.js_divergence <= ln2 + 1e-12, r.source
+        assert r.n_types_shared <= min(r.n_types_new, r.n_types_base)
+        if r.n_types_new == 0 or r.n_types_base == 0:
+            # one side ABSENT (zero mass, not a distribution): only the
+            # present half contributes, so the score is exactly ln2/2 —
+            # the documented sentinel, distinguishable from true
+            # disjoint-support drift (ln2) and from agreement (0)
+            assert r.js_divergence == pytest.approx(ln2 / 2)
+        elif r.n_types_shared == 0:
+            # both sides populated on disjoint token support => maximum
+            assert r.js_divergence == pytest.approx(ln2)
+    # direct recompute of per-side type counts for one source
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text",
+        (_md5_bucket(F.col("doc_id").cast("string"), "#snap", 10) == 0).alias(
+            "is_new"
+        ),
+    ).collect()
+    src = rows[0].source
+    new_types = {
+        w for d in docs if d.source == src and d.is_new for w in d.text.split(" ")
+    }
+    base_types = {
+        w
+        for d in docs
+        if d.source == src and not d.is_new
+        for w in d.text.split(" ")
+    }
+    got = next(r for r in rows if r.source == src)
+    assert got.n_types_new == len(new_types)
+    assert got.n_types_base == len(base_types)
+    assert got.n_types_shared == len(new_types & base_types)
