@@ -162,6 +162,9 @@ HEADLINE = [
     # JS token-distribution drift: one type-table explode + sources-
     # sized totals broadcast + per-source rollup
     "corpus_drift_js",
+    # principal direction: distributed covariance build + driver-side
+    # K=60 power iteration on the collected dimension-bounded matrix
+    "embedding_principal_direction",
 ]
 
 

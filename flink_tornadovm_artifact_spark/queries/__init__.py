@@ -105,14 +105,17 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: bigram LM, char entropy, snapshot delta, hard negatives; batch 2,
 #: queries/pipeline.py: PII pattern audit, CCNet perplexity buckets,
 #: Zipf panel, column profile, DQ constraint suite, length buckets;
-#: batch 3: containment dedup, JS token drift), then the ENTIRE
-#: remaining stale backlog: all 4 r1-cohort, all 5 r2-cohort, all 23
-#: r3-cohort (nothing ≥4 rounds stale is left outside the window).
-#: OUT — the entire r7 window's 50 green entries except the
-#: keep-fresh trio, and all eight r5-cohort diversity picks (rule 1
-#: outranks diversity; the r5 cohort is 3 rounds stale, under the
-#: guard's threshold, and heads the r9 staleness queue) — all stay
-#: under the full-oracle pytest sweep at both SFs every run.
+#: batch 3: containment dedup, JS token drift, principal direction),
+#: then the remaining stale backlog: all 4 r1-cohort, all 5
+#: r2-cohort, 22 of 23 r3-cohort. OUT — the entire r7 window's 50
+#: green entries except the keep-fresh trio, all eight r5-cohort
+#: diversity picks, and ONE r3 entry (pi_estimation_weyl — the
+#: kernels family keeps dft/matmul/vadd slots; rule 1's "new queries
+#: must be driver-verified" outranks both diversity and the oldest
+#: tail, and the displaced entries head the r9 staleness queue; the
+#: ≥4-round guard holds because no ≤2-round-green incumbent outside
+#: WINDOW_KEEP_FRESH holds a slot) — all stay under the full-oracle
+#: pytest sweep at both SFs every run.
 WINDOW_KEEP_FRESH: dict[str, str] = {
     # rule-1 holds: green in r7 but their PLANS changed this round, so
     # the driver must re-verify the new shapes (the staleness guard
@@ -145,6 +148,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "release_length_buckets",
     "dedup_containment",
     "corpus_drift_js",
+    "embedding_principal_direction",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -162,7 +166,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dft_events",
     "matmul_rows_kernel",
     "multimodal_binary_meta",
-    "pi_estimation_weyl",
     "q19_iot_outliers",
     "q20_kmeans_assign",
     "q21_session_window_dynamic",

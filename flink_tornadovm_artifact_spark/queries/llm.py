@@ -4362,3 +4362,114 @@ WHERE GREATEST(len(list_intersect(a.ss, b.ss)) / len(a.ss),
       >= {CONTAIN_THRESHOLD}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Dominant principal direction of the embedding cloud ("all-but-the-top"
+# step 1, Mu & Viswanath 2018): a FIXED-STEP power iteration (K = 60,
+# renormalized after steps 20 and 40 against underflow) on the
+# covariance matrix from embedding_covariance_panel. Emits, per
+# dimension, the unit-norm loading of the K-step iterate (sign-fixed:
+# component sum >= 0), the Rayleigh-quotient eigenvalue estimate
+# lambda1 = (x_K . x_{K-1}) / (x_{K-1} . x_{K-1}), and lambda1 /
+# trace — the fraction of total variance the top direction explains,
+# THE anisotropy number the covariance panel's per-dim shares only
+# bound. The contract is the exact fixed-step iterate (deterministic
+# in both engines); convergence to the true eigenvector depends on the
+# spectral gap and is pinned separately by a numpy eigh differential
+# (the fixture's isotropic-gaussian embeddings have lambda2/lambda1 ~
+# 0.93, which is exactly why K = 60, not 12).
+# Plan / 100 TB: the corpus-sized work is the covariance build (d^2-
+# bounded shuffles, see embedding_covariance_panel); the iteration
+# runs DRIVER-SIDE on the collected d(d+1)/2-row matrix — the same
+# bounded-collect discipline as the kmeans centroid update (SCALE.md
+# "collect only k-row aggregates"), because a 64x64 matvec has no
+# business being 60 distributed jobs. The oracle mirrors the exact
+# iteration as a generated K-step CTE chain (the BPE-unroll idiom).
+# ---------------------------------------------------------------------------
+POWER_ITER_K = 60
+_POWER_RENORM_AT = (20, 40)  # renormalize after these steps (underflow guard)
+
+
+def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    import numpy as _np
+
+    ut = embedding_covariance_panel(spark, sf_dir).select("i", "j", "cov")
+    rows = ut.collect()  # d(d+1)/2 rows — dimension-bounded by design
+    d = max(r.i for r in rows)
+    C = _np.zeros((d, d), dtype=_np.float64)
+    for r in rows:
+        C[r.i - 1, r.j - 1] = r.cov
+        C[r.j - 1, r.i - 1] = r.cov
+    x = _np.full(d, 1.0 / _math.sqrt(d), dtype=_np.float64)
+    prev = x
+    for k in range(POWER_ITER_K):
+        prev = x
+        x = C @ prev
+        if k + 1 in _POWER_RENORM_AT:
+            x = x / _math.sqrt(float((x * x).sum()))
+    lam = float((x * prev).sum() / (prev * prev).sum())
+    nrm = _math.sqrt(float((x * x).sum()))
+    sgn = 1.0 if float(x.sum()) >= 0 else -1.0
+    trace = float(C.trace())
+    share = lam / trace
+    out = [
+        (i + 1, sgn * float(x[i]) / nrm, lam, share) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "dim int, loading double, lambda1 double, var_share double"
+    )
+
+
+def _power_cte(k: int) -> str:
+    src = f"x{k - 1}n" if (k - 1) in _POWER_RENORM_AT else f"x{k - 1}"
+    cte = f"""x{k} AS MATERIALIZED (
+  SELECT f.i AS dim, SUM(f.cov * s.val) AS val
+  FROM fm f JOIN {src} s ON f.j = s.dim GROUP BY 1
+),"""
+    if k in _POWER_RENORM_AT:
+        cte += f"""
+x{k}n AS MATERIALIZED (
+  SELECT dim, val / (SELECT sqrt(SUM(val * val)) FROM x{k}) AS val FROM x{k}
+),"""
+    return cte
+
+
+_x_ctes = "\n".join(_power_cte(k) for k in range(1, POWER_ITER_K + 1))
+
+_register(
+    embedding_principal_direction,
+    # the covariance CTE is the embedding_covariance_panel oracle
+    # verbatim; the iteration is a generated K-step CTE chain (the
+    # same unroll idiom as the BPE islands oracle)
+    f"""
+WITH covp AS ({{COV_SQL}}),
+ut AS (SELECT i, j, cov FROM covp),
+fm AS (
+  SELECT i, j, cov FROM ut
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM ut WHERE i < j
+),
+dims AS (SELECT DISTINCT i AS dim FROM ut),
+x0 AS (
+  SELECT dim, 1.0 / sqrt((SELECT COUNT(*) FROM dims)) AS val FROM dims
+),
+{_x_ctes}
+lam AS (
+  SELECT SUM(a.val * b.val) / SUM(b.val * b.val) AS lambda1
+  FROM x{POWER_ITER_K} a JOIN x{POWER_ITER_K - 1} b ON a.dim = b.dim
+),
+nrm AS (
+  SELECT sqrt(SUM(val * val)) AS nrm,
+         CASE WHEN SUM(val) >= 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM x{POWER_ITER_K}
+),
+tr AS (SELECT SUM(cov) AS var_total FROM ut WHERE i = j)
+SELECT x.dim, nrm.sgn * x.val / nrm.nrm AS loading,
+       lam.lambda1 AS lambda1,
+       lam.lambda1 / tr.var_total AS var_share
+FROM x{POWER_ITER_K} x, nrm, lam, tr
+""".replace("{COV_SQL}", ORACLE["embedding_covariance_panel"]),
+)

@@ -280,3 +280,41 @@ def test_drift_js_bounds_and_type_consistency(spark):
     assert got.n_types_new == len(new_types)
     assert got.n_types_base == len(base_types)
     assert got.n_types_shared == len(new_types & base_types)
+
+
+def test_principal_direction_matches_numpy_eigh(spark):
+    """The fixed-step power iterate must align with numpy's exact top
+    eigenvector of the same covariance matrix (|cos angle| >= 0.999),
+    its Rayleigh eigenvalue within 1% of eigh's lambda_1, loadings
+    unit-norm with the component-sum >= 0 sign convention held
+    non-marginally, and var_share = lambda1/trace in (0, 1]."""
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        embedding_principal_direction,
+    )
+
+    rows = sorted(
+        embedding_principal_direction(spark, SF_SMOKE).collect(),
+        key=lambda r: r.dim,
+    )
+    v = np.array([r.loading for r in rows])
+    lam1 = rows[0].lambda1
+    share = rows[0].var_share
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    assert v.sum() > 1e-6  # sign convention, non-marginal
+    assert 0.0 < share <= 1.0 + 1e-12
+
+    emb = np.array(
+        [
+            list(r.embedding)
+            for r in load(spark, SF_SMOKE, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(emb, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    assert abs(float(np.dot(v, top))) >= 0.999
+    assert abs(lam1 - w[-1]) <= 0.01 * abs(w[-1])
+    assert share == pytest.approx(lam1 / np.trace(cov), rel=1e-6)
