@@ -165,6 +165,19 @@ HEADLINE = [
     # principal direction: distributed covariance build + driver-side
     # K=60 power iteration on the collected dimension-bounded matrix
     "embedding_principal_direction",
+    # Gopher rule panel: pure per-doc expressions + sources-sized rollup
+    "quality_gopher_rules",
+    # n-gram novelty: type-table distinct + gram-key join (size-adaptive)
+    "text_ngram_novelty",
+    # Bradley-Terry: (user,item) agg + within-user pair join + items²-
+    # bounded collect + driver-side MM
+    "pref_bradley_terry",
+    # ABTT residuals: principal direction (above) + one literal-array
+    # zip_with scan + labels-sized rollup
+    "embedding_abtt_residuals",
+    # dedup recall panel: LSH ∪ rare-shingle candidates, full outer pair
+    # join, verify joins, 1-row aggregate
+    "dedup_recall_panel",
 ]
 
 

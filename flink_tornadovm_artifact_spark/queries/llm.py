@@ -4276,36 +4276,8 @@ CONTAIN_THRESHOLD = 0.5
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
-    )
-    rare_keys = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .filter((F.col("dfreq") >= 2) & (F.col("dfreq") <= CONTAIN_DF_MAX))
-        .select("s")
-    )
-    buckets = (
-        sh.join(rare_keys, "s")
-        .groupBy("s")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-    )
-    # NB: 2-ary transform lambda — PySpark passes the element index
-    # as the second argument (same idiom as dedup_minhash_lsh).
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    # candidate stage shared with dedup_recall_panel (identical plan)
+    pairs = _rare_shingle_pairs(spark, sf_dir)
     sset = _shingled(spark, sf_dir).select(
         "doc_id", F.array_distinct("shingles").alias("sset")
     )
@@ -4472,4 +4444,244 @@ SELECT x.dim, nrm.sgn * x.val / nrm.nrm AS loading,
        lam.lambda1 / tr.var_total AS var_share
 FROM x{POWER_ITER_K} x, nrm, lam, tr
 """.replace("{COV_SQL}", ORACLE["embedding_covariance_panel"]),
+)
+
+
+# ---------------------------------------------------------------------------
+# All-but-the-top residual panel (Mu & Viswanath 2018, step 2 of the
+# post-processing their paper ships): remove the dominant principal
+# direction from every centered embedding and report, per label, how
+# much squared mass the removal takes out — avg ||e - mu||^2, avg
+# (projection onto v)^2, and the residual share 1 - sum(proj^2) /
+# sum(||e - mu||^2). This is the downstream consumer of
+# embedding_principal_direction: the panel that tells a release
+# whether ABTT post-processing is worth shipping for its embedding
+# column (residual_share near 1 - lambda1/trace when labels are
+# isotropic; a label whose share is much lower is the cluster the top
+# direction encodes).
+# Plan / 100 TB: v comes from the power iteration (dimension-bounded
+# collect, see embedding_principal_direction); mu is a d-row collected
+# aggregate. Both enter the plan as LITERAL arrays, so the per-vector
+# projection/residual is a pure JVM zip_with/aggregate expression over
+# the embedding array — one scan, one labels-sized rollup, nothing
+# corpus-sized ever collected or shuffled.
+# ---------------------------------------------------------------------------
+def embedding_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pd_rows = sorted(
+        embedding_principal_direction(spark, sf_dir).collect(),
+        key=lambda r: r.dim,
+    )
+    v = [float(r.loading) for r in pd_rows]  # d-bounded by design
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu_rows = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("mu"))
+        .collect()
+    )  # d rows
+    mu = [float(r.mu) for r in sorted(mu_rows, key=lambda r: r.pos)]
+    mu_arr = F.array(*[F.lit(x) for x in mu])
+    v_arr = F.array(*[F.lit(x) for x in v])
+    ec = F.zip_with("v", mu_arr, lambda x, y: x - y)
+    proj = F.aggregate(
+        F.zip_with(ec, v_arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = F.aggregate(ec, F.lit(0.0), lambda acc, x: acc + x * x)
+    per = emb.select("label", proj.alias("proj"), sq.alias("sq"))
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("sq").alias("avg_sq_norm"),
+        F.avg(F.col("proj") * F.col("proj")).alias("avg_proj_sq"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("proj") * F.col("proj")) / F.sum("sq")
+        ).alias("residual_share"),
+    )
+
+
+_register(
+    embedding_abtt_residuals,
+    # pd nests the full principal-direction oracle (itself nesting the
+    # covariance oracle) — the audited v IS the shipped one
+    """
+WITH pd AS ({PD_SQL}),
+emb0 AS (SELECT label, embedding AS v FROM embeddings),
+mu0 AS (
+  SELECT CAST(u.i AS INTEGER) AS dim, AVG(CAST(v[u.i] AS DOUBLE)) AS mu
+  FROM emb0, UNNEST(range(1, len(v) + 1)) AS u(i) GROUP BY 1
+),
+doc AS (
+  SELECT ROW_NUMBER() OVER () AS rid, label, v FROM emb0
+),
+per AS (
+  SELECT d.rid, d.label,
+         SUM((CAST(v[u.i] AS DOUBLE) - m.mu) * p.loading) AS proj,
+         SUM((CAST(v[u.i] AS DOUBLE) - m.mu)
+             * (CAST(v[u.i] AS DOUBLE) - m.mu)) AS sq
+  FROM doc d, UNNEST(range(1, len(v) + 1)) AS u(i), mu0 m, pd p
+  WHERE m.dim = CAST(u.i AS INTEGER) AND p.dim = CAST(u.i AS INTEGER)
+  GROUP BY 1, 2
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       AVG(sq) AS avg_sq_norm,
+       AVG(proj * proj) AS avg_proj_sq,
+       1 - SUM(proj * proj) / SUM(sq) AS residual_share
+FROM per GROUP BY 1
+""".replace("{PD_SQL}", ORACLE["embedding_principal_direction"]),
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup recall/precision QA panel: cross-validates the MinHash-LSH
+# candidate generator against the INDEPENDENT rare-shingle generator
+# (dedup_containment's candidate stage). Ground truth = pairs from the
+# UNION of both generators whose exact shingle-set Jaccard clears the
+# verify threshold; the panel reports how many true near-dup pairs LSH
+# surfaced (recall — pairs only the rare-shingle path found are LSH
+# false negatives) and what fraction of LSH candidates verify
+# (precision — the band-collision noise the verify join pays for).
+# This is the measurement a pipeline publishes when it tunes
+# bands/rows: the b=4, r=2 S-curve's empirical operating point, not
+# its theoretical one.
+# Plan / 100 TB: both generators are bucket-shaped (band-key /
+# rare-shingle-key shuffles, never all-pairs); the union is a full
+# outer hash join on the pair key; the verify join is two doc-keyed
+# hash joins to the shingle-set table; the panel is a 1-row aggregate
+# with map-side partial combine. Ground truth is candidate-limited by
+# construction (a pair BOTH generators miss is invisible) — stated
+# here because no subquadratic method can see it.
+# ---------------------------------------------------------------------------
+def _rare_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment's candidate stage: i<j doc pairs sharing at
+    least one rare shingle (document frequency in [2, CONTAIN_DF_MAX])."""
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    rare_keys = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter((F.col("dfreq") >= 2) & (F.col("dfreq") <= CONTAIN_DF_MAX))
+        .select("s")
+    )
+    buckets = (
+        sh.join(rare_keys, "s")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def dedup_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = dedup_minhash_lsh(spark, sf_dir).withColumn("in_lsh", F.lit(1))
+    rsh = _rare_shingle_pairs(spark, sf_dir).withColumn("in_sh", F.lit(1))
+    cand = (
+        lsh.join(rsh, ["doc_a", "doc_b"], "full")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("in_lsh", F.lit(0)).alias("in_lsh"),
+            F.coalesce("in_sh", F.lit(0)).alias("in_sh"),
+        )
+    )
+    sset = _shingled(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sset")
+    )
+    a, b = sset.alias("a"), sset.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    union = F.size(F.col("a.sset")) + F.size(F.col("b.sset")) - inter
+    scored = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select("in_lsh", "in_sh", (inter / union).alias("jac"))
+    )
+    truth = (F.col("jac") >= _VERIFY_THRESHOLD).cast("int")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_cand_union"),
+        F.sum("in_lsh").cast("bigint").alias("n_cand_lsh"),
+        F.sum("in_sh").cast("bigint").alias("n_cand_shingle"),
+        F.sum(truth).cast("bigint").alias("n_truth"),
+        F.sum(truth * F.col("in_lsh")).cast("bigint").alias("n_truth_lsh"),
+    )
+    return agg.select(
+        "*",
+        F.try_divide(F.col("n_truth_lsh"), F.col("n_truth")).alias(
+            "recall_lsh"
+        ),
+        F.try_divide(F.col("n_truth_lsh"), F.col("n_cand_lsh")).alias(
+            "precision_lsh"
+        ),
+    )
+
+
+_register(
+    dedup_recall_panel,
+    f"""
+WITH lsh AS (
+{ORACLE["dedup_minhash_lsh"].strip()}
+), toksr AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), ssetr AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(t) - 2),
+                       i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS ss
+  FROM toksr
+), shr AS (SELECT doc_id, unnest(ss) AS s FROM ssetr),
+rarer AS (
+  SELECT s FROM shr GROUP BY s HAVING COUNT(*) BETWEEN 2 AND {CONTAIN_DF_MAX}
+),
+spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shr a JOIN rarer USING (s) JOIN shr b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+         COALESCE(l.doc_b, s.doc_b) AS doc_b,
+         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
+         CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+  FROM lsh l FULL JOIN spairs s
+    ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+),
+scored AS (
+  SELECT c.in_lsh, c.in_sh,
+         len(list_intersect(a.ss, b.ss))
+           / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS jac
+  FROM cand c JOIN ssetr a ON c.doc_a = a.doc_id
+              JOIN ssetr b ON c.doc_b = b.doc_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_union,
+         CAST(SUM(in_lsh) AS BIGINT) AS n_cand_lsh,
+         CAST(SUM(in_sh) AS BIGINT) AS n_cand_shingle,
+         CAST(SUM(CASE WHEN jac >= {_VERIFY_THRESHOLD} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN jac >= {_VERIFY_THRESHOLD} THEN in_lsh ELSE 0 END)
+              AS BIGINT) AS n_truth_lsh
+  FROM scored
+)
+SELECT n_cand_union, n_cand_lsh, n_cand_shingle, n_truth, n_truth_lsh,
+       CASE WHEN n_truth > 0 THEN n_truth_lsh * 1.0 / n_truth END
+         AS recall_lsh,
+       CASE WHEN n_cand_lsh > 0 THEN n_truth_lsh * 1.0 / n_cand_lsh END
+         AS precision_lsh
+FROM agg
+""",
 )

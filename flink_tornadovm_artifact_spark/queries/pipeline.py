@@ -684,3 +684,348 @@ SELECT source,
 FROM terms GROUP BY 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule panel (Rae et al. 2021, §A1.1): the
+# rule-by-rule filter audit a curation pass publishes BEFORE dropping
+# documents — per source, how many docs each rule would remove and how
+# many survive all of them. Rules (canonical thresholds where they
+# exist; the repetition rule is the single-line analog of Gopher's
+# duplicate-line family, threshold noted):
+#   wordcount  — 50 <= n_tokens <= 100_000
+#   meanlen    — mean token length in [3, 10] chars
+#   alpha      — >= 80% of tokens contain an alphabetic character
+#   stopword   — >= 2 DISTINCT stopwords present (the "real prose" test)
+#   repeat     — distinct-token ratio >= 1/3 (single-line analog of the
+#                duplicate-line fraction rules; docs below it are
+#                boilerplate-grade repetitive)
+# A rule that removes nothing on a given corpus still gets its zero —
+# the panel reports the rule suite, not just the binding rules.
+# Plan / 100 TB: every rule is a per-doc JVM expression (split /
+# aggregate / filter higher-order functions, whole-stage codegen); the
+# only shuffle is the final sources-sized rollup with map-side partial
+# aggregation. No windows, no joins, no Python.
+# ---------------------------------------------------------------------------
+GOPHER_WC_MIN, GOPHER_WC_MAX = 50, 100_000
+GOPHER_MEANLEN_MIN, GOPHER_MEANLEN_MAX = 3.0, 10.0
+GOPHER_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_DISTINCT_RATIO = 1.0 / 3.0
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import _STOPWORDS
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    mean_len = F.try_divide(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)),
+        n_tok,
+    )
+    alpha_frac = F.try_divide(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))), n_tok
+    )
+    n_stop_types = F.size(
+        F.filter(F.array_distinct(toks), lambda t: t.isin(*_STOPWORDS))
+    )
+    distinct_ratio = F.try_divide(F.size(F.array_distinct(toks)), n_tok)
+    f_wc = (n_tok < GOPHER_WC_MIN) | (n_tok > GOPHER_WC_MAX)
+    f_ml = (mean_len < GOPHER_MEANLEN_MIN) | (mean_len > GOPHER_MEANLEN_MAX)
+    f_al = alpha_frac < GOPHER_ALPHA_FRAC
+    f_st = n_stop_types < GOPHER_MIN_STOPWORDS
+    f_rp = distinct_ratio < GOPHER_DISTINCT_RATIO
+    flags = docs.select(
+        "source",
+        f_wc.cast("int").alias("f_wc"),
+        f_ml.cast("int").alias("f_ml"),
+        f_al.cast("int").alias("f_al"),
+        f_st.cast("int").alias("f_st"),
+        f_rp.cast("int").alias("f_rp"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_wc").cast("bigint").alias("fail_wordcount"),
+        F.sum("f_ml").cast("bigint").alias("fail_meanlen"),
+        F.sum("f_al").cast("bigint").alias("fail_alpha"),
+        F.sum("f_st").cast("bigint").alias("fail_stopword"),
+        F.sum("f_rp").cast("bigint").alias("fail_repeat"),
+        F.sum(
+            (
+                (F.col("f_wc") + F.col("f_ml") + F.col("f_al")
+                 + F.col("f_st") + F.col("f_rp")) == 0
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+        F.avg(
+            (
+                (F.col("f_wc") + F.col("f_ml") + F.col("f_al")
+                 + F.col("f_st") + F.col("f_rp")) == 0
+            ).cast("double")
+        ).alias("pass_rate"),
+    )
+
+
+def _gopher_oracle() -> str:
+    from .llm import _STOPWORDS
+
+    stop_in = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+), m AS (
+  SELECT source,
+         len(t) AS n_tok,
+         list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS mean_len,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+           / len(t) AS alpha_frac,
+         len(list_filter(list_distinct(t), x -> x IN ({stop_in})))
+           AS n_stop_types,
+         len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio
+  FROM d
+), f AS (
+  SELECT source,
+         CASE WHEN n_tok < {GOPHER_WC_MIN} OR n_tok > {GOPHER_WC_MAX}
+              THEN 1 ELSE 0 END AS f_wc,
+         CASE WHEN mean_len < {GOPHER_MEANLEN_MIN}
+                OR mean_len > {GOPHER_MEANLEN_MAX} THEN 1 ELSE 0 END AS f_ml,
+         CASE WHEN alpha_frac < {GOPHER_ALPHA_FRAC} THEN 1 ELSE 0 END AS f_al,
+         CASE WHEN n_stop_types < {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END
+           AS f_st,
+         CASE WHEN distinct_ratio < {GOPHER_DISTINCT_RATIO} THEN 1 ELSE 0 END
+           AS f_rp
+  FROM m
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS fail_wordcount,
+       CAST(SUM(f_ml) AS BIGINT) AS fail_meanlen,
+       CAST(SUM(f_al) AS BIGINT) AS fail_alpha,
+       CAST(SUM(f_st) AS BIGINT) AS fail_stopword,
+       CAST(SUM(f_rp) AS BIGINT) AS fail_repeat,
+       CAST(SUM(CASE WHEN f_wc + f_ml + f_al + f_st + f_rp = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       AVG(CASE WHEN f_wc + f_ml + f_al + f_st + f_rp = 0
+           THEN 1.0 ELSE 0.0 END) AS pass_rate
+FROM f GROUP BY 1
+"""
+
+
+_register(quality_gopher_rules, _gopher_oracle())
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty panel: for each held-out split (val, test) and each
+# n in {1, 2, 3}, the fraction of DISTINCT n-gram types that never
+# occur in the train split — the memorization-risk / generalization
+# read-out that complements split_leakage_audit (leakage counts docs
+# sharing ANY shingle; novelty measures the type-level overlap mass).
+# Composes the release's own _split_expr so the measured splits ARE the
+# assigned ones.
+# Plan / 100 TB: one token pass per n (constant ×3 in a single union),
+# distinct on the (split, n, gram) key, then an eval ⋈ train LEFT
+# join on the gram key. No broadcast HINT is given: at test SF the
+# size-based planner broadcasts the train gram table (correct — it is
+# tiny), and at 100 TB the train side is corpus-sized, blows the
+# autoBroadcastJoinThreshold, and AQE plans the shuffled join — the
+# same size-adaptive shape as split_leakage_audit. Output is 6 rows.
+# ---------------------------------------------------------------------------
+NOVELTY_NGRAM_NS = (1, 2, 3)
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import _split_expr
+
+    docs = load(spark, sf_dir, "documents").select(
+        _split_expr(F.col("doc_id")).alias("split"),
+        F.split("text", " ").alias("t"),
+    )
+    frames = []
+    for n in NOVELTY_NGRAM_NS:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", i + k) for k in range(n)]
+            ),
+        )
+        frames.append(
+            docs.filter(F.size("t") >= n).select(
+                "split",
+                F.lit(n).cast("int").alias("n"),
+                F.explode(grams).alias("gram"),
+            )
+        )
+    g = frames[0]
+    for fr in frames[1:]:
+        g = g.unionByName(fr)
+    d = g.distinct()
+    train = d.filter(F.col("split") == "train").select("n", "gram")
+    ev = d.filter(F.col("split") != "train")
+    hit = train.withColumn("seen", F.lit(1))
+    joined = ev.join(hit, ["n", "gram"], "left")
+    return joined.groupBy("split", "n").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.avg(F.when(F.col("seen").isNull(), 1.0).otherwise(0.0)).alias(
+            "novelty_frac"
+        ),
+    )
+
+
+def _novelty_oracle() -> str:
+    from .llm import _SPLIT_SQL
+
+    legs = []
+    for n in NOVELTY_NGRAM_NS:
+        concat = " || ' ' || ".join(f"t[i + {k + 1}]" for k in range(n))
+        legs.append(
+            f"""SELECT split, CAST({n} AS INTEGER) AS n,
+       UNNEST(list_transform(range(0, len(t) - {n - 1}), i -> {concat}))
+         AS gram
+FROM toks WHERE len(t) >= {n}"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH toks AS (
+  SELECT {_SPLIT_SQL} AS split, string_split(text, ' ') AS t FROM documents
+), g AS (
+{union}
+), d AS (SELECT DISTINCT split, n, gram FROM g),
+tr AS (SELECT DISTINCT n, gram FROM d WHERE split = 'train'),
+ev AS (SELECT split, n, gram FROM d WHERE split <> 'train')
+SELECT ev.split, ev.n, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       AVG(CASE WHEN tr.gram IS NULL THEN 1.0 ELSE 0.0 END) AS novelty_frac
+FROM ev LEFT JOIN tr ON ev.n = tr.n AND ev.gram = tr.gram
+GROUP BY 1, 2
+"""
+
+
+_register(text_ngram_novelty, _novelty_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference aggregation (Bradley & Terry 1952; MM
+# algorithm per Hunter 2004): the operator a preference-data pipeline
+# runs to turn pairwise comparisons into per-item strengths — the
+# classical core of RLHF reward-data QA and of arena-style model
+# ranking. Comparisons are derived deterministically from the events
+# fixture: within each user, every pair of event types is one game,
+# won by the type with the higher per-user mean value (ties dropped).
+# The MM update p_i <- W_i / sum_j n_ij / (p_i + p_j), renormalized to
+# sum 1, runs a FIXED BT_MM_ITERS steps so both engines compute the
+# identical iterate (the fixed-step contract of
+# embedding_principal_direction; convergence needs every item to have
+# >= 1 win — guaranteed on the fixture and asserted in tests).
+# Plan / 100 TB: the corpus-sized work is the (user, item) aggregate
+# and the within-user pair join (items-squared rows per user, items is
+# small and fixed); the wins matrix is items²-bounded, so the MM loop
+# runs DRIVER-SIDE on the collected matrix — the kmeans bounded-collect
+# discipline. The oracle unrolls the same MM steps as a CTE chain.
+# ---------------------------------------------------------------------------
+BT_MM_ITERS = 30
+
+
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ua = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.avg("value").alias("v"))
+    )
+    a = ua.select(
+        "user_id", F.col("event_type").alias("ia"), F.col("v").alias("va")
+    )
+    b = ua.select(
+        "user_id", F.col("event_type").alias("ib"), F.col("v").alias("vb")
+    )
+    pr = a.join(b, "user_id").filter(F.col("ia") < F.col("ib"))
+    wp = pr.groupBy("ia", "ib").agg(
+        F.sum((F.col("va") > F.col("vb")).cast("int")).alias("w_ab"),
+        F.sum((F.col("vb") > F.col("va")).cast("int")).alias("w_ba"),
+    )
+    m = wp.filter((F.col("w_ab") + F.col("w_ba")) > 0)
+    rows = m.collect()  # items²-bounded — event-type count, not corpus
+
+    n: dict[tuple[str, str], int] = {}
+    w: dict[str, int] = {}
+    g: dict[str, int] = {}
+    for r in rows:
+        games = r.w_ab + r.w_ba
+        n[(r.ia, r.ib)] = n[(r.ib, r.ia)] = games
+        w[r.ia] = w.get(r.ia, 0) + r.w_ab
+        w[r.ib] = w.get(r.ib, 0) + r.w_ba
+        g[r.ia] = g.get(r.ia, 0) + games
+        g[r.ib] = g.get(r.ib, 0) + games
+    items = sorted(g)
+    p = {i: 1.0 / len(items) for i in items}
+    for _ in range(BT_MM_ITERS):
+        nxt = {
+            i: w.get(i, 0)
+            / sum(
+                n[(i, j)] / (p[i] + p[j]) for j in items if (i, j) in n
+            )
+            for i in items
+        }
+        tot = sum(nxt.values())
+        p = {i: v / tot for i, v in nxt.items()}
+    out = [(i, p[i], w.get(i, 0), g[i]) for i in items]
+    return spark.createDataFrame(
+        out, "item string, strength double, wins bigint, games bigint"
+    )
+
+
+def _bt_oracle() -> str:
+    steps = []
+    for k in range(1, BT_MM_ITERS + 1):
+        steps.append(
+            # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
+            # and each step references the previous one three times —
+            # an inlined 30-step chain explodes exponentially
+            f"""x{k} AS MATERIALIZED (
+  SELECT m.i AS item, MIN(wt.w_total) / SUM(m.n / (pa.p + pb.p)) AS p
+  FROM m JOIN p{k - 1} pa ON pa.item = m.i
+         JOIN p{k - 1} pb ON pb.item = m.j
+         JOIN wt ON wt.i = m.i
+  GROUP BY 1
+), p{k} AS MATERIALIZED (
+  SELECT item, p / (SELECT SUM(p) FROM x{k}) AS p FROM x{k}
+),"""
+        )
+    unroll = "\n".join(steps)
+    return f"""
+WITH ua AS (
+  SELECT user_id, event_type, AVG(value) AS v FROM events GROUP BY 1, 2
+), pr AS (
+  SELECT a.event_type AS ia, b.event_type AS ib,
+         CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS wa,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS wb
+  FROM ua a JOIN ua b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+), wp AS (
+  SELECT ia, ib, SUM(wa) AS w_ab, SUM(wb) AS w_ba FROM pr GROUP BY 1, 2
+), m AS (
+  SELECT ia AS i, ib AS j, w_ab + w_ba AS n, w_ab AS w
+  FROM wp WHERE w_ab + w_ba > 0
+  UNION ALL
+  SELECT ib, ia, w_ab + w_ba, w_ba FROM wp WHERE w_ab + w_ba > 0
+), wt AS (
+  SELECT i, CAST(SUM(w) AS DOUBLE) AS w_total,
+         CAST(SUM(w) AS BIGINT) AS wins,
+         CAST(SUM(n) AS BIGINT) AS games
+  FROM m GROUP BY 1
+), items AS (SELECT DISTINCT i AS item FROM m),
+p0 AS (
+  SELECT item, 1.0 / (SELECT COUNT(*) FROM items) AS p FROM items
+),
+{unroll}
+fin AS (SELECT item, p FROM p{BT_MM_ITERS})
+SELECT wt.i AS item, fin.p AS strength, wt.wins AS wins, wt.games AS games
+FROM wt JOIN fin ON fin.item = wt.i
+"""
+
+
+_register(pref_bradley_terry, _bt_oracle())

@@ -1,0 +1,217 @@
+"""Semantic invariants for the round-8 third-batch operators — the
+properties the DuckDB differential can't express: Gopher rule counts
+against a pure-Python recompute, n-gram novelty against set arithmetic,
+Bradley-Terry against an independent numpy MM, ABTT residual identities
+against the pinned eigen-structure, and the recall panel's cross-check
+against dedup_lsh_verified."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_tornadovm_artifact_spark.queries.llm import (
+    _STOPWORDS,
+    _VERIFY_THRESHOLD,
+    dedup_lsh_verified,
+    dedup_recall_panel,
+    embedding_abtt_residuals,
+    embedding_principal_direction,
+)
+from flink_tornadovm_artifact_spark.queries.pipeline import (
+    BT_MM_ITERS,
+    GOPHER_DISTINCT_RATIO,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_WC_MIN,
+    NOVELTY_NGRAM_NS,
+    pref_bradley_terry,
+    quality_gopher_rules,
+    text_ngram_novelty,
+)
+from flink_tornadovm_artifact_spark.tables import load
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def _gopher_flags(text: str) -> dict[str, bool]:
+    t = text.split(" ")
+    n = len(t)
+    mean_len = sum(len(x) for x in t) / n
+    alpha = sum(1 for x in t if any(c.isalpha() for c in x)) / n
+    stops = len({x for x in t if x in _STOPWORDS})
+    dr = len(set(t)) / n
+    return {
+        "f_wc": n < GOPHER_WC_MIN or n > 100_000,
+        "f_ml": mean_len < 3.0 or mean_len > 10.0,
+        "f_al": alpha < 0.80,
+        "f_st": stops < GOPHER_MIN_STOPWORDS,
+        "f_rp": dr < GOPHER_DISTINCT_RATIO,
+    }
+
+
+def test_gopher_rules_match_python_recompute(spark):
+    """Per-source fail counts must equal a pure-Python recompute of the
+    five rules over the raw fixture, and the binding rules (wordcount,
+    stopword, repetition) must each actually remove documents at the
+    smoke SF — the panel is not a row of zeros."""
+    docs = load(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    exp: dict[str, dict[str, int]] = defaultdict(
+        lambda: defaultdict(int)
+    )
+    for r in docs:
+        fl = _gopher_flags(r.text)
+        exp[r.source]["n_docs"] += 1
+        for k, v in fl.items():
+            exp[r.source][k] += int(v)
+        exp[r.source]["n_pass"] += int(not any(fl.values()))
+    got = {r.source: r for r in quality_gopher_rules(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    tot_fail = {"f_wc": 0, "f_st": 0, "f_rp": 0}
+    for src, e in exp.items():
+        g = got[src]
+        assert g.n_docs == e["n_docs"]
+        assert g.fail_wordcount == e["f_wc"]
+        assert g.fail_meanlen == e["f_ml"]
+        assert g.fail_alpha == e["f_al"]
+        assert g.fail_stopword == e["f_st"]
+        assert g.fail_repeat == e["f_rp"]
+        assert g.n_pass == e["n_pass"]
+        assert g.pass_rate == pytest.approx(e["n_pass"] / e["n_docs"])
+        for k in tot_fail:
+            tot_fail[k] += e[k]
+    assert all(v > 0 for v in tot_fail.values()), tot_fail
+
+
+def test_ngram_novelty_matches_set_arithmetic(spark):
+    """Novelty fractions must equal an exact Python set recompute of
+    distinct n-gram types per split, for every (split, n) cell."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    import hashlib
+
+    def split_of(doc_id: int) -> str:
+        h = int(hashlib.md5(f"{doc_id}#split".encode()).hexdigest()[:8], 16) % 100
+        return "train" if h < 80 else ("val" if h < 90 else "test")
+
+    types: dict[tuple[str, int], set[str]] = defaultdict(set)
+    for r in docs:
+        t = r.text.split(" ")
+        sp = split_of(r.doc_id)
+        for n in NOVELTY_NGRAM_NS:
+            for i in range(len(t) - n + 1):
+                types[(sp, n)].add(" ".join(t[i : i + n]))
+    got = {
+        (r.split, r.n): r for r in text_ngram_novelty(spark, SF_SMOKE).collect()
+    }
+    cells = [(sp, n) for sp in ("val", "test") for n in NOVELTY_NGRAM_NS]
+    assert set(got) == set(cells)
+    for sp, n in cells:
+        ev, tr = types[(sp, n)], types[("train", n)]
+        novel = len(ev - tr)
+        g = got[(sp, n)]
+        assert g.n_distinct == len(ev)
+        assert g.n_novel == novel
+        assert g.novelty_frac == pytest.approx(novel / len(ev))
+
+
+def test_bradley_terry_matches_numpy_mm(spark):
+    """Strengths must match an independent numpy MM implementation fed
+    from the raw events (wins matrix rebuilt from scratch), strengths
+    must sum to 1 and be positive, and the strength order must agree
+    with the raw win-rate order on this near-balanced schedule."""
+    import numpy as np
+
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    acc: dict[tuple[int, str], list[float]] = defaultdict(list)
+    for r in ev:
+        acc[(r.user_id, r.event_type)].append(r.value)
+    by_user: dict[int, dict[str, float]] = defaultdict(dict)
+    for (u, t), vals in acc.items():
+        by_user[u][t] = sum(vals) / len(vals)
+    items = sorted({t for (_, t) in acc})
+    idx = {t: i for i, t in enumerate(items)}
+    T = len(items)
+    w = np.zeros((T, T))
+    for u, means in by_user.items():
+        ts = sorted(means)
+        for i, a in enumerate(ts):
+            for b in ts[i + 1 :]:
+                if means[a] > means[b]:
+                    w[idx[a], idx[b]] += 1
+                elif means[b] > means[a]:
+                    w[idx[b], idx[a]] += 1
+    n = w + w.T
+    W = w.sum(axis=1)
+    p = np.full(T, 1.0 / T)
+    for _ in range(BT_MM_ITERS):
+        denom = np.array(
+            [
+                sum(
+                    n[i, j] / (p[i] + p[j])
+                    for j in range(T)
+                    if j != i and n[i, j] > 0
+                )
+                for i in range(T)
+            ]
+        )
+        p = W / denom
+        p = p / p.sum()
+    got = sorted(pref_bradley_terry(spark, SF_SMOKE).collect(), key=lambda r: r.item)
+    assert [r.item for r in got] == items
+    assert sum(r.strength for r in got) == pytest.approx(1.0)
+    for r in got:
+        assert r.strength > 0
+        i = idx[r.item]
+        assert r.strength == pytest.approx(p[i], rel=1e-9)
+        assert r.wins == int(W[i])
+        assert r.games == int(n[i].sum())
+    by_strength = sorted(got, key=lambda r: -r.strength)
+    by_winrate = sorted(got, key=lambda r: -(r.wins / r.games))
+    assert [r.item for r in by_strength] == [r.item for r in by_winrate]
+
+
+def test_abtt_residuals_close_the_variance_identity(spark):
+    """Pooled over all vectors, avg(proj²) must equal the Rayleigh
+    lambda1 of the pinned power iterate (v'Cv with C the biased
+    covariance — exact up to the iterate-vs-eigenvector gap, bounded
+    by the cos≥0.999 pin), and pooled residual share must equal
+    1 - lambda1/trace within the same tolerance. Per-label shares are
+    in (0, 1)."""
+    rows = embedding_abtt_residuals(spark, SF_SMOKE).collect()
+    pd_rows = embedding_principal_direction(spark, SF_SMOKE).collect()
+    lam1, var_share = pd_rows[0].lambda1, pd_rows[0].var_share
+    n_tot = sum(r.n_vecs for r in rows)
+    pooled_proj = sum(r.avg_proj_sq * r.n_vecs for r in rows) / n_tot
+    pooled_sq = sum(r.avg_sq_norm * r.n_vecs for r in rows) / n_tot
+    assert pooled_proj == pytest.approx(lam1, rel=5e-3)
+    assert 1 - pooled_proj / pooled_sq == pytest.approx(
+        1 - var_share, rel=5e-3
+    )
+    for r in rows:
+        assert 0.0 < r.residual_share < 1.0
+        assert r.avg_proj_sq < r.avg_sq_norm
+
+
+def test_recall_panel_cross_checks_lsh_verified(spark):
+    """n_truth_lsh IS the row count of dedup_lsh_verified (same
+    generator, same threshold, same verify math); the panel's counting
+    identities and ratio bounds must hold; and the rare-shingle
+    generator must contribute candidates LSH alone did not (the panel
+    measures something)."""
+    for sf in (SF_SMOKE, SF_ORACLE):
+        panel = dedup_recall_panel(spark, sf).collect()[0]
+        n_verified = dedup_lsh_verified(spark, sf).count()
+        assert panel.n_truth_lsh == n_verified
+        assert panel.n_truth_lsh <= panel.n_truth
+        assert panel.n_truth_lsh <= panel.n_cand_lsh
+        assert panel.n_cand_union <= panel.n_cand_lsh + panel.n_cand_shingle
+        assert panel.n_cand_union >= max(panel.n_cand_lsh, panel.n_cand_shingle)
+        if panel.n_truth:
+            assert 0.0 <= panel.recall_lsh <= 1.0
+        if panel.n_cand_lsh:
+            assert 0.0 <= panel.precision_lsh <= 1.0
+        assert panel.n_cand_union > panel.n_cand_lsh
