@@ -178,6 +178,14 @@ HEADLINE = [
     # dedup recall panel: LSH ∪ rare-shingle candidates, full outer pair
     # join, verify joins, 1-row aggregate
     "dedup_recall_panel",
+    # BM25: term filter BEFORE the tf groupBy (query-terms-only shuffle),
+    # WindowGroupLimit top-k per query
+    "retrieval_bm25_topk",
+    # curriculum phases: 1-row exact-quartile broadcast + per-doc CASE
+    "curriculum_length_phases",
+    # HLL union matrix: sources×512 register grid, bucket-key pair join,
+    # type-table exact side
+    "sketch_hll_union_matrix",
 ]
 
 

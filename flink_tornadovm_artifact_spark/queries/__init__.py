@@ -107,22 +107,24 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: Zipf panel, column profile, DQ constraint suite, length buckets;
 #: batch 3: containment dedup, JS token drift, principal direction;
 #: batch 4: Gopher rule panel, n-gram novelty, Bradley-Terry, ABTT
-#: residuals, dedup recall panel), then the remaining stale backlog:
-#: all 4 r1-cohort, all 5 r2-cohort, 17 of 23 r3-cohort. OUT — the
-#: entire r7 window's 50 green entries except the keep-fresh trio,
-#: all eight r5-cohort diversity picks, and SIX r3 entries displaced
-#: by rule 1 with their family still holding a slot
-#: (pi_estimation_weyl — dft/matmul/vadd keep the kernels family;
-#: q21_tumbling_window + q21_session_window_dynamic —
+#: residuals, dedup recall panel; batch 5: BM25 retrieval top-k,
+#: curriculum length phases, HLL union matrix), then the remaining
+#: stale backlog: all 4 r1-cohort, all 5 r2-cohort, 14 of 23
+#: r3-cohort. OUT — the entire r7 window's 50 green entries except
+#: the keep-fresh trio, all eight r5-cohort diversity picks, and NINE
+#: r3 entries displaced by rule 1 with their family still holding a
+#: slot (pi_estimation_weyl + vector_add_kernel — dft/matmul keep the
+#: kernels family; q21_tumbling_window + q21_session_window_dynamic —
 #: q21_sliding_window keeps the window family; text_fingerprint +
-#: text_token_count — rolling_hash/lang_id/udtf_ngrams keep the text
-#: r2 family; similarity_topk — similarity_lsh_bucketed keeps the
-#: ANN family and is the scale path). Rule 1's "new queries must be
-#: driver-verified" outranks both diversity and the oldest tail; the
-#: displaced entries head the r9 staleness queue; the ≥4-round guard
-#: holds because no ≤2-round-green incumbent outside
-#: WINDOW_KEEP_FRESH holds a slot — all stay under the full-oracle
-#: pytest sweep at both SFs every run.
+#: text_token_count + text_lang_id — rolling_hash/udtf_ngrams keep
+#: the text r2 family; similarity_topk — similarity_lsh_bucketed
+#: keeps the ANN family and is the scale path; dedup_simhash —
+#: lsh_verified + the new containment/recall entries keep dedup).
+#: Rule 1's "new queries must be driver-verified" outranks both
+#: diversity and the oldest tail; the displaced entries head the r9
+#: staleness queue; the ≥4-round guard holds because no
+#: ≤2-round-green incumbent outside WINDOW_KEEP_FRESH holds a slot —
+#: all stay under the full-oracle pytest sweep at both SFs every run.
 WINDOW_KEEP_FRESH: dict[str, str] = {
     # rule-1 holds: green in r7 but their PLANS changed this round, so
     # the driver must re-verify the new shapes (the staleness guard
@@ -161,6 +163,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pref_bradley_terry",
     "embedding_abtt_residuals",
     "dedup_recall_panel",
+    "retrieval_bm25_topk",
+    "curriculum_length_phases",
+    "sketch_hll_union_matrix",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -172,10 +177,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q10_distinct",
     "q12_topk_global",
     "q16_scalar_functions",
-    # stalest: last green round 3 (17 of the 23-cohort; the 6
+    # stalest: last green round 3 (14 of the 23-cohort; the 9
     # displaced ones are named in the rotation note above)
     "dedup_lsh_verified",
-    "dedup_simhash",
     "dft_events",
     "matmul_rows_kernel",
     "multimodal_binary_meta",
@@ -187,10 +191,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q30_tpch_q5",
     "q36_json_extract",
     "similarity_lsh_bucketed",
-    "text_lang_id",
     "text_rolling_hash",
     "text_udtf_ngrams",
-    "vector_add_kernel",
     # (no r5 diversity picks left: the batch-2/3 new operators
     # displaced all eight — rule 1 outranks diversity, and the r5
     # cohort is only 3 rounds stale so the staleness guard holds

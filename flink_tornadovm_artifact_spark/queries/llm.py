@@ -2701,10 +2701,11 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a.dg ORDER BY a.doc_id) = 1
 HLL_BUCKETS = 512
 
 
-def _hll_register_rows(tok: DataFrame) -> DataFrame:
+def _hll_register_rows(tok: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     """(bucket, rho) rows for a ``t`` token frame — ONE definition
-    shared by the batch sketch and its streaming twin (the
-    datasheet_signals no-drift discipline)."""
+    shared by the batch sketch, its streaming twin, and the per-source
+    union matrix (the datasheet_signals no-drift discipline). ``keys``
+    carries grouping columns (e.g. source) through unchanged."""
     bucket = _md5_bucket(F.col("t"), "#hllb", HLL_BUCKETS).cast("int")
     whex = F.substring(F.md5(F.concat(F.col("t"), F.lit("#hllw"))), 1, 12)
     stripped = F.regexp_replace(whex, "^0+", "")
@@ -2718,7 +2719,9 @@ def _hll_register_rows(tok: DataFrame) -> DataFrame:
     )
     # rho = leading zeros of the 48-bit value + 1 = 49 - bit_length
     rho = F.when(ln == 0, F.lit(49)).otherwise(49 - (4 * (ln - 1) + bits_first))
-    return tok.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+    return tok.select(
+        *keys, bucket.alias("bucket"), rho.cast("int").alias("rho")
+    )
 
 
 def sketch_hyperloglog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4683,5 +4686,211 @@ SELECT n_cand_union, n_cand_lsh, n_cand_shingle, n_truth, n_truth_lsh,
        CASE WHEN n_cand_lsh > 0 THEN n_truth_lsh * 1.0 / n_cand_lsh END
          AS precision_lsh
 FROM agg
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# HLL union/intersection matrix (Flajolet et al. 2007 §4 merge
+# property + inclusion-exclusion): per source pair, the union
+# cardinality estimated by MERGING the two sources' register tables
+# (bucket-wise max — the property that makes HLL the sketch of choice
+# for distributed distinct counting), the intersection by
+# |A| + |B| - |A∪B|, and BOTH compared against the exact distinct-token
+# overlap so the panel carries its own error column — the calibration a
+# pipeline publishes before trusting sketch-level overlap triage at
+# full scale (est_intersect may go negative at sketch noise level;
+# shown, not clipped). Estimator = alpha·m²/Σ2^-rho with Flajolet's
+# §4 small-range correction (linear counting m·ln(m/V) when the raw
+# estimate is ≤ 2.5m and V zero registers remain) — required here, not
+# optional: the fixture vocabulary is tiny relative to m = 512, the
+# exact regime where the raw estimator is upward-biased by an order of
+# magnitude (pinned in tests: the corrected union error sits inside
+# the 6σ envelope; the raw one was ~11×).
+# Plan / 100 TB: registers are per-(source, bucket) keyed aggregates —
+# map-side collapse to ≤ sources×512 rows; the pair matrix is a
+# bucket-key join over that bounded table (never corpus-sized). The
+# exact side is the (source, token) TYPE table (Heaps-law sub-linear)
+# self-joined on the token key with fan-out bounded by the source
+# count — the same hub-cap argument as source_overlap_matrix.
+# ---------------------------------------------------------------------------
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_BUCKETS)
+_HLL_MM = float(HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS)  # one double literal for the oracle
+
+
+def sketch_hll_union_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    regs = (
+        _hll_register_rows(tok, keys=("source",))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    srcs = regs.select("source").distinct()
+    grid = srcs.crossJoin(
+        F.broadcast(
+            spark.range(HLL_BUCKETS).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    dense = grid.join(regs, ["source", "bucket"], "left").select(
+        "source", "bucket", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    def _est(denom, zeros):
+        raw = F.lit(_HLL_MM) / denom
+        lin = F.lit(float(HLL_BUCKETS)) * F.log(
+            F.lit(float(HLL_BUCKETS)) / zeros
+        )
+        return F.when(
+            (raw <= 2.5 * HLL_BUCKETS) & (zeros > 0), lin
+        ).otherwise(raw)
+
+    den = dense.groupBy("source").agg(
+        _est(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))),
+            F.sum((F.col("rho") == 0).cast("int")),
+        ).alias("est")
+    )
+    a = dense.alias("a")
+    b = dense.alias("b")
+    pden = (
+        a.join(b, "bucket")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            _est(
+                F.sum(F.pow(F.lit(2.0), -F.greatest("a.rho", "b.rho"))),
+                F.sum(
+                    (F.greatest("a.rho", "b.rho") == 0).cast("int")
+                ),
+            ).alias("est_union")
+        )
+    )
+    st = tok.distinct()
+    ex = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = st.alias("sa"), st.alias("sb")
+    exi = (
+        sa.join(sb, "t")
+        .filter(F.col("sa.source") < F.col("sb.source"))
+        .groupBy(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    da = den.select(F.col("source").alias("source_a"), F.col("est").alias("est_a"))
+    db = den.select(F.col("source").alias("source_b"), F.col("est").alias("est_b"))
+    ea = ex.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    eb = ex.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    out = (
+        pden.join(F.broadcast(da), "source_a")
+        .join(F.broadcast(db), "source_b")
+        .join(exi, ["source_a", "source_b"])
+        .join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersect"
+        ),
+        (F.col("n_a") + F.col("n_b") - F.col("exact_intersect"))
+        .cast("bigint")
+        .alias("exact_union"),
+        F.col("exact_intersect").cast("bigint").alias("exact_intersect"),
+        (
+            F.col("est_union")
+            / (F.col("n_a") + F.col("n_b") - F.col("exact_intersect"))
+            - 1.0
+        ).alias("err_union"),
+    )
+
+
+_register(
+    sketch_hll_union_matrix,
+    f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+r AS (
+  SELECT source,
+         CAST(CAST(concat('0x', substr(md5(t || '#hllb'), 1, 8)) AS BIGINT)
+              % {HLL_BUCKETS} AS INTEGER) AS bucket,
+         regexp_replace(substr(md5(t || '#hllw'), 1, 12), '^0+', '') AS s
+  FROM tok
+),
+rr AS (
+  SELECT source, bucket,
+         CASE WHEN len(s) = 0 THEN 49
+              ELSE 49 - (4 * (len(s) - 1) +
+                   CASE WHEN s[1] = '1' THEN 1
+                        WHEN s[1] IN ('2', '3') THEN 2
+                        WHEN s[1] IN ('4', '5', '6', '7') THEN 3
+                        ELSE 4 END)
+         END AS rho
+  FROM r
+),
+regs AS (SELECT source, bucket, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+srcs AS (SELECT DISTINCT source FROM regs),
+grid AS (
+  SELECT s.source, CAST(g.b AS INTEGER) AS bucket
+  FROM srcs s, UNNEST(range(0, {HLL_BUCKETS})) AS g(b)
+),
+dense AS (
+  SELECT g.source, g.bucket, COALESCE(regs.rho, 0) AS rho
+  FROM grid g LEFT JOIN regs
+    ON g.source = regs.source AND g.bucket = regs.bucket
+),
+den AS (
+  SELECT source,
+         CASE WHEN {_HLL_MM!r} / SUM(power(2.0, -rho))
+                   <= 2.5 * {HLL_BUCKETS}
+               AND SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) > 0
+              THEN {HLL_BUCKETS} * ln({HLL_BUCKETS}
+                   / SUM(CASE WHEN rho = 0 THEN 1.0 ELSE 0.0 END))
+              ELSE {_HLL_MM!r} / SUM(power(2.0, -rho)) END AS est
+  FROM dense GROUP BY 1
+),
+pden AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CASE WHEN {_HLL_MM!r} / SUM(power(2.0, -GREATEST(a.rho, b.rho)))
+                   <= 2.5 * {HLL_BUCKETS}
+               AND SUM(CASE WHEN GREATEST(a.rho, b.rho) = 0
+                       THEN 1 ELSE 0 END) > 0
+              THEN {HLL_BUCKETS} * ln({HLL_BUCKETS}
+                   / SUM(CASE WHEN GREATEST(a.rho, b.rho) = 0
+                         THEN 1.0 ELSE 0.0 END))
+              ELSE {_HLL_MM!r} / SUM(power(2.0, -GREATEST(a.rho, b.rho)))
+              END AS est_union
+  FROM dense a JOIN dense b
+    ON a.bucket = b.bucket AND a.source < b.source
+  GROUP BY 1, 2
+),
+st AS (SELECT DISTINCT source, t FROM tok),
+ex AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+exi AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS exact_intersect
+  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.est_union,
+       da.est + db.est - p.est_union AS est_intersect,
+       CAST(ea.n + eb.n - exi.exact_intersect AS BIGINT) AS exact_union,
+       CAST(exi.exact_intersect AS BIGINT) AS exact_intersect,
+       p.est_union / (ea.n + eb.n - exi.exact_intersect) - 1.0 AS err_union
+FROM pden p
+JOIN den da ON da.source = p.source_a
+JOIN den db ON db.source = p.source_b
+JOIN exi ON exi.source_a = p.source_a AND exi.source_b = p.source_b
+JOIN ex ea ON ea.source = p.source_a
+JOIN ex eb ON eb.source = p.source_b
 """,
 )

@@ -714,10 +714,12 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_DISTINCT_RATIO = 1.0 / 3.0
 
 
-def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gopher_flag_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc rule flags for a (source, text) frame — ONE definition
+    shared by the batch panel and its streaming twin (the
+    datasheet_signals no-drift discipline)."""
     from .llm import _STOPWORDS
 
-    docs = load(spark, sf_dir, "documents").select("source", "text")
     toks = F.split("text", " ")
     n_tok = F.size(toks)
     mean_len = F.try_divide(
@@ -736,7 +738,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_al = alpha_frac < GOPHER_ALPHA_FRAC
     f_st = n_stop_types < GOPHER_MIN_STOPWORDS
     f_rp = distinct_ratio < GOPHER_DISTINCT_RATIO
-    flags = docs.select(
+    return docs.select(
         "source",
         f_wc.cast("int").alias("f_wc"),
         f_ml.cast("int").alias("f_ml"),
@@ -744,6 +746,13 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_st.cast("int").alias("f_st"),
         f_rp.cast("int").alias("f_rp"),
     )
+
+
+def _gopher_panel(flags: DataFrame) -> DataFrame:
+    """Sources-sized rollup of the flag frame — shared by batch and
+    streaming twins; every aggregate is additive (count/sum) or a ratio
+    of additives (avg), so the update-mode streaming state merges to
+    exactly the batch answer."""
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("f_wc").cast("bigint").alias("fail_wordcount"),
@@ -766,6 +775,32 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("pass_rate"),
     )
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gopher_panel(
+        _gopher_flag_frame(
+            load(spark, sf_dir, "documents").select("source", "text")
+        )
+    )
+
+
+def quality_gopher_rules_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`quality_gopher_rules`: the live
+    curation-QA card, maintained as an update-mode per-source aggregate
+    over the ingest stream. The flag expressions and the rollup are the
+    batch ones verbatim (``_gopher_flag_frame`` / ``_gopher_panel``),
+    and every aggregate is additive, so cumulative streaming state per
+    source equals the batch panel over everything ingested so far
+    (differential-pinned in tests/test_round8c_ops.py with the fixture
+    split across micro-batches).
+
+    100 TB note: state is sources-sized (one row per source), the
+    stateless flag expressions stream through map tasks — this card is
+    free at any ingest rate. Serve via ``ExternalQueryableState`` keyed
+    on source (upsert-latest is correct: update-mode output is already
+    cumulative)."""
+    return _gopher_panel(_gopher_flag_frame(docs_stream))
 
 
 def _gopher_oracle() -> str:
@@ -1029,3 +1064,203 @@ FROM wt JOIN fin ON fin.item = wt.i
 
 
 _register(pref_bradley_terry, _bt_oracle())
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval top-k (Robertson & Zaragoza 2009, Okapi k1/b form):
+# the retrieval primitive a curation pipeline uses for targeted corpus
+# search — finding the documents most relevant to a probe query
+# (contamination hunting, topical subset extraction, eval-set
+# sourcing). A fixed deterministic probe-query set scores against the
+# corpus; idf is the standard ln(1 + (N - df + 0.5)/(df + 0.5)).
+# Plan / 100 TB: the term filter lands BEFORE the tf groupBy, so the
+# only corpus-sized pass is the token explode and the shuffle carries
+# tf rows for QUERY TERMS ONLY (a constant-sized vocabulary slice);
+# df/N/avgdl are 1-row or terms-sized broadcasts; the per-query top-k
+# is a rank-limit window planned as WindowGroupLimit (map-side k-row
+# heap per query, same shape as text_domain_cap). Ranks are
+# deterministic: score desc, then doc_id asc.
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+#: probe queries (terms drawn from the fixture vocabulary)
+BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_join": ("fast", "merge", "join"),
+    "q_stream": ("window", "batch", "stream"),
+    "q_orders": ("customer", "order", "data"),
+}
+
+
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    dl = docs.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(term_score).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select(
+            "query_id", "doc_id", "score", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
+def _bm25_oracle() -> str:
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), dl AS (SELECT doc_id, len(t) AS dl FROM d),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+  WHERE term IN ({terms_in})
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {qvals}),
+per_doc AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1}
+                * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN q ON tf.term = q.term
+          JOIN dft ON tf.term = dft.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rk
+  FROM per_doc
+)
+SELECT query_id, doc_id, score, rk FROM ranked WHERE rk <= {BM25_TOPK}
+"""
+
+
+_register(retrieval_bm25_topk, _bm25_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phases by sequence length (the "sequence length warmup"
+# schedule — train on short documents first and grow the length budget;
+# Li et al. 2022's stability/efficiency curriculum): docs are assigned
+# to 4 phases by the EXACT quartiles of their token count, and the
+# panel reports each phase's per-source composition — what the loader
+# will actually feed in each stage. Quartiles of an INTEGER length are
+# interpolated halves, exact in binary floating point, so the phase
+# boundaries are engine-independent (this is why the curriculum keys on
+# length, not on a float quality score whose ulp could flip a
+# boundary doc).
+# Plan / 100 TB: one pass for lengths, a 1-row exact-percentile
+# aggregate broadcast onto the stream (percentile over an int column —
+# at true scale swap for approx_percentile with a documented epsilon,
+# the thresholds are schedule knobs, not answers), a per-doc CASE, and
+# a (phase, source)-sized rollup. No global sort, no window.
+# ---------------------------------------------------------------------------
+def curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    th = docs.agg(
+        F.expr("percentile(n_tok, array(0.25, 0.5, 0.75))").alias("t")
+    ).select(
+        F.col("t")[0].alias("t1"),
+        F.col("t")[1].alias("t2"),
+        F.col("t")[2].alias("t3"),
+    )
+    phased = docs.crossJoin(F.broadcast(th)).select(
+        "source",
+        "n_tok",
+        F.when(F.col("n_tok") <= F.col("t1"), 1)
+        .when(F.col("n_tok") <= F.col("t2"), 2)
+        .when(F.col("n_tok") <= F.col("t3"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("phase"),
+    )
+    return phased.groupBy("phase", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("n_tok").cast("bigint").alias("min_tok"),
+        F.max("n_tok").cast("bigint").alias("max_tok"),
+    )
+
+
+_register(
+    curriculum_length_phases,
+    """
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+), th AS (
+  SELECT quantile_cont(n_tok, 0.25) AS t1,
+         quantile_cont(n_tok, 0.50) AS t2,
+         quantile_cont(n_tok, 0.75) AS t3
+  FROM d
+), p AS (
+  SELECT source, n_tok,
+         CAST(CASE WHEN n_tok <= t1 THEN 1
+                   WHEN n_tok <= t2 THEN 2
+                   WHEN n_tok <= t3 THEN 3
+                   ELSE 4 END AS INTEGER) AS phase
+  FROM d, th
+)
+SELECT phase, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok
+FROM p GROUP BY 1, 2
+""",
+)

@@ -215,3 +215,177 @@ def test_recall_panel_cross_checks_lsh_verified(spark):
         if panel.n_cand_lsh:
             assert 0.0 <= panel.precision_lsh <= 1.0
         assert panel.n_cand_union > panel.n_cand_lsh
+
+
+def test_bm25_matches_python_recompute(spark):
+    """Top-k lists (ids, scores, ranks) must equal an independent
+    pure-Python BM25 over the raw fixture for every probe query, and
+    every query must return a full k-deep list with strictly
+    rank-ordered scores (ties broken by doc_id)."""
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOPK,
+        retrieval_bm25_topk,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+
+    def score(qterms, doc):
+        dl = len(toks[doc])
+        s = 0.0
+        for t in qterms:
+            tf = toks[doc].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (BM25_K1 + 1) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+            )
+        return s
+
+    got = defaultdict(list)
+    for r in retrieval_bm25_topk(spark, SF_SMOKE).collect():
+        got[r.query_id].append(r)
+    assert set(got) == set(BM25_QUERIES)
+    for qid, qterms in BM25_QUERIES.items():
+        rows = sorted(got[qid], key=lambda r: r.rk)
+        assert len(rows) == BM25_TOPK
+        scored = sorted(
+            ((score(qterms, d), d) for d in toks if score(qterms, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rk, r in enumerate(rows, 1):
+            assert r.rk == rk
+            assert r.doc_id == scored[rk - 1][1]
+            assert r.score == pytest.approx(scored[rk - 1][0], rel=1e-9)
+        assert all(
+            rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1)
+        )
+
+
+def test_curriculum_phases_partition_the_corpus(spark):
+    """The four phases must partition every document exactly once, be
+    length-ordered (max_tok of phase p <= min_tok of phase p+1 across
+    sources), and roughly quarter the corpus (exact quartile
+    thresholds: no phase may exceed half of it)."""
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        curriculum_length_phases,
+    )
+
+    rows = curriculum_length_phases(spark, SF_SMOKE).collect()
+    total_docs = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == total_docs
+    by_phase = defaultdict(list)
+    for r in rows:
+        assert r.phase in (1, 2, 3, 4)
+        by_phase[r.phase].append(r)
+    phases = sorted(by_phase)
+    for lo, hi in zip(phases, phases[1:]):
+        assert max(r.max_tok for r in by_phase[lo]) <= min(
+            r.min_tok for r in by_phase[hi]
+        )
+    for p in phases:
+        assert sum(r.n_docs for r in by_phase[p]) <= total_docs / 2
+
+
+def test_hll_union_matrix_sketch_identities(spark):
+    """Merged-register union estimates must respect sketch algebra:
+    est_union >= max of the per-source estimates (max-merge can only
+    grow registers), the union error must stay inside the HLL
+    standard-error envelope (1.04/sqrt(512) ~ 4.6%; 6 sigma bound),
+    exact counts must satisfy inclusion-exclusion, and every source
+    pair must be present exactly once (i < j)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        HLL_BUCKETS,
+        sketch_hll_union_matrix,
+    )
+
+    rows = sketch_hll_union_matrix(spark, SF_ORACLE).collect()
+    srcs = {r.source for r in load(spark, SF_ORACLE, "documents").select("source").distinct().collect()}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    se = 1.04 / math.sqrt(HLL_BUCKETS)
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.exact_intersect > 0
+        assert r.exact_union >= max(r.exact_intersect, 1)
+        assert abs(r.err_union) <= 6 * se, (r.source_a, r.source_b, r.err_union)
+        assert r.est_union == pytest.approx(
+            r.exact_union, rel=6 * se
+        )
+        # inclusion-exclusion on the estimates by construction
+        assert r.est_intersect <= r.est_union + 1e-9
+
+
+def test_gopher_stream_matches_batch_panel(spark, tmp_path):
+    """The streaming Gopher twin, fed the documents fixture split
+    across two micro-batch files, must equal the batch panel exactly —
+    every aggregate is additive, so cumulative streaming state ==
+    one-shot batch (the sketch_hll_registers_stream discipline)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        quality_gopher_rules,
+        quality_gopher_rules_stream,
+    )
+    from flink_tornadovm_artifact_spark.streaming.core import (
+        ExternalQueryableState,
+    )
+
+    batch = {
+        r.source: r.asDict()
+        for r in quality_gopher_rules(spark, SF_SMOKE).collect()
+    }
+    collected = load(spark, SF_SMOKE, "documents").orderBy("doc_id").collect()
+    src = tmp_path / "gopher_stream"
+    src.mkdir()
+    half = len(collected) // 2
+    for name, part in (("b0", collected[:half]), ("b1", collected[half:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array([r.source for r in part], pa.string()),
+                    "text": pa.array([r.text for r in part], pa.string()),
+                }
+            ),
+            str(src / f"{name}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = ExternalQueryableState("__ckey", str(tmp_path / "gopher_store"))
+    card = quality_gopher_rules_stream(stream).withColumn(
+        "__ckey", F.col("source")
+    )
+    q = (
+        card.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "gopher_ckpt"))
+        .foreachBatch(store.on_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r.source: r.asDict()
+        for r in store.snapshot_df(spark).drop("__ckey").collect()
+    }
+    assert set(streamed) == set(batch)
+    for s, b in batch.items():
+        g = streamed[s]
+        for k, v in b.items():
+            if isinstance(v, float):
+                assert g[k] == pytest.approx(v), (s, k)
+            else:
+                assert g[k] == v, (s, k)

@@ -60,6 +60,10 @@ NESTED_LOOP_ALLOWLIST = {
     "lm_perplexity_bucket": "inherits lm_kn_bigram's 1-row type-count broadcast (scores against that model)",
     "quality_retention_curve": "1-row corpus-token-total join onto the 21-row grid",
     "similarity_hard_negatives": "broadcast anchor side (vec_id %% 25 — small Q by design, the similarity_topk shape)",
+    # round-8 batch 5
+    "retrieval_bm25_topk": "1-row N/avgdl stats join onto the query-term tf slice",
+    "curriculum_length_phases": "1-row exact-quartile thresholds join",
+    "sketch_hll_union_matrix": "sources x 512-register dense grid (bounded by construction)",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
