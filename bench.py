@@ -186,6 +186,8 @@ HEADLINE = [
     # HLL union matrix: sources×512 register grid, bucket-key pair join,
     # type-table exact side
     "sketch_hll_union_matrix",
+    # lang-ID confusion: per-doc prediction expression + langs²-bounded agg
+    "langid_confusion_matrix",
 ]
 
 

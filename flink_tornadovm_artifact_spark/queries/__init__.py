@@ -108,10 +108,11 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: batch 3: containment dedup, JS token drift, principal direction;
 #: batch 4: Gopher rule panel, n-gram novelty, Bradley-Terry, ABTT
 #: residuals, dedup recall panel; batch 5: BM25 retrieval top-k,
-#: curriculum length phases, HLL union matrix), then the remaining
-#: stale backlog: all 4 r1-cohort, all 5 r2-cohort, 14 of 23
+#: curriculum length phases, HLL union matrix; batch 6: lang-ID
+#: confusion matrix), then the remaining
+#: stale backlog: all 4 r1-cohort, all 5 r2-cohort, 13 of 23
 #: r3-cohort. OUT — the entire r7 window's 50 green entries except
-#: the keep-fresh trio, all eight r5-cohort diversity picks, and NINE
+#: the keep-fresh trio, all eight r5-cohort diversity picks, and TEN
 #: r3 entries displaced by rule 1 with their family still holding a
 #: slot (pi_estimation_weyl + vector_add_kernel — dft/matmul keep the
 #: kernels family; q21_tumbling_window + q21_session_window_dynamic —
@@ -119,7 +120,10 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: text_token_count + text_lang_id — rolling_hash/udtf_ngrams keep
 #: the text r2 family; similarity_topk — similarity_lsh_bucketed
 #: keeps the ANN family and is the scale path; dedup_simhash —
-#: lsh_verified + the new containment/recall entries keep dedup).
+#: lsh_verified + the new containment/recall entries keep dedup;
+#: q29_reduce_group — the grouped-reduce surface stays under
+#: q02/q26/q38 and the confusion matrix re-exercises the displaced
+#: text_lang_id's prediction expression verbatim).
 #: Rule 1's "new queries must be driver-verified" outranks both
 #: diversity and the oldest tail; the displaced entries head the r9
 #: staleness queue; the ≥4-round guard holds because no
@@ -166,6 +170,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "retrieval_bm25_topk",
     "curriculum_length_phases",
     "sketch_hll_union_matrix",
+    "langid_confusion_matrix",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -177,7 +182,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q10_distinct",
     "q12_topk_global",
     "q16_scalar_functions",
-    # stalest: last green round 3 (14 of the 23-cohort; the 9
+    # stalest: last green round 3 (13 of the 23-cohort; the 10
     # displaced ones are named in the rotation note above)
     "dedup_lsh_verified",
     "dft_events",
@@ -187,7 +192,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q20_kmeans_assign",
     "q21_sliding_window",
     "q23_tpch_q10",
-    "q29_reduce_group",
     "q30_tpch_q5",
     "q36_json_extract",
     "similarity_lsh_bucketed",

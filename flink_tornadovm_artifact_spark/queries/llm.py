@@ -789,8 +789,10 @@ _LANG_MARKERS = {
 }
 
 
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def _lang_pred_expr() -> Column:
+    """The marker-word language prediction for a ``text`` column — ONE
+    definition shared by text_lang_id and langid_confusion_matrix (the
+    datasheet_signals no-drift discipline)."""
     toks = F.split("text", " ")
     def _marker_pred(markers: tuple[str, ...]):
         return lambda t: t.isin(*markers)
@@ -799,7 +801,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang: F.size(F.filter(toks, _marker_pred(m)))
         for lang, m in _LANG_MARKERS.items()
     }
-    pred = (
+    return (
         F.when(
             (score["en"] >= score["de"])
             & (score["en"] >= score["fr"])
@@ -815,7 +817,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(score["es"] > 0, "es")
         .otherwise("und")
     )
-    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", _lang_pred_expr().alias("pred_lang"))
 
 
 def _lang_score_sql(m: tuple[str, ...]) -> str:
@@ -4892,5 +4898,70 @@ JOIN den db ON db.source = p.source_b
 JOIN exi ON exi.source_a = p.source_a AND exi.source_b = p.source_b
 JOIN ex ea ON ea.source = p.source_a
 JOIN ex eb ON eb.source = p.source_b
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the classifier-QA panel for
+# text_lang_id scored against the corpus's labeled lang column — per
+# (actual, predicted) cell count and its share of the actual
+# language's documents (row-normalized confusion), plus the per-cell
+# correctness flag. This is the panel a pipeline publishes before
+# trusting the heuristic for routing or rebalancing (cf.
+# sample_stratified_lang, which consumes lang labels): the marker-word
+# heuristic's failure mode — short docs matching no marker → 'und' —
+# is visible as the und column mass.
+# Plan / 100 TB: the prediction is the same per-doc expression as
+# text_lang_id (ONE definition, _lang_pred_expr); one langs²-bounded
+# keyed aggregate + a langs-sized totals broadcast. Nothing
+# corpus-sized shuffles.
+# ---------------------------------------------------------------------------
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", _lang_pred_expr().alias("pred_lang")
+    )
+    cells = docs.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("n_docs") / F.col("n_lang")).alias("frac_of_lang"),
+            (F.col("lang") == F.col("pred_lang"))
+            .cast("int")
+            .alias("is_correct"),
+        )
+    )
+
+
+_register(
+    langid_confusion_matrix,
+    f"""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN {_s['en']} >= {_s['de']} AND {_s['en']} >= {_s['fr']}
+                   AND {_s['en']} >= {_s['es']} AND {_s['en']} > 0 THEN 'en'
+              WHEN {_s['de']} >= {_s['fr']} AND {_s['de']} >= {_s['es']}
+                   AND {_s['de']} > 0 THEN 'de'
+              WHEN {_s['fr']} >= {_s['es']} AND {_s['fr']} > 0 THEN 'fr'
+              WHEN {_s['es']} > 0 THEN 'es'
+              ELSE 'und' END AS pred_lang
+  FROM documents
+), cells AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+), totals AS (
+  SELECT lang, SUM(n_docs) AS n_lang FROM cells GROUP BY 1
+)
+SELECT c.lang, c.pred_lang, c.n_docs,
+       c.n_docs * 1.0 / t.n_lang AS frac_of_lang,
+       CAST(CASE WHEN c.lang = c.pred_lang THEN 1 ELSE 0 END AS INTEGER)
+         AS is_correct
+FROM cells c JOIN totals t ON c.lang = t.lang
 """,
 )

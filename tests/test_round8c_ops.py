@@ -389,3 +389,34 @@ def test_gopher_stream_matches_batch_panel(spark, tmp_path):
                 assert g[k] == pytest.approx(v), (s, k)
             else:
                 assert g[k] == v, (s, k)
+
+
+def test_langid_confusion_matrix_is_row_normalized(spark):
+    """Per actual language: cell fractions sum to 1 and cell counts sum
+    to the language's doc count; the grand total is the corpus; cells
+    agree with a direct recompute from text_lang_id's per-doc
+    predictions (same shared expression, independent aggregation
+    path)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        langid_confusion_matrix,
+        text_lang_id,
+    )
+
+    rows = langid_confusion_matrix(spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+    preds = {r.doc_id: r.pred_lang for r in text_lang_id(spark, SF_SMOKE).collect()}
+    exp: dict[tuple[str, str], int] = defaultdict(int)
+    for d in docs:
+        exp[(d.lang, preds[d.doc_id])] += 1
+    assert {(r.lang, r.pred_lang): r.n_docs for r in rows} == dict(exp)
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+        assert r.is_correct == int(r.lang == r.pred_lang)
+    lang_totals = defaultdict(int)
+    for d in docs:
+        lang_totals[d.lang] += 1
+    for lang, cells in by_lang.items():
+        assert sum(c.n_docs for c in cells) == lang_totals[lang]
+        assert sum(c.frac_of_lang for c in cells) == pytest.approx(1.0)
+    assert sum(r.n_docs for r in rows) == len(docs)
