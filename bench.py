@@ -188,6 +188,11 @@ HEADLINE = [
     "sketch_hll_union_matrix",
     # lang-ID confusion: per-doc prediction expression + langs²-bounded agg
     "langid_confusion_matrix",
+    # gapfill+LOCF: per-user hour-grid explode, keyed fill join, keyed
+    # running window, user-sized rollup
+    "hypertable_gapfill_locf",
+    # funnel: three user-keyed first-hit joins + 1-row panel
+    "funnel_conversion_events",
 ]
 
 

@@ -109,12 +109,13 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: batch 4: Gopher rule panel, n-gram novelty, Bradley-Terry, ABTT
 #: residuals, dedup recall panel; batch 5: BM25 retrieval top-k,
 #: curriculum length phases, HLL union matrix; batch 6: lang-ID
-#: confusion matrix), then the remaining
-#: stale backlog: all 4 r1-cohort, all 5 r2-cohort, 13 of 23
+#: confusion matrix; batch 7: hypertable gapfill+LOCF, funnel
+#: conversion), then the remaining
+#: stale backlog: all 4 r1-cohort, all 5 r2-cohort, 11 of 23
 #: r3-cohort. OUT — the entire r7 window's 50 green entries except
-#: the keep-fresh trio, all eight r5-cohort diversity picks, and TEN
-#: r3 entries displaced by rule 1 with their family still holding a
-#: slot (pi_estimation_weyl + vector_add_kernel — dft/matmul keep the
+#: the keep-fresh trio, all eight r5-cohort diversity picks, and
+#: TWELVE r3 entries displaced by rule 1 with their family still
+#: holding a slot (pi_estimation_weyl + vector_add_kernel — dft/matmul keep the
 #: kernels family; q21_tumbling_window + q21_session_window_dynamic —
 #: q21_sliding_window keeps the window family; text_fingerprint +
 #: text_token_count + text_lang_id — rolling_hash/udtf_ngrams keep
@@ -123,7 +124,10 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: lsh_verified + the new containment/recall entries keep dedup;
 #: q29_reduce_group — the grouped-reduce surface stays under
 #: q02/q26/q38 and the confusion matrix re-exercises the displaced
-#: text_lang_id's prediction expression verbatim).
+#: text_lang_id's prediction expression verbatim; q19_iot_outliers +
+#: q23_tpch_q10 — q20 keeps the iot family, q30/q36 + the r1 quartet
+#: keep TPC-H, and the new events ops add fresh events-table
+#: coverage).
 #: Rule 1's "new queries must be driver-verified" outranks both
 #: diversity and the oldest tail; the displaced entries head the r9
 #: staleness queue; the ≥4-round guard holds because no
@@ -171,6 +175,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curriculum_length_phases",
     "sketch_hll_union_matrix",
     "langid_confusion_matrix",
+    "hypertable_gapfill_locf",
+    "funnel_conversion_events",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -182,16 +188,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q10_distinct",
     "q12_topk_global",
     "q16_scalar_functions",
-    # stalest: last green round 3 (13 of the 23-cohort; the 10
+    # stalest: last green round 3 (11 of the 23-cohort; the 12
     # displaced ones are named in the rotation note above)
     "dedup_lsh_verified",
     "dft_events",
     "matmul_rows_kernel",
     "multimodal_binary_meta",
-    "q19_iot_outliers",
     "q20_kmeans_assign",
     "q21_sliding_window",
-    "q23_tpch_q10",
     "q30_tpch_q5",
     "q36_json_extract",
     "similarity_lsh_bucketed",

@@ -139,3 +139,207 @@ FROM events a JOIN events b
  AND a.event_id <> b.event_id
 GROUP BY a.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Hypertable gap-fill + LOCF (the time_bucket_gapfill / locf pair of
+# the hypertable toolkit): per user, materialize the full hourly grid
+# over that user's OWN observed span, fill missing hours by
+# last-observation-carried-forward, and report the per-user gap
+# accounting — span, observed, gaps, and the observed-vs-filled means
+# (their difference is exactly what LOCF imputation injects into any
+# downstream hourly average).
+# Plan / 100 TB: the grid is generated PER USER from the user's own
+# [min_h, max_h] (one sequence explode — output linear in user-hour
+# span, never global-calendar × users), the fill join is keyed on
+# (user, hour), and LOCF is a keyed running window (partitionBy user —
+# never a global sort). The rollup returns one row per user.
+# ---------------------------------------------------------------------------
+def hypertable_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestampdiff is timezone-free on the NTZ-loaded ts (a cast to
+    # double/unix_timestamp would inject the session timezone and
+    # diverge from DuckDB's naive epoch())
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        .cast("bigint")
+        .alias("h"),
+        "value",
+    )
+    hourly = ev.groupBy("user_id", "h").agg(F.avg("value").alias("hv"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    filled = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    locf = filled.select(
+        "user_id",
+        "hv",
+        F.last("hv", ignorenulls=True).over(w).alias("fv"),
+    )
+    return locf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours_span"),
+        F.count("hv").alias("n_observed"),
+        (F.count(F.lit(1)) - F.count("hv")).cast("bigint").alias("n_gaps"),
+        F.avg("hv").alias("observed_avg"),
+        F.avg("fv").alias("locf_avg"),
+    )
+
+
+QUERIES["hypertable_gapfill_locf"] = hypertable_gapfill_locf
+ORACLE["hypertable_gapfill_locf"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         value
+  FROM events
+), hourly AS (
+  SELECT user_id, h, AVG(value) AS hv FROM e GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(range(h0, h1 + 1)) AS h FROM span
+), l AS (
+  SELECT g.user_id, hourly.hv,
+         last_value(hourly.hv IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS fv
+  FROM grid g LEFT JOIN hourly
+    ON g.user_id = hourly.user_id AND g.h = hourly.h
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours_span,
+       CAST(COUNT(hv) AS BIGINT) AS n_observed,
+       CAST(COUNT(*) - COUNT(hv) AS BIGINT) AS n_gaps,
+       AVG(hv) AS observed_avg,
+       AVG(fv) AS locf_avg
+FROM l GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion over the event stream (view → click → purchase):
+# the product-analytics primitive — per step, how many users reached it
+# IN ORDER (each step's timestamp strictly after the previous step's
+# first occurrence), with step-over-step and from-top conversion
+# rates. This is the batch answer the CEP followedBy patterns
+# (queries/cep.py) give per-match; the funnel gives the per-step
+# population rollup.
+# Plan / 100 TB: each step is a keyed (user) aggregate over an
+# event-type-filtered scan joined to the previous step's first-hit
+# table — three hash joins on user_id, partial-aggregated map-side;
+# the final panel is three 1-row counts cross-joined. No windows over
+# the raw stream, no per-user event sorting.
+# ---------------------------------------------------------------------------
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    counts = n1.crossJoin(n2).crossJoin(n3)
+    rows = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit(FUNNEL_STEPS[0]).alias("step_name"),
+                    F.col("n1").alias("n_users"),
+                    F.lit(1.0).alias("conv_from_prev"),
+                    F.lit(1.0).alias("conv_from_first"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit(FUNNEL_STEPS[1]).alias("step_name"),
+                    F.col("n2").alias("n_users"),
+                    F.try_divide(F.col("n2"), F.col("n1")).alias(
+                        "conv_from_prev"
+                    ),
+                    F.try_divide(F.col("n2"), F.col("n1")).alias(
+                        "conv_from_first"
+                    ),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit(FUNNEL_STEPS[2]).alias("step_name"),
+                    F.col("n3").alias("n_users"),
+                    F.try_divide(F.col("n3"), F.col("n2")).alias(
+                        "conv_from_prev"
+                    ),
+                    F.try_divide(F.col("n3"), F.col("n1")).alias(
+                        "conv_from_first"
+                    ),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        F.col("step").cast("int").alias("step"),
+        "step_name",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "conv_from_prev",
+        "conv_from_first",
+    )
+
+
+QUERIES["funnel_conversion_events"] = funnel_conversion_events
+ORACLE["funnel_conversion_events"] = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+  GROUP BY 1
+), c AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT CAST(1 AS INTEGER) AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+       CAST(n1 AS BIGINT) AS n_users, 1.0 AS conv_from_prev,
+       1.0 AS conv_from_first
+FROM c
+UNION ALL
+SELECT CAST(2 AS INTEGER), '{FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
+       n2 * 1.0 / n1, n2 * 1.0 / n1 FROM c
+UNION ALL
+SELECT CAST(3 AS INTEGER), '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
+       n3 * 1.0 / n2, n3 * 1.0 / n1 FROM c
+"""

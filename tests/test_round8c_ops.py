@@ -420,3 +420,78 @@ def test_langid_confusion_matrix_is_row_normalized(spark):
         assert sum(c.n_docs for c in cells) == lang_totals[lang]
         assert sum(c.frac_of_lang for c in cells) == pytest.approx(1.0)
     assert sum(r.n_docs for r in rows) == len(docs)
+
+
+def test_gapfill_locf_accounting(spark):
+    """Per user: span = observed + gaps, span equals the user's own
+    [min, max] hour range, every user appears exactly once, the first
+    hour is always observed (LOCF never reads before the series), and
+    a direct Python recompute of one user's LOCF mean matches."""
+    from flink_tornadovm_artifact_spark.queries.temporal_q import (
+        hypertable_gapfill_locf,
+    )
+
+    rows = {r.user_id: r for r in hypertable_gapfill_locf(spark, SF_SMOKE).collect()}
+    ev = load(spark, SF_SMOKE, "events").select("user_id", "ts", "value").collect()
+    hourly: dict[int, dict[int, list[float]]] = defaultdict(lambda: defaultdict(list))
+    for e in ev:
+        hourly[e.user_id][int(e.ts.timestamp() // 3600)].append(e.value)
+    assert set(rows) == set(hourly)
+    for uid, hours in hourly.items():
+        r = rows[uid]
+        h0, h1 = min(hours), max(hours)
+        assert r.n_hours_span == h1 - h0 + 1
+        assert r.n_observed == len(hours)
+        assert r.n_gaps == r.n_hours_span - r.n_observed
+        assert r.n_gaps >= 0
+    # full LOCF recompute for the user with the most gaps
+    uid = max(rows, key=lambda u: rows[u].n_gaps)
+    hours = hourly[uid]
+    h0, h1 = min(hours), max(hours)
+    means = {h: sum(v) / len(v) for h, v in hours.items()}
+    fv, series = None, []
+    for h in range(h0, h1 + 1):
+        fv = means.get(h, fv)
+        series.append(fv)
+    assert rows[uid].locf_avg == pytest.approx(sum(series) / len(series))
+    assert rows[uid].observed_avg == pytest.approx(
+        sum(means.values()) / len(means)
+    )
+
+
+def test_funnel_is_monotone_and_ordered(spark):
+    """Step populations must be non-increasing, conversions in (0, 1],
+    and the step-2 user set must be exactly the users with a click
+    strictly after their first view (recomputed in Python)."""
+    from flink_tornadovm_artifact_spark.queries.temporal_q import (
+        FUNNEL_STEPS,
+        funnel_conversion_events,
+    )
+
+    rows = sorted(
+        funnel_conversion_events(spark, SF_SMOKE).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step_name for r in rows] == list(FUNNEL_STEPS)
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    for r in rows[1:]:
+        assert 0.0 < r.conv_from_prev <= 1.0
+        assert 0.0 < r.conv_from_first <= 1.0
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    first_view: dict[int, object] = {}
+    for e in ev:
+        if e.event_type == FUNNEL_STEPS[0]:
+            if e.user_id not in first_view or e.ts < first_view[e.user_id]:
+                first_view[e.user_id] = e.ts
+    clicked = set()
+    for e in ev:
+        if (
+            e.event_type == FUNNEL_STEPS[1]
+            and e.user_id in first_view
+            and e.ts > first_view[e.user_id]
+        ):
+            clicked.add(e.user_id)
+    assert rows[0].n_users == len(first_view)
+    assert rows[1].n_users == len(clicked)
