@@ -193,6 +193,8 @@ HEADLINE = [
     "hypertable_gapfill_locf",
     # funnel: three user-keyed first-hit joins + 1-row panel
     "funnel_conversion_events",
+    # WordPiece greedy: bounded vocab collect -> one expression fold
+    "wordpiece_fertility_panel",
 ]
 
 

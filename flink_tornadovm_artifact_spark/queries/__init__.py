@@ -110,11 +110,11 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: residuals, dedup recall panel; batch 5: BM25 retrieval top-k,
 #: curriculum length phases, HLL union matrix; batch 6: lang-ID
 #: confusion matrix; batch 7: hypertable gapfill+LOCF, funnel
-#: conversion), then the remaining
-#: stale backlog: all 4 r1-cohort, all 5 r2-cohort, 11 of 23
-#: r3-cohort. OUT — the entire r7 window's 50 green entries except
+#: conversion; batch 8: WordPiece greedy fertility), then the
+#: remaining stale backlog: all 4 r1-cohort, all 5 r2-cohort, 10 of
+#: 23 r3-cohort. OUT — the entire r7 window's 50 green entries except
 #: the keep-fresh trio, all eight r5-cohort diversity picks, and
-#: TWELVE r3 entries displaced by rule 1 with their family still
+#: THIRTEEN r3 entries displaced by rule 1 with their family still
 #: holding a slot (pi_estimation_weyl + vector_add_kernel — dft/matmul keep the
 #: kernels family; q21_tumbling_window + q21_session_window_dynamic —
 #: q21_sliding_window keeps the window family; text_fingerprint +
@@ -127,7 +127,9 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: text_lang_id's prediction expression verbatim; q19_iot_outliers +
 #: q23_tpch_q10 — q20 keeps the iot family, q30/q36 + the r1 quartet
 #: keep TPC-H, and the new events ops add fresh events-table
-#: coverage).
+#: coverage; multimodal_binary_meta — its magic-byte surface is
+#: re-swept by the full pytest run and multimodal_feature_extract's
+#: kernels stay pinned in tests/test_multimodal.py).
 #: Rule 1's "new queries must be driver-verified" outranks both
 #: diversity and the oldest tail; the displaced entries head the r9
 #: staleness queue; the ≥4-round guard holds because no
@@ -177,6 +179,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "langid_confusion_matrix",
     "hypertable_gapfill_locf",
     "funnel_conversion_events",
+    "wordpiece_fertility_panel",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -188,12 +191,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q10_distinct",
     "q12_topk_global",
     "q16_scalar_functions",
-    # stalest: last green round 3 (11 of the 23-cohort; the 12
+    # stalest: last green round 3 (10 of the 23-cohort; the 13
     # displaced ones are named in the rotation note above)
     "dedup_lsh_verified",
     "dft_events",
     "matmul_rows_kernel",
-    "multimodal_binary_meta",
     "q20_kmeans_assign",
     "q21_sliding_window",
     "q30_tpch_q5",

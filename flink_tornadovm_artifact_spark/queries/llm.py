@@ -4965,3 +4965,178 @@ SELECT c.lang, c.pred_lang, c.n_docs,
 FROM cells c JOIN totals t ON c.lang = t.lang
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy max-match fertility panel (Wu et al. 2016 §4.1
+# segmentation; vocab built by frequency thresholding — the simplified
+# builder, cited as such): segment every word type by repeatedly
+# taking the LONGEST vocabulary piece that prefixes the remaining
+# suffix (max piece length WORDPIECE_MAX_LEN; a position with no
+# matching piece emits UNK and advances one char), then weight the
+# per-type piece/unk counts by occurrence to report per-source
+# fertility and unk rate — the second tokenizer ALGORITHM next to the
+# BPE pair (bpe_merge_table applies learned merges in merge order;
+# greedy max-match is the different decoding the WordPiece family
+# ships, and the two panels quantify how the segmentations differ).
+# Vocabulary = substrings of length 1..4 whose corpus occurrence mass
+# is >= WORDPIECE_VOCAB_RATIO of all substring mass — which PROVABLY
+# bounds the vocab at <= 1/ratio entries, so its broadcast join is
+# bounded at any corpus size (not merely observed-small).
+# Plan / 100 TB: corpus touched once (the word-occurrence groupBy);
+# the vocabulary is COLLECTED — legitimate, because the frequency
+# threshold bounds it at <= 1/ratio entries regardless of corpus size
+# (the kmeans bounded-collect discipline, here with a provable rather
+# than configured bound) — and enters the plan as a literal array, so
+# the entire greedy segmentation is ONE expression fold over each
+# word type's positions: no per-step joins, no iteration jobs (a
+# 10-step checkpointed loop was measured 5-7 s of pure job overhead;
+# the fold form is a single job). The oracle stays an INDEPENDENT
+# formulation — a step-unrolled MATERIALIZED-CTE chain with a real
+# vocab JOIN per step — so agreement checks the greedy semantics, not
+# a shared shape.
+# ---------------------------------------------------------------------------
+WORDPIECE_MAX_LEN = 4
+WORDPIECE_VOCAB_RATIO = 0.005
+WORDPIECE_MAX_STEPS = 10  # oracle unroll depth; >= max fixture word length
+
+
+def wordpiece_fertility_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    occ_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    occ = occ_sw.groupBy("w").agg(F.sum("c").alias("c"))
+    subs = occ.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), i ->"
+                f" transform(sequence(1, least({WORDPIECE_MAX_LEN},"
+                f" length(w) - i + 1)), k -> substr(w, i, k))))"
+            )
+        ).alias("piece"),
+        "c",
+    )
+    sub_freq = subs.groupBy("piece").agg(F.sum("c").alias("freq"))
+    tot = sub_freq.agg(F.sum("freq").cast("double").alias("t"))
+    vocab_rows = (
+        sub_freq.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") >= WORDPIECE_VOCAB_RATIO * F.col("t"))
+        .select("piece")
+        .collect()
+    )  # <= 1/WORDPIECE_VOCAB_RATIO rows by the threshold bound
+    vlit = F.array(*[F.lit(r.piece) for r in vocab_rows])
+
+    def step(acc: Column, i: Column) -> Column:
+        in_v = lambda k: (F.length("w") - i + 1 >= k) & F.array_contains(
+            vlit, F.substring(F.col("w"), i, F.lit(k))
+        )
+        best = F.lit(None).cast("int")
+        for k in range(1, WORDPIECE_MAX_LEN + 1):
+            best = F.when(in_v(k), k).otherwise(best)
+        return F.when(acc.getField("pos") != i, acc).otherwise(
+            F.when(
+                best.isNotNull(),
+                F.struct(
+                    (i + best).alias("pos"),
+                    (acc.getField("pieces") + 1).alias("pieces"),
+                    acc.getField("unks").alias("unks"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (i + 1).alias("pos"),
+                    acc.getField("pieces").alias("pieces"),
+                    (acc.getField("unks") + 1).alias("unks"),
+                )
+            )
+        )
+
+    seg_state = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(
+            F.lit(1).alias("pos"),
+            F.lit(0).alias("pieces"),
+            F.lit(0).alias("unks"),
+        ),
+        step,
+    )
+    seg = occ.select(
+        "w",
+        seg_state.getField("pieces").alias("pieces"),
+        seg_state.getField("unks").alias("unks"),
+    )
+    return (
+        occ_sw.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("pieces") * F.col("c")).cast("bigint").alias(
+                "n_pieces"
+            ),
+            F.sum(F.col("unks") * F.col("c")).cast("bigint").alias("n_unk"),
+            (
+                F.sum(F.col("pieces") * F.col("c")) / F.sum("c")
+            ).alias("fertility"),
+            (F.sum(F.col("unks") * F.col("c")) / F.sum("c")).alias(
+                "unk_rate"
+            ),
+        )
+    )
+
+
+def _wordpiece_oracle() -> str:
+    steps = []
+    for k in range(1, WORDPIECE_MAX_STEPS + 1):
+        steps.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT s.w, MAX(u.k) AS mk
+  FROM s{k - 1} s, UNNEST([1, 2, 3, 4]) AS u(k), vocab v
+  WHERE s.pos <= s.len AND s.pos + u.k - 1 <= s.len
+    AND v.piece = substr(s.w, s.pos, u.k)
+  GROUP BY 1
+), s{k} AS MATERIALIZED (
+  SELECT s.w, s.len,
+         CASE WHEN s.pos > s.len THEN s.pos
+              WHEN c.mk IS NOT NULL THEN s.pos + c.mk
+              ELSE s.pos + 1 END AS pos,
+         s.pieces + CASE WHEN s.pos <= s.len AND c.mk IS NOT NULL
+                    THEN 1 ELSE 0 END AS pieces,
+         s.unks + CASE WHEN s.pos <= s.len AND c.mk IS NULL
+                  THEN 1 ELSE 0 END AS unks
+  FROM s{k - 1} s LEFT JOIN c{k} c ON c.w = s.w
+),"""
+        )
+    unroll = "\n".join(steps)
+    return f"""
+WITH occ_sw AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+), occ AS (SELECT w, SUM(c) AS c FROM occ_sw GROUP BY 1),
+sub AS (
+  SELECT substr(w, s.i, l.k) AS piece, SUM(c) AS freq
+  FROM occ, UNNEST(range(1, length(w) + 1)) AS s(i),
+       UNNEST([1, 2, 3, 4]) AS l(k)
+  WHERE s.i + l.k - 1 <= length(w)
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM sub),
+vocab AS (
+  SELECT piece FROM sub, tot WHERE freq >= {WORDPIECE_VOCAB_RATIO} * t
+),
+s0 AS (
+  SELECT w, length(w) AS len, 1 AS pos, 0 AS pieces, 0 AS unks FROM occ
+),
+{unroll}
+fin AS (SELECT w, pieces, unks FROM s{WORDPIECE_MAX_STEPS})
+SELECT o.source, CAST(SUM(o.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(f.pieces * o.c) AS BIGINT) AS n_pieces,
+       CAST(SUM(f.unks * o.c) AS BIGINT) AS n_unk,
+       SUM(f.pieces * o.c) * 1.0 / SUM(o.c) AS fertility,
+       SUM(f.unks * o.c) * 1.0 / SUM(o.c) AS unk_rate
+FROM occ_sw o JOIN fin f ON o.w = f.w
+GROUP BY 1
+"""
+
+
+_register(wordpiece_fertility_panel, _wordpiece_oracle())

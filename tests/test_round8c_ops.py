@@ -495,3 +495,65 @@ def test_funnel_is_monotone_and_ordered(spark):
             clicked.add(e.user_id)
     assert rows[0].n_users == len(first_view)
     assert rows[1].n_users == len(clicked)
+
+
+def test_wordpiece_matches_python_greedy(spark):
+    """Per-source token/piece/unk counts must equal a pure-Python
+    greedy max-match recompute (vocab rebuilt from scratch with the
+    same frequency threshold), and the UNK branch must actually fire
+    on the fixture (below-threshold chars exist by construction of
+    the 0.5% ratio)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        WORDPIECE_MAX_LEN,
+        WORDPIECE_VOCAB_RATIO,
+        wordpiece_fertility_panel,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    occ_sw: dict[tuple[str, str], int] = defaultdict(int)
+    occ: dict[str, int] = defaultdict(int)
+    for d in docs:
+        for w in d.text.split(" "):
+            occ_sw[(d.source, w)] += 1
+            occ[w] += 1
+    freq: dict[str, int] = defaultdict(int)
+    for w, c in occ.items():
+        for i in range(len(w)):
+            for k in range(1, min(WORDPIECE_MAX_LEN, len(w) - i) + 1):
+                freq[w[i : i + k]] += c
+    tot = sum(freq.values())
+    vocab = {p for p, f in freq.items() if f >= WORDPIECE_VOCAB_RATIO * tot}
+
+    def seg(w: str) -> tuple[int, int]:
+        pos, pieces, unks = 0, 0, 0
+        while pos < len(w):
+            for k in range(min(WORDPIECE_MAX_LEN, len(w) - pos), 0, -1):
+                if w[pos : pos + k] in vocab:
+                    pieces += 1
+                    pos += k
+                    break
+            else:
+                unks += 1
+                pos += 1
+        return pieces, unks
+
+    segs = {w: seg(w) for w in occ}
+    exp: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for (src, w), c in occ_sw.items():
+        p, u = segs[w]
+        exp[src]["n_tokens"] += c
+        exp[src]["n_pieces"] += p * c
+        exp[src]["n_unk"] += u * c
+    got = {r.source: r for r in wordpiece_fertility_panel(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    for src, e in exp.items():
+        g = got[src]
+        assert g.n_tokens == e["n_tokens"]
+        assert g.n_pieces == e["n_pieces"]
+        assert g.n_unk == e["n_unk"]
+        assert g.fertility == pytest.approx(e["n_pieces"] / e["n_tokens"])
+        assert g.unk_rate == pytest.approx(e["n_unk"] / e["n_tokens"])
+    assert sum(e["n_unk"] for e in exp.values()) > 0
+    # greedy never emits more pieces+unks than characters
+    for w, (p, u) in segs.items():
+        assert p + u <= len(w)
