@@ -195,6 +195,8 @@ HEADLINE = [
     "funnel_conversion_events",
     # WordPiece greedy: bounded vocab collect -> one expression fold
     "wordpiece_fertility_panel",
+    # unigram Viterbi: same vocab as a literal prob map, DP as one fold
+    "unigram_viterbi_panel",
 ]
 
 

@@ -110,11 +110,11 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: residuals, dedup recall panel; batch 5: BM25 retrieval top-k,
 #: curriculum length phases, HLL union matrix; batch 6: lang-ID
 #: confusion matrix; batch 7: hypertable gapfill+LOCF, funnel
-#: conversion; batch 8: WordPiece greedy fertility), then the
-#: remaining stale backlog: all 4 r1-cohort, all 5 r2-cohort, 10 of
-#: 23 r3-cohort. OUT — the entire r7 window's 50 green entries except
+#: conversion; batch 8: WordPiece greedy fertility, unigram-LM
+#: Viterbi fertility), then the remaining stale backlog: all 4
+#: r1-cohort, all 5 r2-cohort, 9 of 23 r3-cohort. OUT — the entire r7 window's 50 green entries except
 #: the keep-fresh trio, all eight r5-cohort diversity picks, and
-#: THIRTEEN r3 entries displaced by rule 1 with their family still
+#: FOURTEEN r3 entries displaced by rule 1 with their family still
 #: holding a slot (pi_estimation_weyl + vector_add_kernel — dft/matmul keep the
 #: kernels family; q21_tumbling_window + q21_session_window_dynamic —
 #: q21_sliding_window keeps the window family; text_fingerprint +
@@ -129,7 +129,8 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: keep TPC-H, and the new events ops add fresh events-table
 #: coverage; multimodal_binary_meta — its magic-byte surface is
 #: re-swept by the full pytest run and multimodal_feature_extract's
-#: kernels stay pinned in tests/test_multimodal.py).
+#: kernels stay pinned in tests/test_multimodal.py; q36_json_extract —
+#: q52's from_json struct keeps the JSON surface).
 #: Rule 1's "new queries must be driver-verified" outranks both
 #: diversity and the oldest tail; the displaced entries head the r9
 #: staleness queue; the ≥4-round guard holds because no
@@ -180,6 +181,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "hypertable_gapfill_locf",
     "funnel_conversion_events",
     "wordpiece_fertility_panel",
+    "unigram_viterbi_panel",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -191,7 +193,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q10_distinct",
     "q12_topk_global",
     "q16_scalar_functions",
-    # stalest: last green round 3 (10 of the 23-cohort; the 13
+    # stalest: last green round 3 (9 of the 23-cohort; the 14
     # displaced ones are named in the rotation note above)
     "dedup_lsh_verified",
     "dft_events",
@@ -199,7 +201,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q20_kmeans_assign",
     "q21_sliding_window",
     "q30_tpch_q5",
-    "q36_json_extract",
     "similarity_lsh_bucketed",
     "text_rolling_hash",
     "text_udtf_ngrams",

@@ -5140,3 +5140,188 @@ GROUP BY 1
 
 
 _register(wordpiece_fertility_panel, _wordpiece_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi fertility panel (Kudo 2018 §3 optimal
+# segmentation; piece unigram probs = the same frequency-thresholded
+# vocabulary as wordpiece_fertility_panel with p = freq/total, UNK =
+# one char at p = 1/total): per word type, the SEGMENTATION OF MAXIMUM
+# PROBABILITY via Viterbi DP — the third tokenizer algorithm, and the
+# decode-quality comparison for the greedy panel (same vocab, optimal
+# vs max-match decode; fertility_viterbi <= greedy fertility is NOT
+# guaranteed, probability is what's optimal — the test pins prob).
+# Cross-engine determinism: the DP compares PRODUCTS of probabilities,
+# never logs — freq/total division and the fold-ordered products are
+# exactly-rounded IEEE ops on identical operands, so both engines
+# compute bit-identical scores and take identical argmax branches
+# (libm ln differs across engines at ulp level and is used only in
+# the final reported mean_logprob, where 4dp rounding absorbs it).
+# Tie-break order is pinned: UNK first, then k = 1..4, strict >.
+# Plan / 100 TB: same shape as the greedy panel — corpus touched once,
+# vocab collect bounded at <= 1/ratio entries, DP = one expression
+# fold per word TYPE carrying the best-score/piece-count arrays.
+# ---------------------------------------------------------------------------
+def unigram_viterbi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    occ_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    occ = occ_sw.groupBy("w").agg(F.sum("c").alias("c"))
+    subs = occ.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), i ->"
+                f" transform(sequence(1, least({WORDPIECE_MAX_LEN},"
+                f" length(w) - i + 1)), k -> substr(w, i, k))))"
+            )
+        ).alias("piece"),
+        "c",
+    )
+    sub_freq = subs.groupBy("piece").agg(F.sum("c").alias("freq"))
+    rows = sub_freq.collect()  # substring-type-bounded (Heaps-law)
+    tot = float(sum(r.freq for r in rows))
+    probs = {
+        r.piece: r.freq / tot
+        for r in rows
+        if r.freq >= WORDPIECE_VOCAB_RATIO * tot
+    }
+    unk_p = 1.0 / tot
+    pmap = F.create_map(
+        *[x for p, v in sorted(probs.items()) for x in (F.lit(p), F.lit(v))]
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        scores = acc.getField("s")
+        counts = acc.getField("n")
+        best = (F.element_at(scores, i) * unk_p).alias("x")
+        cnt = F.element_at(counts, i) + 1
+        for k in range(1, WORDPIECE_MAX_LEN + 1):
+            # the index i-k+1 is <= 0 while i < k and element_at raises
+            # before the i >= k guard can short-circuit; clamp it to 1 —
+            # pk is NULL in exactly those cases, nulling the candidate
+            idx = F.greatest(i - (k - 1), F.lit(1))
+            pk = F.when(
+                i >= k,
+                pmap[F.substring(F.col("w"), i - (k - 1), F.lit(k))],
+            )
+            cand = F.element_at(scores, idx) * pk
+            take = cand.isNotNull() & (cand > best)
+            cnt = F.when(take, F.element_at(counts, idx) + 1).otherwise(cnt)
+            best = F.when(take, cand).otherwise(best)
+        return F.struct(
+            F.concat(scores, F.array(best)).alias("s"),
+            F.concat(counts, F.array(cnt)).alias("n"),
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(
+            F.array(F.lit(1.0)).alias("s"),
+            F.array(F.lit(0)).alias("n"),
+        ),
+        step,
+    )
+    seg = occ.select(
+        "w",
+        F.element_at(dp.getField("n"), -1).alias("pieces"),
+        F.log(F.element_at(dp.getField("s"), -1)).alias("logprob"),
+    )
+    return (
+        occ_sw.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("pieces") * F.col("c")).cast("bigint").alias(
+                "n_pieces"
+            ),
+            (F.sum(F.col("pieces") * F.col("c")) / F.sum("c")).alias(
+                "fertility_viterbi"
+            ),
+            (F.sum(F.col("logprob") * F.col("c")) / F.sum("c")).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+def _viterbi_oracle() -> str:
+    # one CTE per position; lateral column aliases give the pinned
+    # UNK-first, k=1..4, strict-> update order without expression blowup
+    steps = []
+    for i in range(1, WORDPIECE_MAX_STEPS + 1):
+        joins = []
+        cands = []
+        for k in range(1, WORDPIECE_MAX_LEN + 1):
+            if i - k >= 0:
+                joins.append(
+                    f"LEFT JOIN probs p{k} ON p{k}.piece ="
+                    f" substr(v.w, {i - k + 1}, {k}) AND v.len >= {i}"
+                )
+                cands.append((k, f"v.b{i - k} * p{k}.p"))
+        # carried columns are listed explicitly (never v.*): the stage
+        # aliases would otherwise collide with the previous CTE's and
+        # lateral references would resolve to the stale columns
+        carry = ["v.w", "v.len"] + [
+            c for j in range(i) for c in (f"v.b{j}", f"v.n{j}")
+        ]
+        stage = [
+            f"CASE WHEN v.len >= {i} THEN v.b{i - 1} * unk.p END AS s{i}_0",
+            f"v.n{i - 1} + 1 AS m{i}_0",
+        ]
+        for idx, (k, cexpr) in enumerate(cands, 1):
+            stage.append(
+                f"CASE WHEN {cexpr} IS NOT NULL AND {cexpr} > s{i}_{idx - 1}"
+                f" THEN {cexpr} ELSE s{i}_{idx - 1} END AS s{i}_{idx}"
+            )
+            stage.append(
+                f"CASE WHEN {cexpr} IS NOT NULL AND {cexpr} > s{i}_{idx - 1}"
+                f" THEN v.n{i - k} + 1 ELSE m{i}_{idx - 1} END AS m{i}_{idx}"
+            )
+        last = len(cands)
+        steps.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT {', '.join(carry)}, {', '.join(stage)},
+         CASE WHEN v.len >= {i} THEN s{i}_{last} ELSE v.b{i - 1} END AS b{i},
+         CASE WHEN v.len >= {i} THEN m{i}_{last} ELSE v.n{i - 1} END AS n{i}
+  FROM v{i - 1} v {' '.join(joins)}, unk
+),"""
+        )
+    unroll = "\n".join(steps)
+    K = WORDPIECE_MAX_STEPS
+    return f"""
+WITH occ_sw AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+), occ AS (SELECT w, SUM(c) AS c FROM occ_sw GROUP BY 1),
+sub AS (
+  SELECT substr(w, s.i, l.k) AS piece, SUM(c) AS freq
+  FROM occ, UNNEST(range(1, length(w) + 1)) AS s(i),
+       UNNEST([1, 2, 3, 4]) AS l(k)
+  WHERE s.i + l.k - 1 <= length(w)
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM sub),
+probs AS (
+  SELECT piece, freq / t AS p FROM sub, tot
+  WHERE freq >= {WORDPIECE_VOCAB_RATIO} * t
+),
+unk AS (SELECT 1.0 / t AS p FROM tot),
+v0 AS (
+  SELECT w, length(w) AS len, CAST(1.0 AS DOUBLE) AS b0, 0 AS n0 FROM occ
+),
+{unroll}
+fin AS (SELECT w, n{K} AS pieces, ln(b{K}) AS logprob FROM v{K})
+SELECT o.source, CAST(SUM(o.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(f.pieces * o.c) AS BIGINT) AS n_pieces,
+       SUM(f.pieces * o.c) * 1.0 / SUM(o.c) AS fertility_viterbi,
+       SUM(f.logprob * o.c) / SUM(o.c) AS mean_logprob
+FROM occ_sw o JOIN fin f ON o.w = f.w
+GROUP BY 1
+"""
+
+
+_register(unigram_viterbi_panel, _viterbi_oracle())

@@ -557,3 +557,79 @@ def test_wordpiece_matches_python_greedy(spark):
     # greedy never emits more pieces+unks than characters
     for w, (p, u) in segs.items():
         assert p + u <= len(w)
+
+
+def test_unigram_viterbi_matches_python_dp(spark):
+    """Per-source Viterbi piece counts and mean logprob must equal a
+    pure-Python DP recompute with the same product-form scoring, and
+    Viterbi's probability must dominate the greedy max-match
+    segmentation's probability on EVERY word type (the optimality
+    property that distinguishes the two decodes)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        WORDPIECE_MAX_LEN,
+        WORDPIECE_VOCAB_RATIO,
+        unigram_viterbi_panel,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    occ_sw: dict[tuple[str, str], int] = defaultdict(int)
+    occ: dict[str, int] = defaultdict(int)
+    for d in docs:
+        for w in d.text.split(" "):
+            occ_sw[(d.source, w)] += 1
+            occ[w] += 1
+    freq: dict[str, int] = defaultdict(int)
+    for w, c in occ.items():
+        for i in range(len(w)):
+            for k in range(1, min(WORDPIECE_MAX_LEN, len(w) - i) + 1):
+                freq[w[i : i + k]] += c
+    tot = float(sum(freq.values()))
+    probs = {
+        p: f / tot for p, f in freq.items() if f >= WORDPIECE_VOCAB_RATIO * tot
+    }
+    unk_p = 1.0 / tot
+
+    def viterbi(w: str) -> tuple[int, float]:
+        best = [1.0] + [0.0] * len(w)
+        cnt = [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            b, n = best[i - 1] * unk_p, cnt[i - 1] + 1
+            for k in range(1, min(WORDPIECE_MAX_LEN, i) + 1):
+                p = probs.get(w[i - k : i])
+                if p is not None and best[i - k] * p > b:
+                    b, n = best[i - k] * p, cnt[i - k] + 1
+            best[i], cnt[i] = b, n
+        return cnt[-1], best[-1]
+
+    def greedy_prob(w: str) -> float:
+        pos, prob = 0, 1.0
+        while pos < len(w):
+            for k in range(min(WORDPIECE_MAX_LEN, len(w) - pos), 0, -1):
+                if w[pos : pos + k] in probs:
+                    prob *= probs[w[pos : pos + k]]
+                    pos += k
+                    break
+            else:
+                prob *= unk_p
+                pos += 1
+        return prob
+
+    segs = {w: viterbi(w) for w in occ}
+    for w, (_, vp) in segs.items():
+        assert vp >= greedy_prob(w) - 1e-300, w
+    exp: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+    for (src, w), c in occ_sw.items():
+        n, p = segs[w]
+        exp[src]["n_tokens"] += c
+        exp[src]["n_pieces"] += n * c
+        exp[src]["logprob"] += math.log(p) * c
+    got = {r.source: r for r in unigram_viterbi_panel(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    for src, e in exp.items():
+        g = got[src]
+        assert g.n_tokens == e["n_tokens"]
+        assert g.n_pieces == e["n_pieces"]
+        assert g.fertility_viterbi == pytest.approx(
+            e["n_pieces"] / e["n_tokens"]
+        )
+        assert g.mean_logprob == pytest.approx(e["logprob"] / e["n_tokens"])
