@@ -197,6 +197,10 @@ HEADLINE = [
     "wordpiece_fertility_panel",
     # unigram Viterbi: same vocab as a literal prob map, DP as one fold
     "unigram_viterbi_panel",
+    # k-anonymity: QI-class keyed aggs + 1-row rollups per table
+    "dq_k_anonymity",
+    # retrieval eval: BM25 top-k + conjunctive ground truth, 3-row panel
+    "retrieval_eval_panel",
 ]
 
 

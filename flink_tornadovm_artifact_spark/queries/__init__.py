@@ -111,10 +111,11 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: curriculum length phases, HLL union matrix; batch 6: lang-ID
 #: confusion matrix; batch 7: hypertable gapfill+LOCF, funnel
 #: conversion; batch 8: WordPiece greedy fertility, unigram-LM
-#: Viterbi fertility), then the remaining stale backlog: all 4
-#: r1-cohort, all 5 r2-cohort, 9 of 23 r3-cohort. OUT — the entire r7 window's 50 green entries except
+#: Viterbi fertility; batch 9: k-anonymity audit, retrieval eval
+#: panel), then the remaining stale backlog: all 4 r1-cohort, all 5
+#: r2-cohort, 7 of 23 r3-cohort. OUT — the entire r7 window's 50 green entries except
 #: the keep-fresh trio, all eight r5-cohort diversity picks, and
-#: FOURTEEN r3 entries displaced by rule 1 with their family still
+#: SIXTEEN r3 entries displaced by rule 1 with their family still
 #: holding a slot (pi_estimation_weyl + vector_add_kernel — dft/matmul keep the
 #: kernels family; q21_tumbling_window + q21_session_window_dynamic —
 #: q21_sliding_window keeps the window family; text_fingerprint +
@@ -130,7 +131,10 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: coverage; multimodal_binary_meta — its magic-byte surface is
 #: re-swept by the full pytest run and multimodal_feature_extract's
 #: kernels stay pinned in tests/test_multimodal.py; q36_json_extract —
-#: q52's from_json struct keeps the JSON surface).
+#: q52's from_json struct keeps the JSON surface; q20_kmeans_assign +
+#: q30_tpch_q5 — kmeans_pipeline's assignment step and the q23/q45
+#: join shapes in the bench set, plus the r1 TPC-H quartet, keep both
+#: families swept).
 #: Rule 1's "new queries must be driver-verified" outranks both
 #: diversity and the oldest tail; the displaced entries head the r9
 #: staleness queue; the ≥4-round guard holds because no
@@ -182,6 +186,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "funnel_conversion_events",
     "wordpiece_fertility_panel",
     "unigram_viterbi_panel",
+    "dq_k_anonymity",
+    "retrieval_eval_panel",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -193,14 +199,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q10_distinct",
     "q12_topk_global",
     "q16_scalar_functions",
-    # stalest: last green round 3 (9 of the 23-cohort; the 14
+    # stalest: last green round 3 (7 of the 23-cohort; the 16
     # displaced ones are named in the rotation note above)
     "dedup_lsh_verified",
     "dft_events",
     "matmul_rows_kernel",
-    "q20_kmeans_assign",
     "q21_sliding_window",
-    "q30_tpch_q5",
     "similarity_lsh_bucketed",
     "text_rolling_hash",
     "text_udtf_ngrams",

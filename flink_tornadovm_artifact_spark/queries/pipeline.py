@@ -1264,3 +1264,175 @@ SELECT phase, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM p GROUP BY 1, 2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney 2002): the privacy companion to the regex
+# PII panel — group the release's person-adjacent tables by their
+# QUASI-IDENTIFIER columns and report how many equivalence classes
+# fall below k (and how many records that re-identification risk mass
+# covers). The regex audit finds direct identifiers; this finds the
+# linkage risk that survives redaction.
+# Plan / 100 TB: one keyed aggregate per table (class sizes — bounded
+# by QI-combination cardinality, map-side combined), then a 1-row
+# rollup per table unioned into the panel. Nothing row-sized leaves
+# the aggregate.
+# ---------------------------------------------------------------------------
+K_ANON_K = 5
+#: table -> quasi-identifier columns (the linkable attributes)
+K_ANON_QI: dict[str, tuple[str, ...]] = {
+    "customer": ("c_mktsegment", "c_nationkey"),
+    "supplier": ("s_nationkey",),
+}
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for table, qi in K_ANON_QI.items():
+        classes = (
+            load(spark, sf_dir, table)
+            .groupBy(*qi)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        frames.append(
+            classes.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(",".join(qi)).alias("quasi_identifiers"),
+                F.lit(K_ANON_K).cast("int").alias("k"),
+                F.count(F.lit(1)).alias("n_classes"),
+                F.sum((F.col("n") < K_ANON_K).cast("int"))
+                .cast("bigint")
+                .alias("n_below_k"),
+                F.sum(F.when(F.col("n") < K_ANON_K, F.col("n")).otherwise(0))
+                .cast("bigint")
+                .alias("records_at_risk"),
+                F.min("n").cast("bigint").alias("min_class_size"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _k_anon_oracle() -> str:
+    legs = []
+    for table, qi in K_ANON_QI.items():
+        cols = ", ".join(qi)
+        legs.append(
+            f"""SELECT '{table}' AS table_name,
+       '{",".join(qi)}' AS quasi_identifiers,
+       CAST({K_ANON_K} AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < {K_ANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_k,
+       CAST(SUM(CASE WHEN n < {K_ANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS records_at_risk,
+       CAST(MIN(n) AS BIGINT) AS min_class_size
+FROM (SELECT {cols}, COUNT(*) AS n FROM {table} GROUP BY {cols})"""
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+_register(dq_k_anonymity, _k_anon_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation panel: score retrieval_bm25_topk against
+# conjunctive-match ground truth (a document is relevant to a probe
+# query iff it contains EVERY query term) — per query, the relevant
+# count, hits@k, recall@k, and MRR@k. This is the eval loop a
+# retrieval-assisted curation pipeline closes before trusting BM25
+# triage: ground truth is derivable (boolean AND of term membership),
+# so the panel runs with no human labels.
+# Plan / 100 TB: ground truth is one per-doc boolean expression per
+# probe query (constant-sized union over the query set) aggregated to
+# queries-sized counts; the top-k side is retrieval_bm25_topk's plan
+# (query-term-sliced shuffle + WindowGroupLimit); the join is on the
+# queries-sized key. Output is one row per probe query.
+# ---------------------------------------------------------------------------
+def retrieval_eval_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    rel_frames = []
+    for qid, terms in BM25_QUERIES.items():
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains("t", t)
+        rel_frames.append(
+            docs.filter(cond).select(
+                F.lit(qid).alias("query_id"), "doc_id"
+            )
+        )
+    rel = rel_frames[0]
+    for fr in rel_frames[1:]:
+        rel = rel.unionByName(fr)
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    topk = retrieval_bm25_topk(spark, sf_dir)
+    hits = topk.join(
+        rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("is_rel", F.lit(0))).cast("bigint").alias(
+            "hits_at_k"
+        ),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rk"))).alias("first_rel_rk"),
+    )
+    return (
+        per_q.join(F.broadcast(n_rel), "query_id")
+        .select(
+            "query_id",
+            "n_relevant",
+            "hits_at_k",
+            F.try_divide(
+                F.col("hits_at_k"),
+                F.least(F.col("n_relevant"), F.lit(BM25_TOPK).cast("bigint")),
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.try_divide(F.lit(1.0), F.col("first_rel_rk")), F.lit(0.0)
+            ).alias("mrr_at_k"),
+        )
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    legs = []
+    for qid, terms in BM25_QUERIES.items():
+        conds = " AND ".join(
+            f"list_contains(t, '{t}')" for t in terms
+        )
+        legs.append(
+            f"""SELECT '{qid}' AS query_id, doc_id
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+WHERE {conds}"""
+        )
+    rel_union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH topk AS (
+{ORACLE["retrieval_bm25_topk"].strip()}
+), rel AS (
+{rel_union}
+), n_rel AS (
+  SELECT query_id, COUNT(*) AS n_relevant FROM rel GROUP BY 1
+), hits AS (
+  SELECT tk.query_id,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel,
+         tk.rk
+  FROM topk tk LEFT JOIN rel r
+    ON tk.query_id = r.query_id AND tk.doc_id = r.doc_id
+), per_q AS (
+  SELECT query_id, CAST(SUM(is_rel) AS BIGINT) AS hits_at_k,
+         MIN(CASE WHEN is_rel = 1 THEN rk END) AS first_rel_rk
+  FROM hits GROUP BY 1
+)
+SELECT p.query_id, CAST(n.n_relevant AS BIGINT) AS n_relevant, p.hits_at_k,
+       p.hits_at_k * 1.0 / LEAST(n.n_relevant, {BM25_TOPK}) AS recall_at_k,
+       COALESCE(1.0 / p.first_rel_rk, 0.0) AS mrr_at_k
+FROM per_q p JOIN n_rel n ON p.query_id = n.query_id
+"""
+
+
+_register(retrieval_eval_panel, _retrieval_eval_oracle())

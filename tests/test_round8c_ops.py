@@ -633,3 +633,69 @@ def test_unigram_viterbi_matches_python_dp(spark):
             e["n_pieces"] / e["n_tokens"]
         )
         assert g.mean_logprob == pytest.approx(e["logprob"] / e["n_tokens"])
+
+
+def test_k_anonymity_matches_python_recompute(spark):
+    """Class counts, below-k counts, and risk mass must equal a direct
+    Python recompute of the quasi-identifier groupings, and the
+    fixture must actually contain below-k classes (the audit is not a
+    row of zeros)."""
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        K_ANON_K,
+        K_ANON_QI,
+        dq_k_anonymity,
+    )
+
+    got = {r.table_name: r for r in dq_k_anonymity(spark, SF_SMOKE).collect()}
+    assert set(got) == set(K_ANON_QI)
+    any_below = 0
+    for table, qi in K_ANON_QI.items():
+        rows = load(spark, SF_SMOKE, table).select(*qi).collect()
+        classes: dict[tuple, int] = defaultdict(int)
+        for r in rows:
+            classes[tuple(r)] += 1
+        g = got[table]
+        assert g.k == K_ANON_K
+        assert g.n_classes == len(classes)
+        assert g.n_below_k == sum(1 for n in classes.values() if n < K_ANON_K)
+        assert g.records_at_risk == sum(
+            n for n in classes.values() if n < K_ANON_K
+        )
+        assert g.min_class_size == min(classes.values())
+        any_below += g.n_below_k
+    assert any_below > 0
+
+
+def test_retrieval_eval_is_consistent_with_topk(spark):
+    """hits@k must equal the overlap of the BM25 top-k with the
+    conjunctive-match set recomputed in Python; MRR is 0 or 1/rank of
+    the first relevant hit; recall is capped at 1."""
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        retrieval_bm25_topk,
+        retrieval_eval_panel,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: set(r.text.split(" ")) for r in docs}
+    rel = {
+        qid: {d for d, ts in toks.items() if all(t in ts for t in terms)}
+        for qid, terms in BM25_QUERIES.items()
+    }
+    topk = defaultdict(list)
+    for r in retrieval_bm25_topk(spark, SF_SMOKE).collect():
+        topk[r.query_id].append((r.rk, r.doc_id))
+    got = {r.query_id: r for r in retrieval_eval_panel(spark, SF_SMOKE).collect()}
+    assert set(got) == set(BM25_QUERIES)
+    for qid, g in got.items():
+        ranked = sorted(topk[qid])
+        hits = [rk for rk, d in ranked if d in rel[qid]]
+        assert g.n_relevant == len(rel[qid])
+        assert g.hits_at_k == len(hits)
+        assert 0 <= g.hits_at_k <= BM25_TOPK
+        if hits:
+            assert g.mrr_at_k == pytest.approx(1.0 / hits[0])
+        else:
+            assert g.mrr_at_k == 0.0
+        assert g.recall_at_k is None or g.recall_at_k <= 1.0 + 1e-12

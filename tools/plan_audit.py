@@ -65,6 +65,7 @@ NESTED_LOOP_ALLOWLIST = {
     "curriculum_length_phases": "1-row exact-quartile thresholds join",
     "sketch_hll_union_matrix": "sources x 512-register dense grid (bounded by construction)",
     "funnel_conversion_events": "three 1-row step counts cross-joined into the panel",
+    "retrieval_eval_panel": "inherits retrieval_bm25_topk's 1-row N/avgdl stats join",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
