@@ -201,6 +201,17 @@ HEADLINE = [
     "dq_k_anonymity",
     # retrieval eval: BM25 top-k + conjunctive ground truth, 3-row panel
     "retrieval_eval_panel",
+    # round-8 behavioral family (queries/behavior.py): cohort matrix
+    # (distinct user-weeks + keyed join), Markov transitions (user-keyed
+    # lead window -> types² table), Kaplan-Meier (user agg -> duration-
+    # grid windows), session paths (two user-keyed windows + TakeOrdered
+    # top-20), RFM segments (customer agg + 1-row quartile broadcast)
+    "cohort_retention_weekly",
+    "markov_event_transitions",
+    "survival_km_purchase",
+    "experiment_ab_ztest",
+    "session_path_topk",
+    "rfm_segment_panel",
 ]
 
 

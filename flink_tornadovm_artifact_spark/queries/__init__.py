@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cep, gelly, iot, llm, ml, pipeline, procedural, relational, temporal_q, tpch, utils_q, windows
+from . import behavior, cep, gelly, iot, llm, ml, pipeline, procedural, relational, temporal_q, tpch, utils_q, windows
 
-_MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, gelly, utils_q, temporal_q)
+_MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, gelly, utils_q, temporal_q, behavior)
 
 #: The verification driver oracle-checks only the FIRST 50 registry
 #: entries, so registration order is itself a correctness-coverage
@@ -112,8 +112,19 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: confusion matrix; batch 7: hypertable gapfill+LOCF, funnel
 #: conversion; batch 8: WordPiece greedy fertility, unigram-LM
 #: Viterbi fertility; batch 9: k-anonymity audit, retrieval eval
-#: panel), then the remaining stale backlog: all 4 r1-cohort, all 5
-#: r2-cohort, 7 of 23 r3-cohort. OUT — the entire r7 window's 50 green entries except
+#: panel; batch 10, queries/behavior.py: cohort retention, Markov
+#: transitions, Kaplan-Meier survival, A/B z-test, session paths,
+#: RFM segments), then the remaining stale backlog: all 4 r1-cohort,
+#: all 5 r2-cohort, 1 of 23 r3-cohort (batch 10's six displaced six
+#: more r3 slots under rule 1 — dedup_lsh_verified [recall panel
+#: cross-checks its row count and containment/incremental hold the
+#: dedup slots], matmul_rows_kernel [dft_events keeps kernels],
+#: q21_sliding_window [q18/q21-session green r7 keep windows],
+#: similarity_lsh_bucketed [hard_negatives holds ANN],
+#: text_rolling_hash + text_udtf_ngrams [the confusion-matrix and
+#: novelty entries keep the text-expression surface; udtf stays
+#: pinned in pytest] — all six head the r9 staleness queue).
+#: OUT — the entire r7 window's 50 green entries except
 #: the keep-fresh trio, all eight r5-cohort diversity picks, and
 #: SIXTEEN r3 entries displaced by rule 1 with their family still
 #: holding a slot (pi_estimation_weyl + vector_add_kernel — dft/matmul keep the
@@ -188,6 +199,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "unigram_viterbi_panel",
     "dq_k_anonymity",
     "retrieval_eval_panel",
+    "cohort_retention_weekly",
+    "markov_event_transitions",
+    "survival_km_purchase",
+    "experiment_ab_ztest",
+    "session_path_topk",
+    "rfm_segment_panel",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
@@ -199,15 +216,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q10_distinct",
     "q12_topk_global",
     "q16_scalar_functions",
-    # stalest: last green round 3 (7 of the 23-cohort; the 16
+    # stalest: last green round 3 (1 of the 23-cohort; the 22
     # displaced ones are named in the rotation note above)
-    "dedup_lsh_verified",
     "dft_events",
-    "matmul_rows_kernel",
-    "q21_sliding_window",
-    "similarity_lsh_bucketed",
-    "text_rolling_hash",
-    "text_udtf_ngrams",
     # (no r5 diversity picks left: the batch-2/3 new operators
     # displaced all eight — rule 1 outranks diversity, and the r5
     # cohort is only 3 rounds stale so the staleness guard holds

@@ -1,0 +1,622 @@
+"""Behavioral / product-analytics query family over the ``events`` and
+``orders`` tables — the warehouse-side session/cohort/experiment panels
+that sit next to the funnel (``temporal_q.funnel_conversion_events``)
+and the CEP pattern family (``queries/cep.py``) in any analytics
+engine's demo suite (the reference exercises the same event-stream
+surface through its CEP examples,
+``FT/flink-libraries/flink-cep/.../Pattern.java``; these are the batch
+rollups a product team runs over the SAME event log).
+
+Engine-portability notes (shared by every query here):
+
+* Time bucketing is ``timestampdiff(unit, TIMESTAMP_NTZ epoch, ts)`` on
+  the Spark side and ``floor(epoch(ts) / unit_seconds)`` in DuckDB —
+  both timezone-free floors of the naive timestamp, identical for
+  positive epochs (the ``hypertable_gapfill_locf`` idiom).
+* Experiment assignment hashes ``md5(CAST(user_id AS string))`` — both
+  engines produce the same lowercase hex for the same input string, so
+  the variant split is reproducible across engines (Spark's ``hash()``
+  and DuckDB's ``hash()`` are different functions and must not be used
+  for anything the oracle sees).
+* Every reported float is either a single division / sqrt / exp of
+  exact integer aggregates (bit-identical given IEEE semantics) or
+  passes through the driver's round-4 canonicalization with ≥1e-10
+  headroom.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ._util import DEC
+
+ORACLE: dict[str, str] = {}
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+#: Spark-side integer day / second since the naive epoch (NTZ-safe).
+_DAYS = "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+_SECS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+#: DuckDB renderings of the same floors.
+_DAYS_SQL = "CAST(floor(epoch(CAST({c} AS TIMESTAMP)) / 86400) AS BIGINT)"
+_SECS_SQL = "CAST(floor(epoch(CAST({c} AS TIMESTAMP))) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention matrix: users are assigned to the epoch-week
+# of their first event; retention(c, o) = fraction of cohort c's users
+# active in week c+o. The classic product-analytics triangle view —
+# the population complement of the per-user funnel.
+# Plan / 100 TB: the corpus collapses to the distinct (user, week)
+# activity table in one map-side-combined groupBy (user-weeks, not
+# events); cohorts are a per-user MIN; the matrix is a keyed join on
+# user then a (cohort × offset)-bounded aggregate — weeks² output, no
+# global sorts, no windows over the raw stream.
+# ---------------------------------------------------------------------------
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.expr(_DAYS.format(c="ts")) / F.lit(7)).alias("week"),
+    )
+    activity = ev.distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    matrix = (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return matrix.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active") / F.col("n_cohort")).alias("retention"),
+    )
+
+
+QUERIES["cohort_retention_weekly"] = cohort_retention_weekly
+ORACLE["cohort_retention_weekly"] = f"""
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(floor({_DAYS_SQL.format(c="ts")} / 7) AS BIGINT) AS week
+  FROM events
+), f AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY 1
+), s AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1
+), m AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM a JOIN f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT m.cohort_week, m.week_offset, m.n_active, s.n_cohort,
+       m.n_active * 1.0 / s.n_cohort AS retention
+FROM m JOIN s ON m.cohort_week = s.cohort_week
+"""
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov chain over per-user event-type sequences: the
+# transition count matrix and its row-stochastic probabilities — the
+# "what do users do next" panel (and the empirical model behind
+# next-event prediction / clickstream simulation).
+# Plan / 100 TB: the only per-event work is a USER-keyed lead window
+# (each user's history sorts inside its hash partition — power-user
+# skew is the known hazard and AQE skew handling the remedy; never a
+# global sort), collapsing immediately to the types²-bounded (≤25 row)
+# transition table; row totals join on the ≤5-key from_type.
+# ---------------------------------------------------------------------------
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "n_from",
+        (F.col("n_trans") / F.col("n_from")).alias("p_trans"),
+    )
+
+
+QUERIES["markov_event_transitions"] = markov_event_transitions
+ORACLE["markov_event_transitions"] = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), p AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from FROM p GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n_trans, t.n_from,
+       p.n_trans * 1.0 / t.n_from AS p_trans
+FROM p JOIN t ON p.from_type = t.from_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (Kaplan & Meier 1958) for time-to-first-
+# purchase: per user, the duration from their first event to their
+# first purchase (observed) or to their last event (right-censored —
+# the user left without converting). S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+# over the distinct event durations.
+# Plan / 100 TB: the corpus collapses to one row per user in a single
+# conditional-min groupBy, then to the distinct-DURATION grid (bounded
+# by the observation span in minutes — a TIME-bounded frame, not a
+# corpus-bounded one), over which the risk-set and product windows run;
+# both are in GLOBAL_WINDOW_ALLOWLIST for exactly that reason. n_total
+# rides along as a 1-row broadcast (NESTED_LOOP_ALLOWLIST). The
+# cumulative Π is exp(Σ ln f_i) with the sum taken in duration order by
+# BOTH engines (sequential window accumulation → identical FP); a
+# zero factor (everyone at risk dies) short-circuits to exact 0.0 via
+# a flag instead of feeding ln(0)'s engine-divergent result downstream.
+# ---------------------------------------------------------------------------
+def survival_km_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sec = F.expr(_SECS.format(c="ts"))
+    per_user = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            sec.alias("s"),
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("s").alias("s0"),
+            F.min(F.when(F.col("is_p"), F.col("s"))).alias("sp"),
+            F.max("s").alias("sl"),
+        )
+        .select(
+            F.floor(
+                (F.coalesce(F.col("sp"), F.col("sl")) - F.col("s0"))
+                / F.lit(60)
+            ).alias("dur_min"),
+            F.col("sp").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    n_total = per_user.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = (
+        per_user.groupBy("dur_min")
+        .agg(
+            F.sum("observed").alias("n_events"),
+            F.count(F.lit(1)).alias("n_here"),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    w_cum = Window.orderBy("dur_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = grid.select(
+        "dur_min",
+        "n_events",
+        (
+            F.col("n_total") - F.sum("n_here").over(w_cum) + F.col("n_here")
+        ).alias("n_at_risk"),
+    ).filter(F.col("n_events") > 0)
+    factor = (F.col("n_at_risk") - F.col("n_events")) / F.col("n_at_risk")
+    stepped = at_risk.select(
+        "dur_min",
+        "n_events",
+        "n_at_risk",
+        F.when(factor > 0, F.log(F.when(factor > 0, factor).otherwise(1.0)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("lnf"),
+        (factor == 0).cast("int").alias("dead"),
+    )
+    return stepped.select(
+        "dur_min",
+        "n_events",
+        "n_at_risk",
+        F.when(F.max("dead").over(w_cum) == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum("lnf").over(w_cum)))
+        .alias("km_survival"),
+    )
+
+
+QUERIES["survival_km_purchase"] = survival_km_purchase
+ORACLE["survival_km_purchase"] = f"""
+WITH u AS (
+  SELECT user_id, MIN(s) AS s0,
+         MIN(CASE WHEN event_type = 'purchase' THEN s END) AS sp,
+         MAX(s) AS sl
+  FROM (SELECT user_id, event_type, {_SECS_SQL.format(c="ts")} AS s
+        FROM events)
+  GROUP BY 1
+), d AS (
+  SELECT CAST(floor((COALESCE(sp, sl) - s0) / 60) AS BIGINT) AS dur_min,
+         CASE WHEN sp IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM u
+), g AS (
+  SELECT dur_min, CAST(SUM(observed) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_here
+  FROM d GROUP BY 1
+), r AS (
+  SELECT dur_min, n_events,
+         CAST((SELECT COUNT(*) FROM d)
+              - SUM(n_here) OVER (ORDER BY dur_min
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+              + n_here AS BIGINT) AS n_at_risk
+  FROM g
+), s AS (
+  SELECT dur_min, n_events, n_at_risk,
+         CASE WHEN n_at_risk > n_events
+              THEN ln((n_at_risk - n_events) * 1.0 / n_at_risk) END AS lnf,
+         CASE WHEN n_at_risk = n_events THEN 1 ELSE 0 END AS dead
+  FROM r WHERE n_events > 0
+)
+SELECT dur_min, n_events, n_at_risk,
+       CASE WHEN MAX(dead) OVER w = 1 THEN 0.0
+            ELSE exp(SUM(lnf) OVER w) END AS km_survival
+FROM s
+WINDOW w AS (ORDER BY dur_min
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment read-out with a two-proportion z-test: users are
+# deterministically split into variants by the first hex digit of
+# md5(user_id) (8/16 per arm — the engine-portable hash split; see the
+# module docstring), conversion = reached a high-value purchase
+# (value ≥ CONV_VALUE_MIN — the plain any-purchase definition
+# saturates at 100% on this fixture, which would zero the pooled
+# variance). The panel reports both arms plus the pooled two-proportion
+# z statistic — the decision number an experimentation platform
+# prints; degenerate splits (an empty arm, a 0%/100% pooled rate)
+# yield NULL rates/z instead of a divide-by-zero under ANSI mode.
+# Plan / 100 TB: one user-keyed conditional aggregate (map-side
+# combined), then ONE single-row conditional aggregation over the
+# users-sized table — no joins at all; the z arithmetic is a closed
+# form over six integers, written with the identical expression shape
+# in both engines.
+# ---------------------------------------------------------------------------
+CONV_VALUE_MIN = 150.0
+
+
+def experiment_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= CONV_VALUE_MIN)
+                ).cast("int")
+            ).alias("conv")
+        )
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < F.lit("8"),
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "conv",
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.try_divide(F.col("conv_a"), F.col("n_a"))
+    p_b = F.try_divide(F.col("conv_b"), F.col("n_b"))
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    denom = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        (p_a - p_b).alias("rate_diff"),
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")),
+            (p_a - p_b) / denom,
+        ).alias("z_score"),
+    )
+
+
+QUERIES["experiment_ab_ztest"] = experiment_ab_ztest
+ORACLE["experiment_ab_ztest"] = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= {CONV_VALUE_MIN}
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), v AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant, conv
+  FROM u
+), a AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT)
+      AS conv_a,
+    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT)
+      AS conv_b
+  FROM v
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CASE WHEN n_a > 0 THEN conv_a * 1.0 / n_a END AS rate_a,
+       CASE WHEN n_b > 0 THEN conv_b * 1.0 / n_b END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN conv_a * 1.0 / n_a - conv_b * 1.0 / n_b END AS rate_diff,
+       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b
+            THEN (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                 / sqrt((conv_a + conv_b) * 1.0 / (n_a + n_b)
+                        * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) END AS z_score
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session path analysis: gap-based sessionization (a new session after
+# ≥60 min of inactivity — the batch answer to the streaming session
+# window q21 family), each session reduced to its first-5-step
+# event-type path, and the global top-20 paths by frequency. The
+# "how do users move through the product" panel.
+# Plan / 100 TB: sessionization is the two classic USER-keyed windows
+# (lag → gap flag → running session index); the path build is one
+# groupBy(user, session) with an order-preserving conditional
+# collect_list (≤5 structs per session — bounded state); the final
+# top-20 is orderBy+limit = TakeOrderedAndProject (a per-partition
+# k-heap + driver merge over the path-TYPE table, ≤ types⁵ rows —
+# never a global sort of sessions).
+# ---------------------------------------------------------------------------
+SESSION_GAP_S = 3600
+PATH_STEPS = 5
+PATH_TOPK = 20
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_u.rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("s") - F.lag("s").over(w_u)) > SESSION_GAP_S, 1
+        )
+        .when(F.lag("s").over(w_u).isNull(), 1)
+        .otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(w_cum))
+    stepped = sess.withColumn("rn", F.row_number().over(
+        Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    ))
+    per_sess = stepped.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("sess_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= PATH_STEPS,
+                            F.struct("rn", "event_type"),
+                        )
+                    )
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path"),
+    )
+    top = (
+        per_sess.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.avg("sess_len").alias("avg_sess_len"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOPK)
+    )
+    return top
+
+
+QUERIES["session_path_topk"] = session_path_topk
+ORACLE["session_path_topk"] = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         {_SECS_SQL.format(c="ts")} AS s
+  FROM events
+), f AS (
+  SELECT *,
+         CASE WHEN LAG(s) OVER w IS NULL THEN 1
+              WHEN s - LAG(s) OVER w > {SESSION_GAP_S} THEN 1
+              ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sess_id
+  FROM f
+), h AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY ts, event_id) AS rn
+  FROM g
+), p AS (
+  SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS sess_len,
+         string_agg(CASE WHEN rn <= {PATH_STEPS} THEN event_type END, '>'
+                    ORDER BY rn) AS path
+  FROM h GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       AVG(sess_len) AS avg_sess_len
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation over the orders table: recency (days since
+# last order, vs the corpus max date), frequency (order count) and
+# monetary (exact decimal revenue) per customer, each scored 1-4 by
+# EXACT quartiles, rolled up to one row per R{r}F{f}M{m} segment — the
+# classic CRM segmentation (and the curriculum_length_phases quartile
+# pattern applied to three dimensions at once).
+# Plan / 100 TB: per-customer aggregate (customers-sized, map-side
+# combined); quartile boundaries are ONE 1-row exact-percentile panel
+# broadcast back (NESTED_LOOP_ALLOWLIST; at 100 TB the documented flip
+# is approx_percentile — the q49/dq_table_profile trade); the rollup
+# is ≤64 segment rows. Quartiles interpolate INTEGER metrics (days,
+# counts, exact cents from the DECIMAL sum) so the boundary doubles are
+# engine-exact (the curriculum trick), and monetary never compares a
+# FP-accumulated double against a threshold.
+# ---------------------------------------------------------------------------
+_RFM_QS = "array(0.25D, 0.5D, 0.75D)"
+
+
+def rfm_segment_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.expr(_DAYS.format(c="o_orderdate"))
+    cust = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", day.alias("d"), "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("d_last"),
+            F.count(F.lit(1)).alias("freq"),
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+    )
+    ref = cust.agg(F.max("d_last").alias("d_max"))
+    rfm = cust.crossJoin(F.broadcast(ref)).select(
+        (F.col("d_max") - F.col("d_last")).alias("rec_days"),
+        "freq",
+        "m_cents",
+    )
+    bounds = rfm.agg(
+        F.expr(f"percentile(rec_days, {_RFM_QS})").alias("rq"),
+        F.expr(f"percentile(freq, {_RFM_QS})").alias("fq"),
+        F.expr(f"percentile(m_cents, {_RFM_QS})").alias("mq"),
+    )
+
+    def _hi_score(c, q):  # higher value → higher score
+        return (
+            F.when(F.col(c) <= F.col(q)[0], 1)
+            .when(F.col(c) <= F.col(q)[1], 2)
+            .when(F.col(c) <= F.col(q)[2], 3)
+            .otherwise(4)
+        )
+
+    def _lo_score(c, q):  # lower value (recency) → higher score
+        return (
+            F.when(F.col(c) <= F.col(q)[0], 4)
+            .when(F.col(c) <= F.col(q)[1], 3)
+            .when(F.col(c) <= F.col(q)[2], 2)
+            .otherwise(1)
+        )
+
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        F.concat(
+            F.lit("R"),
+            _lo_score("rec_days", "rq").cast("string"),
+            F.lit("F"),
+            _hi_score("freq", "fq").cast("string"),
+            F.lit("M"),
+            _hi_score("m_cents", "mq").cast("string"),
+        ).alias("segment"),
+        "rec_days",
+        "freq",
+        "m_cents",
+    )
+    return scored.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.avg("rec_days").alias("avg_recency_days"),
+        F.avg("freq").alias("avg_frequency"),
+        (F.avg("m_cents") / 100.0).alias("avg_monetary"),
+    )
+
+
+QUERIES["rfm_segment_panel"] = rfm_segment_panel
+ORACLE["rfm_segment_panel"] = f"""
+WITH cust AS (
+  SELECT o_custkey, MAX({_DAYS_SQL.format(c="o_orderdate")}) AS d_last,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY 1
+), rfm AS (
+  SELECT (SELECT MAX(d_last) FROM cust) - d_last AS rec_days,
+         freq, m_cents
+  FROM cust
+), b AS (
+  SELECT quantile_cont(rec_days, [0.25, 0.5, 0.75]) AS rq,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+         quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq
+  FROM rfm
+), s AS (
+  SELECT 'R' ||
+         CASE WHEN rec_days <= b.rq[1] THEN 4
+              WHEN rec_days <= b.rq[2] THEN 3
+              WHEN rec_days <= b.rq[3] THEN 2 ELSE 1 END ||
+         'F' ||
+         CASE WHEN freq <= b.fq[1] THEN 1
+              WHEN freq <= b.fq[2] THEN 2
+              WHEN freq <= b.fq[3] THEN 3 ELSE 4 END ||
+         'M' ||
+         CASE WHEN m_cents <= b.mq[1] THEN 1
+              WHEN m_cents <= b.mq[2] THEN 2
+              WHEN m_cents <= b.mq[3] THEN 3 ELSE 4 END AS segment,
+         rec_days, freq, m_cents
+  FROM rfm, b
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       AVG(rec_days) AS avg_recency_days,
+       AVG(freq) AS avg_frequency,
+       AVG(m_cents) / 100.0 AS avg_monetary
+FROM s GROUP BY 1
+"""

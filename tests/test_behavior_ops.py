@@ -1,0 +1,225 @@
+"""Semantic invariants for the behavioral-analytics family
+(queries/behavior.py) — the properties the DuckDB differential can't
+express: pure-Python recomputes of the cohort matrix, Markov chain,
+Kaplan-Meier curve, A/B panel and sessionization, plus the structural
+pins (row-stochastic rows, monotone survival, exact segment-count
+conservation)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from flink_tornadovm_artifact_spark.queries.behavior import (
+    CONV_VALUE_MIN,
+    PATH_STEPS,
+    PATH_TOPK,
+    SESSION_GAP_S,
+    cohort_retention_weekly,
+    experiment_ab_ztest,
+    markov_event_transitions,
+    rfm_segment_panel,
+    session_path_topk,
+    survival_km_purchase,
+)
+from flink_tornadovm_artifact_spark.tables import load
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect()
+    )
+    # naive-epoch seconds, matching the NTZ timestampdiff floor
+    return [
+        (
+            r.event_id,
+            int(r.ts.replace(tzinfo=None).timestamp()),
+            r.user_id,
+            r.event_type,
+            r.value,
+        )
+        for r in rows
+    ]
+
+
+def test_cohort_retention_matches_python(spark, events):
+    act = {(u, (s // 86400) // 7) for _, s, u, _, _ in events}
+    first = {}
+    for u, w in act:
+        first[u] = min(first.get(u, w), w)
+    sizes = Counter(first.values())
+    matrix = Counter((first[u], w - first[u]) for u, w in act)
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention_weekly(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(matrix)
+    for (c, o), (na, nc, ret) in got.items():
+        assert na == matrix[(c, o)]
+        assert nc == sizes[c]
+        assert ret == pytest.approx(matrix[(c, o)] / sizes[c])
+        if o == 0:  # every user is active in their own first week
+            assert na == nc and ret == 1.0
+
+
+def test_markov_transitions_row_stochastic_and_exact(spark, events):
+    by_user = defaultdict(list)
+    for eid, s, u, et, _ in events:
+        by_user[u].append((s, eid, et))
+    trans = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    rows = markov_event_transitions(spark, SF_SMOKE).collect()
+    assert {(r.from_type, r.to_type): r.n_trans for r in rows} == dict(trans)
+    assert sum(r.n_trans for r in rows) == len(events) - len(by_user)
+    mass = defaultdict(float)
+    for r in rows:
+        assert r.p_trans == pytest.approx(r.n_trans / r.n_from)
+        mass[r.from_type] += r.p_trans
+    for ft, m in mass.items():
+        assert m == pytest.approx(1.0), ft
+
+
+def _km_python(durations):
+    """durations: list of (dur_min, observed)."""
+    n = len(durations)
+    grid = sorted({d for d, _ in durations})
+    out, s, seen = {}, 1.0, 0
+    here = Counter(d for d, _ in durations)
+    deaths = Counter(d for d, o in durations if o)
+    for t in grid:
+        at_risk = n - seen
+        seen += here[t]
+        if deaths[t] == 0:
+            continue
+        s *= (at_risk - deaths[t]) / at_risk
+        out[t] = (deaths[t], at_risk, s)
+    return out
+
+
+def test_kaplan_meier_matches_python(spark, events):
+    per_user = defaultdict(list)
+    for eid, s, u, et, _ in events:
+        per_user[u].append((s, et))
+    durs = []
+    for seq in per_user.values():
+        s0 = min(s for s, _ in seq)
+        sl = max(s for s, _ in seq)
+        sp = min((s for s, et in seq if et == "purchase"), default=None)
+        end = sp if sp is not None else sl
+        durs.append(((end - s0) // 60, int(sp is not None)))
+    expect = _km_python(durs)
+    rows = survival_km_purchase(spark, SF_SMOKE).collect()
+    assert {r.dur_min for r in rows} == set(expect)
+    prev = 1.0
+    for r in sorted(rows, key=lambda r: r.dur_min):
+        d, n_risk, s = expect[r.dur_min]
+        assert (r.n_events, r.n_at_risk) == (d, n_risk)
+        assert r.km_survival == pytest.approx(s, abs=1e-9)
+        assert r.km_survival <= prev + 1e-12  # monotone non-increasing
+        prev = r.km_survival
+    # non-vacuity: the curve actually drops (purchases exist)
+    assert prev < 1.0
+
+
+def test_ab_ztest_matches_python(spark, events):
+    conv = defaultdict(int)
+    for _, _, u, et, v in events:
+        if et == "purchase" and v >= CONV_VALUE_MIN:
+            conv[u] = 1
+        conv.setdefault(u, 0)
+    arms = defaultdict(lambda: [0, 0])
+    for u, c in conv.items():
+        a = hashlib.md5(str(u).encode()).hexdigest()[0] < "8"
+        arm = arms["A" if a else "B"]
+        arm[0] += 1
+        arm[1] += c
+    row = experiment_ab_ztest(spark, SF_SMOKE).collect()[0]
+    assert (row.n_a, row.conv_a) == tuple(arms["A"])
+    assert (row.n_b, row.conv_b) == tuple(arms["B"])
+    assert row.n_a + row.n_b == len(conv)
+    pa, pb = arms["A"][1] / arms["A"][0], arms["B"][1] / arms["B"][0]
+    pp = (arms["A"][1] + arms["B"][1]) / (arms["A"][0] + arms["B"][0])
+    z = (pa - pb) / math.sqrt(
+        pp * (1 - pp) * (1 / arms["A"][0] + 1 / arms["B"][0])
+    )
+    assert row.rate_a == pytest.approx(pa)
+    assert row.rate_b == pytest.approx(pb)
+    assert row.z_score == pytest.approx(z, abs=1e-9)
+
+
+def test_session_paths_match_python(spark, events):
+    by_user = defaultdict(list)
+    for eid, s, u, et, _ in events:
+        by_user[u].append((s, eid, et))
+    paths, lens = Counter(), defaultdict(list)
+    for seq in by_user.values():
+        seq.sort()
+        sessions, cur, last = [], [], None
+        for s, _, et in seq:
+            if last is not None and s - last > SESSION_GAP_S:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+            last = s
+        sessions.append(cur)
+        for sess in sessions:
+            p = ">".join(sess[:PATH_STEPS])
+            paths[p] += 1
+            lens[p].append(len(sess))
+    rows = session_path_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == min(PATH_TOPK, len(paths))
+    expect_top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r, (p, n) in zip(rows, expect_top):
+        assert (r.path, r.n_sessions) == (p, n)
+        assert r.avg_sess_len == pytest.approx(sum(lens[p]) / len(lens[p]))
+        assert len(r.path.split(">")) <= PATH_STEPS
+
+
+def test_rfm_segments_conserve_and_match_numpy(spark):
+    import numpy as np
+
+    orders = (
+        load(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0, 0])
+    for r in orders:
+        d = int(r.o_orderdate.replace(tzinfo=None).timestamp()) // 86400
+        e = per[r.o_custkey]
+        e[0] = max(e[0], d)
+        e[1] += 1
+        e[2] += round(r.o_totalprice * 100)
+    dmax = max(e[0] for e in per.values())
+    rec = np.array([dmax - e[0] for e in per.values()])
+    freq = np.array([e[1] for e in per.values()])
+    mon = np.array([e[2] for e in per.values()])
+
+    def score(v, q, lo_good):
+        s = 1 + (v > q[0]) + (v > q[1]) + (v > q[2])
+        return 5 - s if lo_good else s
+
+    rq, fq, mq = (
+        np.percentile(x, [25, 50, 75], method="linear")
+        for x in (rec, freq, mon)
+    )
+    segs = Counter(
+        f"R{score(r_, rq, True)}F{score(f_, fq, False)}M{score(m_, mq, False)}"
+        for r_, f_, m_ in zip(rec, freq, mon)
+    )
+    rows = rfm_segment_panel(spark, SF_SMOKE).collect()
+    assert sum(r.n_customers for r in rows) == len(per)
+    assert {r.segment: r.n_customers for r in rows} == dict(segs)
+    for r in rows:
+        assert set(r.segment) <= set("RFM1234") and len(r.segment) == 6

@@ -66,6 +66,9 @@ NESTED_LOOP_ALLOWLIST = {
     "sketch_hll_union_matrix": "sources x 512-register dense grid (bounded by construction)",
     "funnel_conversion_events": "three 1-row step counts cross-joined into the panel",
     "retrieval_eval_panel": "inherits retrieval_bm25_topk's 1-row N/avgdl stats join",
+    # round-8 batch 10 (behavior.py)
+    "survival_km_purchase": "1-row n_total broadcast onto the duration grid",
+    "rfm_segment_panel": "1-row ref-date + exact-quartile-thresholds broadcasts",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
@@ -79,6 +82,11 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     # the per-PARTITION-count table (rows = #partitions, bounded by
     # cluster size, not data size — Flink DataSetUtils' own design)
     "zip_with_index_contract": "offset window over per-partition counts",
+    # the KM risk-set and product windows run over the distinct-
+    # DURATION grid (bounded by the observation span in minutes — a
+    # TIME-bounded frame, not a corpus-bounded one; the survival curve
+    # is inherently a sequential product over that grid)
+    "survival_km_purchase": "risk-set/product windows over the duration grid",
 }
 
 
