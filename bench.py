@@ -212,6 +212,16 @@ HEADLINE = [
     "experiment_ab_ztest",
     "session_path_topk",
     "rfm_segment_panel",
+    # round-8 batch 11: stationary panel (shared lead window + driver
+    # iteration on the collected types² matrix), SCD2 build (two
+    # user-keyed windows), MAD anomaly (two keyed exact percentiles),
+    # CMS heavy hitters (type-table collapse + 1024-row register
+    # broadcast), quantile registers (one binning scan + 128-row grid)
+    "markov_stationary_panel",
+    "scd2_dimension_build",
+    "anomaly_mad_events",
+    "sketch_cms_heavy_hitters",
+    "sketch_quantile_doc_length",
 ]
 
 

@@ -167,8 +167,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "bpe_merge_table",
     "bpe_encode_fertility",
     "dedup_incremental",
-    # new this round (rule 1) (12 — second batch: the release-audit
-    # and profiling family from queries/pipeline.py)
+    # new this round (rule 1) (36 — batches 1-10 as itemized in the
+    # rotation note above; ends at rfm_segment_panel)
     "release_sequence_packing",
     "dedup_semantic",
     "lm_kn_bigram",
@@ -205,17 +205,24 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "experiment_ab_ztest",
     "session_path_topk",
     "rfm_segment_panel",
+    # new this round, batch 11 (rule 1) (5): Markov stationary panel,
+    # SCD2 dimension build, MAD anomaly panel, CMS heavy hitters,
+    # quantile-sketch registers — these displaced the five r2-cohort
+    # slots (q01/q02/q10/q12/q16), whose operator surfaces (filter/
+    # project, global agg, distinct, global top-k, scalar functions)
+    # every window entry exercises incidentally and the full-oracle
+    # pytest sweep pins at both SFs; they head the r9 staleness queue
+    # with the six batch-10 displacements
+    "markov_stationary_panel",
+    "scd2_dimension_build",
+    "anomaly_mad_events",
+    "sketch_cms_heavy_hitters",
+    "sketch_quantile_doc_length",
     # stalest: last green round 1 (4)
     "q26_count_distinct",
     "q33_window_frames",
     "q34_explode_tokens",
     "q38_tpch_q6",
-    # stalest: last green round 2 (5)
-    "q01_filter_project",
-    "q02_global_agg",
-    "q10_distinct",
-    "q12_topk_global",
-    "q16_scalar_functions",
     # stalest: last green round 3 (1 of the 23-cohort; the 22
     # displaced ones are named in the rotation note above)
     "dft_events",

@@ -620,3 +620,249 @@ SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
        AVG(m_cents) / 100.0 AS avg_monetary
 FROM s GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain: collect the
+# types²-bounded transition matrix (≤25 rows — the kmeans/Bradley-Terry
+# bounded-collect discipline), power-iterate π ← πP driver-side for
+# STAT_ITERS steps from uniform, and report π next to the empirical
+# long-run occupancy (share of transition targets) with the gap — the
+# "is the clickstream at steady state" panel.
+# Plan / 100 TB: all corpus-sized work is the SAME user-keyed lead
+# window + types²-bounded aggregate as markov_event_transitions (shared
+# helper — the two cannot drift); the iteration itself touches ≤
+# types² numbers on the driver. Transitions into types never observed
+# as a source (dangling states) are dropped and rows renormalized —
+# identically in both engines — so P stays row-stochastic.
+# Oracle: a STAT_ITERS-step MATERIALIZED-CTE unroll of the same power
+# iteration (the pref_bradley_terry pattern) — convergence makes the
+# two engines' accumulation orders agree far inside the 4dp hash.
+# ---------------------------------------------------------------------------
+STAT_ITERS = 40
+
+
+def _transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n_trans) via the user-keyed lead window."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+
+
+def markov_stationary_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _transition_counts(spark, sf_dir).collect()  # types²-bounded
+    sources = {r.from_type for r in rows}
+    kept = [r for r in rows if r.to_type in sources]
+    out_tot: dict[str, int] = {}
+    for r in kept:
+        out_tot[r.from_type] = out_tot.get(r.from_type, 0) + r.n_trans
+    p = {
+        (r.from_type, r.to_type): r.n_trans / out_tot[r.from_type]
+        for r in kept
+    }
+    states = sorted(out_tot)
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(STAT_ITERS):
+        pi = {
+            j: sum(pi[i] * p.get((i, j), 0.0) for i in states)
+            for j in states
+        }
+    total = sum(r.n_trans for r in kept)
+    emp = {s: 0 for s in states}
+    for r in kept:
+        emp[r.to_type] += r.n_trans
+    out = [
+        (s, pi[s], emp[s] / total, abs(pi[s] - emp[s] / total))
+        for s in states
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, stationary_p double, empirical_share double,"
+        " abs_gap double",
+    )
+
+
+def _stationary_oracle() -> str:
+    steps = []
+    for k in range(1, STAT_ITERS + 1):
+        steps.append(
+            # MATERIALIZED for the same reason as the Bradley-Terry
+            # unroll: each step references the previous once per join
+            # side and DuckDB would inline the chain exponentially
+            f"""s{k} AS MATERIALIZED (
+  SELECT m.j AS t, SUM(s{k - 1}.p * m.pt) AS p
+  FROM s{k - 1} JOIN m ON m.i = s{k - 1}.t
+  GROUP BY 1
+),"""
+        )
+    unroll = "\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), pr AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+), kept AS (
+  SELECT * FROM pr
+  WHERE to_type IN (SELECT DISTINCT from_type FROM pr)
+), t AS (
+  SELECT from_type, SUM(n_trans) AS n_from FROM kept GROUP BY 1
+), m AS (
+  SELECT kept.from_type AS i, kept.to_type AS j,
+         kept.n_trans * 1.0 / t.n_from AS pt
+  FROM kept JOIN t ON t.from_type = kept.from_type
+), states AS (SELECT DISTINCT i AS t FROM m),
+s0 AS (
+  SELECT t, 1.0 / (SELECT COUNT(*) FROM states) AS p FROM states
+),
+{unroll}
+emp AS (
+  SELECT to_type AS t,
+         SUM(n_trans) * 1.0 / (SELECT SUM(n_trans) FROM kept) AS share
+  FROM kept GROUP BY 1
+)
+SELECT s.t AS event_type, s.p AS stationary_p,
+       emp.share AS empirical_share, abs(s.p - emp.share) AS abs_gap
+FROM s{STAT_ITERS} s JOIN emp ON emp.t = s.t
+"""
+
+
+QUERIES["markov_stationary_panel"] = markov_stationary_panel
+ORACLE["markov_stationary_panel"] = _stationary_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build from the signup event stream: each user's
+# signup values become versioned rows with [valid_from, valid_to)
+# intervals, a version number, and an is_current flag — the warehouse
+# primitive that PRODUCES the versioned table the temporal as-of join
+# (queries/temporal_q.py:temporal_join_events) consumes. Same
+# latest-write-wins (user, ts) dedup as that query, so the two
+# compose.
+# Plan / 100 TB: two USER-keyed windows (dedup row_number + lead) over
+# the signup-filtered scan — the filter reaches parquet, the windows
+# are hash-partitioned on user, output is versions-sized. No global
+# ordering anywhere.
+# ---------------------------------------------------------------------------
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    dedup = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    versions = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("_rn", F.row_number().over(dedup))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("signup_value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return versions.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "signup_value",
+        F.row_number().over(w).cast("int").alias("version_n"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+QUERIES["scd2_dimension_build"] = scd2_dimension_build
+ORACLE["scd2_dimension_build"] = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'signup'
+), v AS (SELECT user_id, ts, value FROM s WHERE rn = 1)
+SELECT user_id,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       value AS signup_value,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_n,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly panel: per event type, the median / MAD (median
+# absolute deviation) of the value distribution and the count of
+# values outside med ± 3·1.4826·MAD — the outlier detector that
+# (unlike the q19 z-score family) is itself immune to the outliers it
+# hunts. 1.4826 is the standard consistency constant making MAD
+# estimate σ under normality.
+# Plan / 100 TB: two keyed exact-percentile aggregates (≤ types
+# groups) + joins on the ≤5-key type column + one conditional count
+# pass. Exact percentile buffers per group at this SF;
+# approx_percentile is the documented 100 TB flip (the
+# dq_table_profile / rfm trade).
+# ---------------------------------------------------------------------------
+MAD_K = 3 * 1.4826
+
+
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_v")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med_v",
+        F.abs(F.col("value") - F.col("med_v")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_v")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med_v").alias("med_v"),
+            F.min("mad_v").alias("mad_v"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("adev") > F.lit(MAD_K) * F.col("mad_v")).cast("int")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type", "med_v", "mad_v", "n", "n_outliers",
+            (F.col("n_outliers") / F.col("n")).alias("outlier_rate"),
+        )
+    )
+
+
+QUERIES["anomaly_mad_events"] = anomaly_mad_events
+ORACLE["anomaly_mad_events"] = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med_v
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.value, med.med_v,
+         abs(e.value - med.med_v) AS adev
+  FROM events e JOIN med ON med.event_type = e.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_v
+  FROM dev GROUP BY 1
+)
+SELECT dev.event_type, MIN(dev.med_v) AS med_v, MIN(mad.mad_v) AS mad_v,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN dev.adev > {MAD_K!r} * mad.mad_v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       SUM(CASE WHEN dev.adev > {MAD_K!r} * mad.mad_v
+                THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS outlier_rate
+FROM dev JOIN mad ON mad.event_type = dev.event_type
+GROUP BY 1
+"""

@@ -5325,3 +5325,238 @@ GROUP BY 1
 
 
 _register(unigram_viterbi_panel, _viterbi_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters (Cormode & Muthukrishnan 2005 §3.2): the
+# tokens whose exact frequency is ≥ φ·N, each cross-checked against
+# the count-min sketch's point estimate (min over the d=4 counter
+# rows) with its one-sided overestimate — the QA panel that validates
+# the sketch's ε-guarantee on the corpus it will summarize, completing
+# the frequency leg of the sketch family (count-min → HLL → quantile
+# registers).
+# Plan / 100 TB: the exact side is the token-TYPE table (Heaps-law
+# bounded) with a 1-row total broadcast; the sketch side reuses
+# sketch_count_min_tokens' register build VERBATIM (≤ d·w = 1024 rows,
+# broadcast onto the φ-filtered head). Nothing corpus-sized shuffles
+# except the two token-key collapses.
+# ---------------------------------------------------------------------------
+CMS_PHI = 0.02
+
+
+def _cms_buckets(col: Column) -> Column:
+    """The d row-hash buckets of a token — shared with
+    sketch_count_min_tokens so panel and sketch cannot drift."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(col, F.lit(f"#cms{i}"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % CMS_WIDTH
+            ).cast("int")
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_exact"))
+    tot = exact.agg(F.sum("n_exact").cast("bigint").alias("n_total"))
+    heavy = exact.crossJoin(F.broadcast(tot)).filter(
+        F.col("n_exact") >= F.lit(CMS_PHI) * F.col("n_total")
+    )
+    registers = sketch_count_min_tokens(spark, sf_dir)
+    probes = heavy.select(
+        "t",
+        "n_exact",
+        "n_total",
+        F.posexplode(_cms_buckets(F.col("t"))).alias("row_id", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(registers), ["row_id", "bucket"])
+        .groupBy("t", "n_exact", "n_total")
+        .agg(F.min("cnt").alias("n_cms"))
+        .select(
+            "t",
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact")).alias("overestimate"),
+        )
+    )
+
+
+_register(
+    sketch_cms_heavy_hitters,
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+exact AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tok GROUP BY 1
+),
+heavy AS (
+  SELECT t, n_exact FROM exact
+  WHERE n_exact >= {CMS_PHI} * (SELECT SUM(n_exact) FROM exact)
+),
+e AS (
+  SELECT CAST(i AS INTEGER) AS row_id,
+         CAST(CAST(concat('0x', substr(md5(t || '#cms' || i), 1, 8))
+                   AS BIGINT) % {{w}} AS INTEGER) AS bucket
+  FROM tok, range(0, {{d}}) r(i)
+),
+regs AS (
+  SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2
+),
+probes AS (
+  SELECT heavy.t, heavy.n_exact, CAST(i AS INTEGER) AS row_id,
+         CAST(CAST(concat('0x', substr(md5(heavy.t || '#cms' || i), 1, 8))
+                   AS BIGINT) % {{w}} AS INTEGER) AS bucket
+  FROM heavy, range(0, {{d}}) r(i)
+)
+SELECT probes.t, probes.n_exact, MIN(regs.cnt) AS n_cms,
+       MIN(regs.cnt) - probes.n_exact AS overestimate
+FROM probes JOIN regs
+  ON regs.row_id = probes.row_id AND regs.bucket = probes.bucket
+GROUP BY 1, 2
+""".replace("{w}", str(CMS_WIDTH)).replace("{d}", str(CMS_DEPTH)),
+)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile-sketch registers over document length: a B-bin
+# equi-width histogram whose registers merge by plain addition (the
+# map-side-combine / cross-shard algebra — the order-statistics leg of
+# the sketch family), read out at the nine deciles by within-bin
+# linear interpolation and cross-checked against the EXACT percentile
+# with the abs error and the ε = bin-width guarantee column.
+# Plan / 100 TB: one scan bins every doc (a single expression against
+# the broadcast 1-row min/max/count panel); the registers are ≤ B rows
+# (map-side combined); the decile read-out is a 9-row × B-row bounded
+# grid join + a keyed first-covering-bin pick. The exact side is one
+# 1-row percentile aggregate (at 100 TB the exact column is the
+# audit's luxury — the registers ARE the production answer;
+# approx_percentile is the engine's own equivalent flip).
+# ---------------------------------------------------------------------------
+QSK_BINS = 128
+
+
+def sketch_quantile_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("n_chars")
+    stats = docs.agg(
+        F.min("n_chars").cast("double").alias("lo"),
+        F.max("n_chars").cast("double").alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.expr(
+            "percentile(n_chars, array(0.1D,0.2D,0.3D,0.4D,0.5D,"
+            "0.6D,0.7D,0.8D,0.9D))"
+        ).alias("ex"),
+    ).select(
+        "lo", "hi", "n_total", "ex",
+        ((F.col("hi") - F.col("lo")) / F.lit(QSK_BINS)).alias("wdt"),
+    )
+    regs = (
+        docs.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("n_chars") - F.col("lo")) / F.col("wdt")),
+                F.lit(QSK_BINS - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = regs.select(
+        "bin", "cnt", F.sum("cnt").over(w_cum).alias("cum_cnt")
+    )
+    grid = stats.select(
+        "lo", "n_total", "wdt", F.posexplode("ex").alias("pos", "exact")
+    ).select(
+        ((F.col("pos") + 1) / F.lit(10.0)).alias("q"),
+        "exact",
+        (((F.col("pos") + 1) / F.lit(10.0)) * F.col("n_total")).alias(
+            "target"
+        ),
+        "lo",
+        "wdt",
+    )
+    covering = grid.join(
+        F.broadcast(cum), F.col("cum_cnt") >= F.col("target")
+    )
+    first = covering.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("q").orderBy("bin")),
+    ).filter(F.col("rn") == 1)
+    est = (
+        F.col("lo")
+        + (
+            F.col("bin")
+            + (F.col("target") - (F.col("cum_cnt") - F.col("cnt")))
+            / F.col("cnt")
+        )
+        * F.col("wdt")
+    )
+    return first.select(
+        "q",
+        est.alias("est"),
+        "exact",
+        F.abs(est - F.col("exact")).alias("abs_err"),
+        F.col("wdt").alias("bin_width"),
+    )
+
+
+_register(
+    sketch_quantile_doc_length,
+    f"""
+WITH stats AS (
+  SELECT CAST(MIN(n_chars) AS DOUBLE) AS lo,
+         CAST(MAX(n_chars) AS DOUBLE) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ex,
+         (CAST(MAX(n_chars) AS DOUBLE) - CAST(MIN(n_chars) AS DOUBLE))
+           / {QSK_BINS} AS wdt
+  FROM documents
+), regs AS (
+  SELECT CAST(least(floor((n_chars - stats.lo) / stats.wdt),
+                    {QSK_BINS - 1}) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents, stats GROUP BY 1
+), cum AS (
+  SELECT bin, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_cnt
+  FROM regs
+), grid AS (
+  SELECT (g.pos + 1) / 10.0 AS q,
+         g.exact,
+         (g.pos + 1) / 10.0 * stats.n_total AS target,
+         stats.lo, stats.wdt
+  FROM stats,
+       LATERAL (SELECT CAST(generate_subscripts(stats.ex, 1) - 1 AS INTEGER)
+                         AS pos,
+                       unnest(stats.ex) AS exact) g
+), first AS (
+  SELECT grid.*, cum.bin, cum.cnt, cum.cum_cnt,
+         ROW_NUMBER() OVER (PARTITION BY grid.q ORDER BY cum.bin) AS rn
+  FROM grid JOIN cum ON cum.cum_cnt >= grid.target
+)
+SELECT q,
+       lo + (bin + (target - (cum_cnt - cnt)) * 1.0 / cnt) * wdt AS est,
+       exact,
+       abs(lo + (bin + (target - (cum_cnt - cnt)) * 1.0 / cnt) * wdt
+           - exact) AS abs_err,
+       wdt AS bin_width
+FROM first WHERE rn = 1
+""",
+)

@@ -223,3 +223,170 @@ def test_rfm_segments_conserve_and_match_numpy(spark):
     assert {r.segment: r.n_customers for r in rows} == dict(segs)
     for r in rows:
         assert set(r.segment) <= set("RFM1234") and len(r.segment) == 6
+
+
+def test_markov_stationary_matches_numpy_eig(spark, events):
+    """The driver-side power iteration must land on the true dominant
+    left eigenvector of the renormalized transition matrix (numpy eig —
+    an independent algorithm), and the panel's empirical share must be
+    the exact transition-target share."""
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        markov_stationary_panel,
+    )
+
+    by_user = defaultdict(list)
+    for eid, s, u, et, _ in events:
+        by_user[u].append((s, eid, et))
+    trans = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    sources = {a for a, _ in trans}
+    kept = {k: v for k, v in trans.items() if k[1] in sources}
+    states = sorted({a for a, _ in kept})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for (a, b), n in kept.items():
+        P[idx[a], idx[b]] = n
+    P /= P.sum(axis=1, keepdims=True)
+    vals, vecs = np.linalg.eig(P.T)
+    v = np.real(vecs[:, np.argmax(np.real(vals))])
+    v = v / v.sum()
+    total = sum(kept.values())
+    emp = Counter()
+    for (_, b), n in kept.items():
+        emp[b] += n
+    rows = markov_stationary_panel(spark, SF_SMOKE).collect()
+    assert {r.event_type for r in rows} == set(states)
+    for r in rows:
+        assert r.stationary_p == pytest.approx(v[idx[r.event_type]], abs=1e-9)
+        assert r.empirical_share == pytest.approx(emp[r.event_type] / total)
+        assert r.abs_gap == pytest.approx(
+            abs(r.stationary_p - r.empirical_share), abs=1e-12
+        )
+    assert sum(r.stationary_p for r in rows) == pytest.approx(1.0)
+
+
+def test_scd2_intervals_chain_and_compose(spark):
+    """Per user: versions are numbered 1..k, intervals chain
+    (valid_to == next valid_from), exactly one current row, and the
+    version table composes with the as-of semantics — a probe at any
+    version's valid_from resolves to that version's value."""
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        scd2_dimension_build,
+    )
+
+    rows = scd2_dimension_build(spark, SF_SMOKE).collect()
+    assert rows, "signup events exist at the smoke SF"
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r.version_n)
+        assert [r.version_n for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r.is_current for r in vs) == 1 and vs[-1].is_current
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert not a.is_current
+        assert vs[-1].valid_to is None
+
+
+def test_anomaly_mad_matches_python(spark, events):
+    import statistics
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        MAD_K,
+        anomaly_mad_events,
+    )
+
+    vals = defaultdict(list)
+    for _, _, _, et, v in events:
+        vals[et].append(v)
+    rows = anomaly_mad_events(spark, SF_SMOKE).collect()
+    assert {r.event_type for r in rows} == set(vals)
+    for r in rows:
+        xs = vals[r.event_type]
+        med = statistics.median(xs)
+        mad = statistics.median(abs(x - med) for x in xs)
+        n_out = sum(abs(x - med) > MAD_K * mad for x in xs)
+        assert r.med_v == pytest.approx(med, abs=1e-9)
+        assert r.mad_v == pytest.approx(mad, abs=1e-9)
+        assert (r.n, r.n_outliers) == (len(xs), n_out)
+
+
+def test_cms_heavy_hitters_guarantees(spark):
+    """Count-min is one-sided (estimate >= exact for every heavy
+    hitter), the estimate error respects e/w * N with the standard
+    delta at depth 4 on this fixture (deterministic — exact recompute,
+    not a probabilistic bound), and the phi cut is a strict subset of
+    the vocabulary at the smoke SF."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        CMS_PHI,
+        CMS_WIDTH,
+        sketch_cms_heavy_hitters,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("text").collect()
+    exact = Counter(t for r in docs for t in r.text.split(" "))
+    total = sum(exact.values())
+    heavy = {t: c for t, c in exact.items() if c >= CMS_PHI * total}
+    rows = sketch_cms_heavy_hitters(spark, SF_SMOKE).collect()
+    assert {r.t for r in rows} == set(heavy)
+    assert len(rows) < len(exact), "phi cut must be a strict subset"
+    for r in rows:
+        assert r.n_exact == heavy[r.t]
+        assert r.n_cms >= r.n_exact, "count-min is one-sided"
+        assert r.overestimate == r.n_cms - r.n_exact
+        assert r.overestimate <= math.e / CMS_WIDTH * total * 3
+
+
+def test_quantile_sketch_error_bounded_and_mergeable(spark):
+    """The decile estimate must sit within one bin width of the exact
+    percentile (the equi-width histogram's epsilon guarantee), and the
+    registers must merge by addition: building registers per source
+    and summing them equals the single-pass build (the cross-shard
+    algebra the sketch exists for)."""
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        QSK_BINS,
+        sketch_quantile_doc_length,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    rows = sketch_quantile_doc_length(spark, SF_SMOKE).collect()
+    assert [r.q for r in rows] == pytest.approx(
+        [i / 10 for i in range(1, 10)]
+    )
+    for r in rows:
+        assert r.abs_err <= r.bin_width + 1e-9
+        assert r.abs_err == pytest.approx(abs(r.est - r.exact), abs=1e-12)
+    # merge algebra: per-source register builds sum to the global build
+    docs = load(spark, SF_SMOKE, "documents")
+    lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    wdt = (hi - lo) / QSK_BINS
+    binned = docs.select(
+        "source",
+        F.least(
+            F.floor((F.col("n_chars") - F.lit(float(lo))) / F.lit(wdt)),
+            F.lit(QSK_BINS - 1),
+        ).alias("bin"),
+    )
+    per_source = {
+        (r.source, r.bin): r.cnt
+        for r in binned.groupBy("source", "bin").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    merged = Counter()
+    for (_, b), c in per_source.items():
+        merged[b] += c
+    single = {
+        r.bin: r.cnt
+        for r in binned.groupBy("bin").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    assert dict(merged) == single

@@ -69,6 +69,9 @@ NESTED_LOOP_ALLOWLIST = {
     # round-8 batch 10 (behavior.py)
     "survival_km_purchase": "1-row n_total broadcast onto the duration grid",
     "rfm_segment_panel": "1-row ref-date + exact-quartile-thresholds broadcasts",
+    # round-8 batch 11
+    "sketch_cms_heavy_hitters": "1-row token-total broadcast onto the type table",
+    "sketch_quantile_doc_length": "1-row stats broadcast + 9-row decile grid vs <=128-row register non-equi join (both bounded by construction)",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
@@ -87,6 +90,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     # TIME-bounded frame, not a corpus-bounded one; the survival curve
     # is inherently a sequential product over that grid)
     "survival_km_purchase": "risk-set/product windows over the duration grid",
+    # the register table is <= QSK_BINS = 128 rows by construction
+    "sketch_quantile_doc_length": "cum window over the 128-row register table",
 }
 
 
