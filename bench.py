@@ -222,6 +222,11 @@ HEADLINE = [
     "anomaly_mad_events",
     "sketch_cms_heavy_hitters",
     "sketch_quantile_doc_length",
+    # round-8 batch 12: basket rules (order-keyed self-join, bounded
+    # per-basket fan-out) and the CUPED moment panel (one conditional
+    # agg, zero joins)
+    "market_basket_rules",
+    "experiment_cuped_panel",
 ]
 
 

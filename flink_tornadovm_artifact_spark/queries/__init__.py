@@ -218,9 +218,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "anomaly_mad_events",
     "sketch_cms_heavy_hitters",
     "sketch_quantile_doc_length",
-    # stalest: last green round 1 (4)
-    "q26_count_distinct",
-    "q33_window_frames",
+    # new this round, batch 12 (rule 1) (2): market-basket rules +
+    # CUPED panel — displacing q26_count_distinct (exact-NDV surface
+    # stays under dq_table_profile, in-window) and q33_window_frames
+    # (bounded-frame windows are exercised by the passage-dedup /
+    # curriculum / gapfill entries); both head the r9 staleness queue
+    "market_basket_rules",
+    "experiment_cuped_panel",
+    # stalest: last green round 1 (2 of the quartet)
     "q34_explode_tokens",
     "q38_tpch_q6",
     # stalest: last green round 3 (1 of the 23-cohort; the 22

@@ -866,3 +866,276 @@ SELECT dev.event_type, MIN(dev.med_v) AS med_v, MIN(mad.mad_v) AS mad_v,
 FROM dev JOIN mad ON mad.event_type = dev.event_type
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (Agrawal & Srikant 1994 semantics at
+# the category level): baskets are orders, items are part TYPES (6
+# values — category-level co-occurrence is dense where raw part pairs
+# are near-unique), and every directed rule A→B gets support,
+# confidence and lift. The retail-analytics primitive next to RFM.
+# Plan / 100 TB: lineitem⋈part is a hash join on partkey (part is
+# SF-linear — deliberately NOT broadcast; AQE may still elect it at
+# small SF), the basket table is the distinct (order, type) collapse,
+# and the pair build is an ORDER-keyed self-join with per-basket
+# fan-out bounded by the category count (≤6·5/2 pairs per order — the
+# hub-cap property the dedup family's candidate joins rely on). Item
+# and basket totals ride as ≤types-row / 1-row broadcasts; output is
+# the ≤types² rule table.
+# ---------------------------------------------------------------------------
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    baskets = (
+        li.join(pt, li.l_orderkey.isNotNull() & (li.l_partkey == pt.p_partkey))
+        .select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("i"))
+        .distinct()
+    )
+    n_baskets = baskets.agg(
+        F.countDistinct("k").alias("n_baskets")
+    )
+    items = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select("k", F.col("i").alias("ia"))
+    b = baskets.select("k", F.col("i").alias("ib"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    directed = pairs.unionByName(
+        pairs.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "n_pair"
+        )
+    )
+    rules = (
+        directed.join(
+            F.broadcast(items.select(F.col("i").alias("ia"),
+                                     F.col("n_item").alias("n_ante"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(items.select(F.col("i").alias("ib"),
+                                     F.col("n_item").alias("n_cons"))),
+            "ib",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return rules.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "n_pair",
+        "n_ante",
+        "n_cons",
+        (F.col("n_pair") / F.col("n_baskets")).alias("support"),
+        (F.col("n_pair") / F.col("n_ante")).alias("confidence"),
+        (
+            (F.col("n_pair") / F.col("n_ante"))
+            / (F.col("n_cons") / F.col("n_baskets"))
+        ).alias("lift"),
+    )
+
+
+QUERIES["market_basket_rules"] = market_basket_rules
+ORACLE["market_basket_rules"] = """
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS k, p.p_type AS i
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_baskets FROM b
+), items AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY 1
+), pairs AS (
+  SELECT a.i AS ia, b2.i AS ib, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM b a JOIN b b2 ON a.k = b2.k AND a.i < b2.i
+  GROUP BY 1, 2
+), directed AS (
+  SELECT ia, ib, n_pair FROM pairs
+  UNION ALL
+  SELECT ib, ia, n_pair FROM pairs
+)
+SELECT d.ia AS antecedent, d.ib AS consequent, d.n_pair,
+       ante.n_item AS n_ante, cons.n_item AS n_cons,
+       d.n_pair * 1.0 / nb.n_baskets AS support,
+       d.n_pair * 1.0 / ante.n_item AS confidence,
+       (d.n_pair * 1.0 / ante.n_item)
+         / (cons.n_item * 1.0 / nb.n_baskets) AS lift
+FROM directed d
+JOIN items ante ON ante.i = d.ia
+JOIN items cons ON cons.i = d.ib
+CROSS JOIN nb
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment read-out (Deng, Xu, Kohavi & Walker
+# 2013): the A/B panel re-estimated with the user's PRE-period activity
+# as the control covariate — Y_adj = Y − θ(X − X̄) with pooled
+# θ = cov(X,Y)/var(X). X = events before the split day, Y = purchases
+# on/after it (both INTEGERS, so every moment is an exact integer sum
+# and the panel's doubles are single closed-form expressions —
+# bit-identical across engines). Reports θ, the raw and adjusted
+# treatment effects, their z statistics, and the variance reduction —
+# the number that justifies running CUPED at all.
+# Plan / 100 TB: one user-keyed conditional aggregate, then ONE
+# single-row moment aggregation (Σx, Σy, Σxy, Σx², Σy² per arm by
+# conditional sums); zero joins, zero windows.
+# ---------------------------------------------------------------------------
+CUPED_SPLIT_DAY = 19738  # 2024-01-16, the fixture's experiment start
+
+
+def experiment_cuped_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.expr(_DAYS.format(c="ts"))
+    per_user = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            day.alias("d"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("d") < CUPED_SPLIT_DAY).cast("int")
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("d") >= CUPED_SPLIT_DAY, F.col("is_p")).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < F.lit("8"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("is_a"),
+            "x",
+            "y",
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.col("is_a") * F.col("x")).alias("sx_a"),
+        F.sum(F.col("is_a") * F.col("y")).alias("sy_a"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var_x = (F.col("sxx") - sx * sx / n) / n
+    var_y = (F.col("syy") - sy * sy / n) / n
+    cov_xy = (F.col("sxy") - sx * sy / n) / n
+    theta = cov_xy / var_x
+    n_b = n - F.col("n_a")
+    mean_y_a = F.col("sy_a") / F.col("n_a")
+    mean_y_b = (sy - F.col("sy_a")) / n_b
+    mean_x_a = F.col("sx_a") / F.col("n_a")
+    mean_x_b = (sx - F.col("sx_a")) / n_b
+    diff_raw = mean_y_a - mean_y_b
+    diff_cuped = diff_raw - theta * (mean_x_a - mean_x_b)
+    var_adj = var_y - F.lit(2.0) * theta * cov_xy + theta * theta * var_x
+    se_raw = F.sqrt(var_y / F.col("n_a") + var_y / n_b)
+    se_adj = F.sqrt(var_adj / F.col("n_a") + var_adj / n_b)
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        theta.alias("theta"),
+        diff_raw.alias("diff_raw"),
+        diff_cuped.alias("diff_cuped"),
+        (diff_raw / se_raw).alias("z_raw"),
+        (diff_cuped / se_adj).alias("z_cuped"),
+        var_y.alias("var_y"),
+        var_adj.alias("var_y_adj"),
+        (F.lit(1.0) - var_adj / var_y).alias("var_reduction"),
+    )
+
+
+QUERIES["experiment_cuped_panel"] = experiment_cuped_panel
+ORACLE["experiment_cuped_panel"] = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN d < {CUPED_SPLIT_DAY} THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN d >= {CUPED_SPLIT_DAY} THEN is_p ELSE 0 END)
+              AS BIGINT) AS y
+  FROM (SELECT user_id, {_DAYS_SQL.format(c="ts")} AS d,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events)
+  GROUP BY 1
+), v AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS is_a, x, y
+  FROM u
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(is_a * x) AS BIGINT) AS sx_a,
+         CAST(SUM(is_a * y) AS BIGINT) AS sy_a
+  FROM v
+)
+SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+       ((sxy - sx * 1.0 * sy / n) / n)
+         / ((sxx - sx * 1.0 * sx / n) / n) AS theta,
+       sy_a * 1.0 / n_a - (sy - sy_a) * 1.0 / (n - n_a) AS diff_raw,
+       (sy_a * 1.0 / n_a - (sy - sy_a) * 1.0 / (n - n_a))
+         - ((sxy - sx * 1.0 * sy / n) / n)
+           / ((sxx - sx * 1.0 * sx / n) / n)
+           * (sx_a * 1.0 / n_a - (sx - sx_a) * 1.0 / (n - n_a))
+         AS diff_cuped,
+       (sy_a * 1.0 / n_a - (sy - sy_a) * 1.0 / (n - n_a))
+         / sqrt(((syy - sy * 1.0 * sy / n) / n) * 1.0 / n_a
+                + ((syy - sy * 1.0 * sy / n) / n) * 1.0 / (n - n_a))
+         AS z_raw,
+       ((sy_a * 1.0 / n_a - (sy - sy_a) * 1.0 / (n - n_a))
+         - ((sxy - sx * 1.0 * sy / n) / n)
+           / ((sxx - sx * 1.0 * sx / n) / n)
+           * (sx_a * 1.0 / n_a - (sx - sx_a) * 1.0 / (n - n_a)))
+         / sqrt((((syy - sy * 1.0 * sy / n) / n)
+                 - 2.0 * (((sxy - sx * 1.0 * sy / n) / n)
+                          / ((sxx - sx * 1.0 * sx / n) / n))
+                       * ((sxy - sx * 1.0 * sy / n) / n)
+                 + (((sxy - sx * 1.0 * sy / n) / n)
+                    / ((sxx - sx * 1.0 * sx / n) / n))
+                   * (((sxy - sx * 1.0 * sy / n) / n)
+                      / ((sxx - sx * 1.0 * sx / n) / n))
+                   * ((sxx - sx * 1.0 * sx / n) / n)) * 1.0 / n_a
+                + (((syy - sy * 1.0 * sy / n) / n)
+                   - 2.0 * (((sxy - sx * 1.0 * sy / n) / n)
+                            / ((sxx - sx * 1.0 * sx / n) / n))
+                         * ((sxy - sx * 1.0 * sy / n) / n)
+                   + (((sxy - sx * 1.0 * sy / n) / n)
+                      / ((sxx - sx * 1.0 * sx / n) / n))
+                     * (((sxy - sx * 1.0 * sy / n) / n)
+                        / ((sxx - sx * 1.0 * sx / n) / n))
+                     * ((sxx - sx * 1.0 * sx / n) / n)) * 1.0 / (n - n_a))
+         AS z_cuped,
+       (syy - sy * 1.0 * sy / n) / n AS var_y,
+       ((syy - sy * 1.0 * sy / n) / n)
+         - 2.0 * (((sxy - sx * 1.0 * sy / n) / n)
+                  / ((sxx - sx * 1.0 * sx / n) / n))
+               * ((sxy - sx * 1.0 * sy / n) / n)
+         + (((sxy - sx * 1.0 * sy / n) / n)
+            / ((sxx - sx * 1.0 * sx / n) / n))
+           * (((sxy - sx * 1.0 * sy / n) / n)
+              / ((sxx - sx * 1.0 * sx / n) / n))
+           * ((sxx - sx * 1.0 * sx / n) / n) AS var_y_adj,
+       1.0 - (((syy - sy * 1.0 * sy / n) / n)
+              - 2.0 * (((sxy - sx * 1.0 * sy / n) / n)
+                       / ((sxx - sx * 1.0 * sx / n) / n))
+                    * ((sxy - sx * 1.0 * sy / n) / n)
+              + (((sxy - sx * 1.0 * sy / n) / n)
+                 / ((sxx - sx * 1.0 * sx / n) / n))
+                * (((sxy - sx * 1.0 * sy / n) / n)
+                   / ((sxx - sx * 1.0 * sx / n) / n))
+                * ((sxx - sx * 1.0 * sx / n) / n))
+             / ((syy - sy * 1.0 * sy / n) / n) AS var_reduction
+FROM m
+"""

@@ -390,3 +390,97 @@ def test_quantile_sketch_error_bounded_and_mergeable(spark):
         .withColumnRenamed("count", "cnt").collect()
     }
     assert dict(merged) == single
+
+
+def test_market_basket_rules_match_python(spark):
+    """Rules recomputed from a pure-Python basket build; lift symmetry
+    (lift(A→B) == lift(B→A)) and pair-count conservation pinned."""
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        market_basket_rules,
+    )
+
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    pt = {
+        r.p_partkey: r.p_type
+        for r in load(spark, SF_SMOKE, "part").collect()
+    }
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(pt[r.l_partkey])
+    n_b = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for its in baskets.values():
+        for i in its:
+            item[i] += 1
+        for i in its:
+            for j in its:
+                if i < j:
+                    pair[(i, j)] += 1
+    rows = market_basket_rules(spark, SF_SMOKE).collect()
+    got = {(r.antecedent, r.consequent): r for r in rows}
+    assert len(got) == 2 * len(pair)
+    lifts = {}
+    for (i, j), n in pair.items():
+        for a, b in ((i, j), (j, i)):
+            r = got[(a, b)]
+            assert (r.n_pair, r.n_ante, r.n_cons) == (n, item[a], item[b])
+            assert r.support == pytest.approx(n / n_b)
+            assert r.confidence == pytest.approx(n / item[a])
+            assert r.lift == pytest.approx(
+                (n / item[a]) / (item[b] / n_b)
+            )
+            lifts[(a, b)] = r.lift
+    for (i, j) in pair:
+        assert lifts[(i, j)] == pytest.approx(lifts[(j, i)])
+
+
+def test_cuped_panel_matches_numpy(spark, events):
+    """θ, effects, z's and the variance reduction recomputed with
+    numpy; CUPED must not flip the effect direction on this fixture
+    and the variance reduction must be in [0, 1) (θ chosen by pooled
+    OLS can only shrink variance)."""
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        CUPED_SPLIT_DAY,
+        experiment_cuped_panel,
+    )
+
+    per = defaultdict(lambda: [0, 0])
+    for _, s, u, et, _ in events:
+        d = s // 86400
+        if d < CUPED_SPLIT_DAY:
+            per[u][0] += 1
+        elif et == "purchase":
+            per[u][1] += 1
+        per.setdefault(u, per[u])
+    users = sorted(per)
+    x = np.array([per[u][0] for u in users], dtype=float)
+    y = np.array([per[u][1] for u in users], dtype=float)
+    a = np.array(
+        [hashlib.md5(str(u).encode()).hexdigest()[0] < "8" for u in users]
+    )
+    var_x, var_y = x.var(), y.var()
+    cov = ((x * y).mean()) - x.mean() * y.mean()
+    theta = cov / var_x
+    diff_raw = y[a].mean() - y[~a].mean()
+    diff_cuped = diff_raw - theta * (x[a].mean() - x[~a].mean())
+    var_adj = var_y - 2 * theta * cov + theta * theta * var_x
+    row = experiment_cuped_panel(spark, SF_SMOKE).collect()[0]
+    assert (row.n_a, row.n_b) == (int(a.sum()), int((~a).sum()))
+    assert row.theta == pytest.approx(theta, abs=1e-9)
+    assert row.diff_raw == pytest.approx(diff_raw, abs=1e-9)
+    assert row.diff_cuped == pytest.approx(diff_cuped, abs=1e-9)
+    assert row.var_y == pytest.approx(var_y, abs=1e-9)
+    assert row.var_y_adj == pytest.approx(var_adj, abs=1e-9)
+    assert 0.0 <= row.var_reduction < 1.0
+    na, nb = a.sum(), (~a).sum()
+    assert row.z_raw == pytest.approx(
+        diff_raw / math.sqrt(var_y / na + var_y / nb), abs=1e-9
+    )
+    assert row.z_cuped == pytest.approx(
+        diff_cuped / math.sqrt(var_adj / na + var_adj / nb), abs=1e-9
+    )

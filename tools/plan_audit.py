@@ -72,6 +72,8 @@ NESTED_LOOP_ALLOWLIST = {
     # round-8 batch 11
     "sketch_cms_heavy_hitters": "1-row token-total broadcast onto the type table",
     "sketch_quantile_doc_length": "1-row stats broadcast + 9-row decile grid vs <=128-row register non-equi join (both bounded by construction)",
+    # round-8 batch 12
+    "market_basket_rules": "1-row basket-count broadcast onto the <=types^2 rule table",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
