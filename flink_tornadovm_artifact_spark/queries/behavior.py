@@ -1139,3 +1139,65 @@ SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
              / ((syy - sy * 1.0 * sy / n) / n) AS var_reduction
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the session-path build: native Structured
+# Streaming session windows (``F.session_window`` — the engine's own
+# gap-merge operator, state per OPEN session only) producing the same
+# per-session first-5-step path and length as the batch two-window
+# sessionization. Semantics note: session_window merges an event into
+# the session iff it arrives STRICTLY within the gap of the latest
+# event (microsecond-exact), while the batch query floors timestamps
+# to seconds first — the streaming differential in
+# tests/test_behavior_ops.py therefore recomputes its expectation
+# under the session_window rule rather than diffing the two queries
+# against each other.
+# 100 TB note: state is user×open-session-bounded and events stream
+# through map tasks. Structured Streaming restricts session-window
+# aggregation to APPEND output (update mode raises
+# STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION — merging sessions
+# can't re-key an update sink), so a session row is emitted exactly
+# once, when the watermark passes its close; open sessions live only
+# in state. That once-per-session append IS the production contract —
+# no stale-fragment reconciliation is ever needed downstream.
+# ---------------------------------------------------------------------------
+def session_path_stream(
+    events_stream: DataFrame, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Append-mode session aggregate over an events STREAM with columns
+    (ts timestamp, user_id, event_id, event_type). Emits one row per
+    CLOSED (user, session window) carrying the session length and the
+    first-PATH_STEPS path; attach any append sink."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.session_window("ts", "60 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sess_len"),
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x.event_type,
+                    ),
+                    1,
+                    PATH_STEPS,
+                ),
+                ">",
+            ).alias("path"),
+        )
+        .select(
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "user_id",
+            "sess_len",
+            "path",
+        )
+    )

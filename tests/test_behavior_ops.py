@@ -484,3 +484,143 @@ def test_cuped_panel_matches_numpy(spark, events):
     assert row.z_cuped == pytest.approx(
         diff_cuped / math.sqrt(var_adj / na + var_adj / nb), abs=1e-9
     )
+
+
+def test_session_path_stream_matches_python(spark, tmp_path):
+    """The streaming session-window twin, fed the events fixture in
+    event-time order across three micro-batch files, must converge to
+    the Python recompute under the session_window rule (merge iff the
+    next event is STRICTLY within the gap of the latest — microsecond
+    exact, unlike the batch query's floored-seconds rule). Session
+    windows only support APPEND output: a row is emitted once, when
+    the watermark passes the session close, so the store must hold
+    exactly the CLOSED sessions — each value-exact against the
+    recompute — and every provably-closed session must have been
+    emitted (the in-event-time-order feed makes 0-delay safe: nothing
+    is ever late)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        PATH_STEPS,
+        session_path_stream,
+    )
+    from flink_tornadovm_artifact_spark.streaming.core import (
+        ExternalQueryableState,
+    )
+
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .select("ts", "user_id", "event_id", "event_type")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    # python recompute under the session_window rule (strict gap,
+    # microsecond timestamps)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    expect = {}
+    for u, seq in by_user.items():
+        seq.sort(key=lambda r: (r.ts, r.event_id))
+        cur, latest = [], None
+        sessions = []
+        for r in seq:
+            if latest is not None and (
+                (r.ts - latest).total_seconds() >= 3600.0
+            ):
+                sessions.append(cur)
+                cur = []
+            cur.append(r)
+            latest = r.ts
+        sessions.append(cur)
+        for sess in sessions:
+            key = (u, sess[0].ts)
+            expect[key] = (
+                len(sess),
+                ">".join(r.event_type for r in sess[:PATH_STEPS]),
+            )
+    # event-time-ordered three-file feed
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    for i, part in enumerate(chunks):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [r.ts for r in part], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array(
+                        [r.user_id for r in part], pa.int64()
+                    ),
+                    "event_id": pa.array(
+                        [r.event_id for r in part], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        [r.event_type for r in part], pa.string()
+                    ),
+                }
+            ),
+            str(src / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = ExternalQueryableState("__ckey", str(tmp_path / "sess_store"))
+    card = session_path_stream(stream, "0 seconds").withColumn(
+        "__ckey",
+        F.concat_ws("|", F.col("user_id"), F.col("sess_start")),
+    )
+    q = (
+        card.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .foreachBatch(store.on_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.sess_start.replace(tzinfo=None)): (
+            r.sess_len,
+            r.path,
+        )
+        for r in store.snapshot_df(spark).drop("__ckey").collect()
+    }
+    # every emitted (closed) session is value-exact vs the recompute
+    assert got, "stream emitted no closed sessions"
+    for k, v in got.items():
+        assert expect.get(k) == v, k
+    # completeness: every session provably closed under the final
+    # watermark (last event + gap strictly before the max event time)
+    # must have been emitted
+    max_ts = max(r.ts for r in rows)
+    last_by_key = {}
+    for u, seq in by_user.items():
+        cur_start, latest = None, None
+        for r in seq:
+            if latest is not None and (
+                (r.ts - latest).total_seconds() >= 3600.0
+            ):
+                cur_start = None
+            if cur_start is None:
+                cur_start = r.ts
+            last_by_key[(u, cur_start)] = r.ts
+            latest = r.ts
+    provably_closed = {
+        k for k, last in last_by_key.items()
+        if (max_ts - last).total_seconds() > 3600.0
+    }
+    missing = provably_closed - set(got)
+    assert not missing, sorted(missing)[:5]
+    # non-vacuity: multi-event sessions exist among the emitted set
+    assert any(n > 1 for n, _ in got.values())
