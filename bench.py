@@ -227,6 +227,10 @@ HEADLINE = [
     # agg, zero joins)
     "market_basket_rules",
     "experiment_cuped_panel",
+    # round-8 batch 13: the 35-cell chi-square panel and the
+    # count-of-counts Good-Turing table (two tiny bounded collapses)
+    "orders_independence_chi2",
+    "lm_good_turing_counts",
 ]
 
 

@@ -228,6 +228,16 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # stalest: last green round 1 (2 of the quartet)
     "q34_explode_tokens",
     "q38_tpch_q6",
+    # NOTE (r9 window leads): orders_independence_chi2 and
+    # lm_good_turing_counts (batch 13) registered after this window
+    # was full at 50 — the quality_retention_curve precedent. They are
+    # oracle-swept in pytest at both SFs every run; the never-checked
+    # guard (tests/test_driver_ledger.py) makes scheduling them in the
+    # r9 window mandatory, alongside the displaced staleness queue:
+    # batch-10/12 displacements (dedup_lsh_verified,
+    # matmul_rows_kernel, q21_sliding_window, similarity_lsh_bucketed,
+    # text_rolling_hash, text_udtf_ngrams, q26_count_distinct,
+    # q33_window_frames) and the r2 cohort (q01/q02/q10/q12/q16).
     # stalest: last green round 3 (1 of the 23-cohort; the 22
     # displaced ones are named in the rotation note above)
     "dft_events",

@@ -1201,3 +1201,102 @@ def session_path_stream(
             "path",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence panel: is order PRIORITY independent of the
+# DAY-OF-WEEK the order was placed? The contingency-table test every
+# BI layer ships (and the q50 cube's inferential complement). Emits
+# the statistic, degrees of freedom, and Cramér's V effect size.
+# Plan / 100 TB: one pass collapses orders to the 7×(priorities)
+# contingency table (map-side combined); expected counts come from
+# the row/column marginals of that BOUNDED table (two keyed joins on
+# ≤7/≤5 keys + a 1-row total); the statistic is a sum over ≤35 cells.
+# Day-of-week from the epoch-day floor ((d + 4) % 7 — 1970-01-01 was
+# a Thursday), identical arithmetic in both engines.
+# ---------------------------------------------------------------------------
+def orders_independence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.expr(_DAYS.format(c="o_orderdate"))
+    obs = (
+        load(spark, sf_dir, "orders")
+        .select(
+            ((day + 4) % 7).alias("dow"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .groupBy("dow", "prio")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows_m = obs.groupBy("dow").agg(F.sum("o").alias("n_row"))
+    cols_m = obs.groupBy("prio").agg(F.sum("o").alias("n_col"))
+    tot = obs.agg(F.sum("o").alias("n_tot"))
+    cells = (
+        obs.join(F.broadcast(rows_m), "dow")
+        .join(F.broadcast(cols_m), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (
+                F.col("n_row") * F.col("n_col") / F.col("n_tot")
+            ).alias("e"),
+        )
+    )
+    chi2 = F.sum(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    )
+    panel = cells.agg(
+        chi2.alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    dims = rows_m.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        cols_m.agg(F.count(F.lit(1)).alias("n_cols"))
+    )
+    return (
+        panel.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "chi2",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "n_cells",
+            "n_tot",
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_tot")
+                    * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                )
+            ).alias("cramers_v"),
+        )
+    )
+
+
+QUERIES["orders_independence_chi2"] = orders_independence_chi2
+ORACLE["orders_independence_chi2"] = f"""
+WITH obs AS (
+  SELECT ({_DAYS_SQL.format(c="o_orderdate")} + 4) % 7 AS dow,
+         o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+), r AS (SELECT dow, SUM(o) AS n_row FROM obs GROUP BY 1),
+c AS (SELECT prio, SUM(o) AS n_col FROM obs GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM obs),
+cells AS (
+  SELECT obs.o, r.n_row * 1.0 * c.n_col / t.n_tot AS e
+  FROM obs JOIN r ON r.dow = obs.dow
+           JOIN c ON c.prio = obs.prio
+           CROSS JOIN t
+), p AS (
+  SELECT SUM((o - e) * (o - e) / e) AS chi2,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cells
+), d AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_cols
+)
+SELECT p.chi2,
+       CAST((d.n_rows - 1) * (d.n_cols - 1) AS BIGINT) AS dof,
+       p.n_cells, t.n_tot,
+       sqrt(p.chi2 / (t.n_tot * least(d.n_rows - 1, d.n_cols - 1)))
+         AS cramers_v
+FROM p, d, t
+"""

@@ -5560,3 +5560,63 @@ SELECT q,
 FROM first WHERE rn = 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing count-of-counts panel (Good 1953; Gale & Sampson 1995
+# simple GT): the frequency-of-frequencies table N_r over token types,
+# with the GT adjusted count r* = (r+1)·N_{r+1}/N_r where the next
+# class is populated, and the leave-one-out total-probability mass
+# each class carries — the smoothing table behind every classic LM
+# (and the unseen-mass estimate N_1/N a crawl's vocabulary-growth
+# forecast uses).
+# Plan / 100 TB: token counts are the Heaps-bounded TYPE table; the
+# count-of-counts collapse is a second ≤distinct-frequencies-bounded
+# groupBy; the N_{r+1} lookup is a self-join on the adjacency key
+# r+1 over that tiny table; totals ride as a 1-row broadcast.
+# ---------------------------------------------------------------------------
+def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    types = tok.groupBy("t").agg(F.count(F.lit(1)).alias("r"))
+    coc = types.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    tot = types.agg(F.sum("r").cast("bigint").alias("n_tokens"))
+    return (
+        coc.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            ((F.col("r") + 1) * F.col("n_r1") / F.col("n_r")).alias(
+                "r_star"
+            ),
+            (F.col("r") * F.col("n_r") / F.col("n_tokens")).alias(
+                "p_class"
+            ),
+        )
+    )
+
+
+_register(
+    lm_good_turing_counts,
+    """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), types AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY 1
+), coc AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM types GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM types
+)
+SELECT coc.r, coc.n_r,
+       (coc.r + 1) * nxt.n_r * 1.0 / coc.n_r AS r_star,
+       coc.r * coc.n_r * 1.0 / tot.n_tokens AS p_class
+FROM coc
+LEFT JOIN coc nxt ON nxt.r = coc.r + 1
+CROSS JOIN tot
+""",
+)

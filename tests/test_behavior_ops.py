@@ -624,3 +624,63 @@ def test_session_path_stream_matches_python(spark, tmp_path):
     assert not missing, sorted(missing)[:5]
     # non-vacuity: multi-event sessions exist among the emitted set
     assert any(n > 1 for n, _ in got.values())
+
+
+def test_chi2_panel_matches_python(spark):
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        orders_independence_chi2,
+    )
+
+    orders = load(spark, SF_SMOKE, "orders").select(
+        "o_orderdate", "o_orderpriority"
+    ).collect()
+    obs = Counter()
+    for r in orders:
+        d = int(r.o_orderdate.replace(tzinfo=None).timestamp()) // 86400
+        obs[((d + 4) % 7, r.o_orderpriority)] += 1
+    rows_m = Counter()
+    cols_m = Counter()
+    for (dw, pr), n in obs.items():
+        rows_m[dw] += n
+        cols_m[pr] += n
+    n_tot = sum(obs.values())
+    chi2 = sum(
+        (n - rows_m[dw] * cols_m[pr] / n_tot) ** 2
+        / (rows_m[dw] * cols_m[pr] / n_tot)
+        for (dw, pr), n in obs.items()
+    )
+    row = orders_independence_chi2(spark, SF_SMOKE).collect()[0]
+    assert row.chi2 == pytest.approx(chi2, abs=1e-8)
+    assert row.dof == (len(rows_m) - 1) * (len(cols_m) - 1)
+    assert row.n_cells == len(obs) and row.n_tot == n_tot
+    assert row.cramers_v == pytest.approx(
+        math.sqrt(chi2 / (n_tot * min(len(rows_m), len(cols_m)) - n_tot)),
+        abs=1e-6,
+    ) or row.cramers_v == pytest.approx(
+        math.sqrt(
+            chi2 / (n_tot * (min(len(rows_m), len(cols_m)) - 1))
+        ),
+        abs=1e-9,
+    )
+
+
+def test_good_turing_identities(spark):
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        lm_good_turing_counts,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("text").collect()
+    types = Counter(t for r in docs for t in r.text.split(" "))
+    coc = Counter(types.values())
+    n_tokens = sum(types.values())
+    rows = lm_good_turing_counts(spark, SF_SMOKE).collect()
+    assert {r.r: r.n_r for r in rows} == dict(coc)
+    assert sum(r.p_class for r in rows) == pytest.approx(1.0)
+    for r in rows:
+        if (r.r + 1) in coc:
+            assert r.r_star == pytest.approx(
+                (r.r + 1) * coc[r.r + 1] / coc[r.r]
+            )
+        else:
+            assert r.r_star is None
+        assert r.p_class == pytest.approx(r.r * r.n_r / n_tokens)

@@ -74,6 +74,9 @@ NESTED_LOOP_ALLOWLIST = {
     "sketch_quantile_doc_length": "1-row stats broadcast + 9-row decile grid vs <=128-row register non-equi join (both bounded by construction)",
     # round-8 batch 12
     "market_basket_rules": "1-row basket-count broadcast onto the <=types^2 rule table",
+    # round-8 batch 13
+    "orders_independence_chi2": "1-row total/dof broadcasts onto the <=35-cell contingency table",
+    "lm_good_turing_counts": "1-row token-total broadcast onto the count-of-counts table",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
