@@ -654,12 +654,7 @@ def test_chi2_panel_matches_python(spark):
     assert row.dof == (len(rows_m) - 1) * (len(cols_m) - 1)
     assert row.n_cells == len(obs) and row.n_tot == n_tot
     assert row.cramers_v == pytest.approx(
-        math.sqrt(chi2 / (n_tot * min(len(rows_m), len(cols_m)) - n_tot)),
-        abs=1e-6,
-    ) or row.cramers_v == pytest.approx(
-        math.sqrt(
-            chi2 / (n_tot * (min(len(rows_m), len(cols_m)) - 1))
-        ),
+        math.sqrt(chi2 / (n_tot * (min(len(rows_m), len(cols_m)) - 1))),
         abs=1e-9,
     )
 
