@@ -231,6 +231,13 @@ HEADLINE = [
     # count-of-counts Good-Turing table (two tiny bounded collapses)
     "orders_independence_chi2",
     "lm_good_turing_counts",
+    # round-8 batch 14: Efraimidis-Spirakis weighted sample (expression
+    # pass + TakeOrdered K-heap), funnel lag quartiles (first-hit joins
+    # + 2-group percentile), revenue concentration (customer agg +
+    # 1-row threshold broadcast)
+    "sample_weighted_quality",
+    "funnel_lag_percentiles",
+    "revenue_concentration_panel",
 ]
 
 

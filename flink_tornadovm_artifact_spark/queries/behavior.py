@@ -1300,3 +1300,189 @@ SELECT p.chi2,
          AS cramers_v
 FROM p, d, t
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel lag percentiles: for users who completed each funnel
+# step-pair IN ORDER (the funnel_conversion_events first-hit
+# semantics), the exact quartiles of the transition lag in whole
+# minutes — "how long does view→click take" next to "how many
+# convert". Integer-minute lags keep the interpolated quartiles
+# engine-exact (the curriculum/rfm trick).
+# Plan / 100 TB: the same three user-keyed first-hit joins as the
+# funnel, then one ≤2-group exact-percentile aggregate;
+# approx_percentile is the documented flip.
+# ---------------------------------------------------------------------------
+def funnel_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .temporal_q import FUNNEL_STEPS
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_SECS.format(c="ts")).alias("s")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("s") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t2"), F.min("t1").alias("t1_"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("s") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t3"), F.min("t2").alias("t2_"))
+    )
+    lag1 = s2.select(
+        F.lit(f"{FUNNEL_STEPS[0]}->{FUNNEL_STEPS[1]}").alias("step_pair"),
+        F.floor((F.col("t2") - F.col("t1_")) / F.lit(60)).alias("lag_min"),
+    )
+    lag2 = s3.select(
+        F.lit(f"{FUNNEL_STEPS[1]}->{FUNNEL_STEPS[2]}").alias("step_pair"),
+        F.floor((F.col("t3") - F.col("t2_")) / F.lit(60)).alias("lag_min"),
+    )
+    return (
+        lag1.unionByName(lag2)
+        .groupBy("step_pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("percentile(lag_min, 0.25)").alias("p25_min"),
+            F.expr("percentile(lag_min, 0.5)").alias("p50_min"),
+            F.expr("percentile(lag_min, 0.75)").alias("p75_min"),
+        )
+    )
+
+
+QUERIES["funnel_lag_percentiles"] = funnel_lag_percentiles
+
+
+def _funnel_lag_oracle() -> str:
+    from .temporal_q import FUNNEL_STEPS
+
+    secs = _SECS_SQL.format(c="ts")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, {secs} AS s FROM events
+), s1 AS (
+  SELECT user_id, MIN(s) AS t1 FROM e
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.s) AS t2, MIN(s1.t1) AS t1_
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.s > s1.t1
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.s) AS t3, MIN(s2.t2) AS t2_
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.s > s2.t2
+  GROUP BY 1
+), lags AS (
+  SELECT '{FUNNEL_STEPS[0]}->{FUNNEL_STEPS[1]}' AS step_pair,
+         CAST(floor((t2 - t1_) / 60) AS BIGINT) AS lag_min FROM s2
+  UNION ALL
+  SELECT '{FUNNEL_STEPS[1]}->{FUNNEL_STEPS[2]}',
+         CAST(floor((t3 - t2_) / 60) AS BIGINT) FROM s3
+)
+SELECT step_pair, CAST(COUNT(*) AS BIGINT) AS n_users,
+       quantile_cont(lag_min, 0.25) AS p25_min,
+       quantile_cont(lag_min, 0.5) AS p50_min,
+       quantile_cont(lag_min, 0.75) AS p75_min
+FROM lags GROUP BY 1
+"""
+
+
+ORACLE["funnel_lag_percentiles"] = _funnel_lag_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration panel ("80/20" read-out): the share of total
+# revenue carried by customers above the P80 / P90 / P99 per-customer
+# revenue thresholds, plus the thresholds themselves — concentration
+# WITHOUT a customers-sized global sort (the Gini rank construction is
+# deliberately avoided; exact quantile thresholds as a 1-row broadcast
+# + conditional sums give the same business read-out with keyed
+# aggregates only).
+# Plan / 100 TB: per-customer DECIMAL-exact revenue (customers-sized,
+# map-side combined), ONE exact-percentile 1-row panel (integer cents
+# → engine-exact interpolation; approx_percentile is the documented
+# flip), one conditional-sum pass. No global ordering anywhere.
+# ---------------------------------------------------------------------------
+def revenue_concentration_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("bigint")
+            .alias("m_cents")
+        )
+    )
+    thr = cust.agg(
+        F.expr("percentile(m_cents, array(0.8D, 0.9D, 0.99D))").alias("t"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m_cents").alias("total_cents"),
+    )
+    joined = cust.crossJoin(F.broadcast(thr))
+    shares = joined.agg(
+        F.min("n_customers").alias("n_customers"),
+        (F.min("total_cents") / F.lit(100.0)).alias("total_revenue"),
+        F.min(F.col("t")[0]).alias("p80_cents"),
+        F.min(F.col("t")[1]).alias("p90_cents"),
+        F.min(F.col("t")[2]).alias("p99_cents"),
+        (
+            F.sum(
+                F.when(F.col("m_cents") > F.col("t")[0], F.col("m_cents"))
+                .otherwise(F.lit(0))
+            )
+            / F.sum("m_cents")
+        ).alias("share_above_p80"),
+        (
+            F.sum(
+                F.when(F.col("m_cents") > F.col("t")[1], F.col("m_cents"))
+                .otherwise(F.lit(0))
+            )
+            / F.sum("m_cents")
+        ).alias("share_above_p90"),
+        (
+            F.sum(
+                F.when(F.col("m_cents") > F.col("t")[2], F.col("m_cents"))
+                .otherwise(F.lit(0))
+            )
+            / F.sum("m_cents")
+        ).alias("share_above_p99"),
+    )
+    return shares
+
+
+QUERIES["revenue_concentration_panel"] = revenue_concentration_panel
+ORACLE["revenue_concentration_panel"] = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY 1
+), thr AS (
+  SELECT quantile_cont(m_cents, [0.8, 0.9, 0.99]) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(m_cents) AS BIGINT) AS total_cents
+  FROM cust
+)
+SELECT thr.n_customers,
+       thr.total_cents / 100.0 AS total_revenue,
+       thr.t[1] AS p80_cents,
+       thr.t[2] AS p90_cents,
+       thr.t[3] AS p99_cents,
+       SUM(CASE WHEN cust.m_cents > thr.t[1] THEN cust.m_cents ELSE 0 END)
+         * 1.0 / SUM(cust.m_cents) AS share_above_p80,
+       SUM(CASE WHEN cust.m_cents > thr.t[2] THEN cust.m_cents ELSE 0 END)
+         * 1.0 / SUM(cust.m_cents) AS share_above_p90,
+       SUM(CASE WHEN cust.m_cents > thr.t[3] THEN cust.m_cents ELSE 0 END)
+         * 1.0 / SUM(cust.m_cents) AS share_above_p99
+FROM cust CROSS JOIN thr
+GROUP BY 1, 2, 3, 4, 5
+"""

@@ -5620,3 +5620,74 @@ LEFT JOIN coc nxt ON nxt.r = coc.r + 1
 CROSS JOIN tot
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted corpus sampling (Efraimidis & Spirakis 2006 A-Res):
+# weighted sampling WITHOUT replacement as a pure expression — each
+# doc draws u from its md5 (the engine-portable uniform), keys on
+# u^(1/w) with w = its quality score, and the global top-K keys ARE
+# the weighted sample. The distributed primitive behind
+# quality-weighted corpus subsampling (the text_importance_sample
+# family's without-replacement counterpart).
+# Plan / 100 TB: one expression pass + TakeOrderedAndProject (per-
+# partition K-heap + driver merge — never a global sort). The md5
+# uniform makes the draw reproducible across engines AND runs — a
+# seeded-sample contract, not just a sampling demo.
+# ---------------------------------------------------------------------------
+WS_TOPK = 100
+WS_MIN_W = 0.05
+
+
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.greatest(F.col("quality"), F.lit(WS_MIN_W)).alias("w"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ws"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    keyed = q.select(
+        "doc_id", "w", u.alias("rand_u"),
+        F.pow(u, F.lit(1.0) / F.col("w")).alias("sample_key"),
+    )
+    return keyed.orderBy(
+        F.col("sample_key").desc(), "doc_id"
+    ).limit(WS_TOPK)
+
+
+_register(
+    sample_weighted_quality,
+    f"""
+WITH q AS (
+  SELECT doc_id,
+         greatest(
+           0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    / length(text))
+           + 0.5 * (len(list_filter(string_split(text, ' '),
+                                    t -> t IN ({_stop_in})))
+                      / len(string_split(text, ' '))),
+           {WS_MIN_W}) AS w
+  FROM documents
+), keyed AS (
+  SELECT doc_id, w,
+         (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#ws'),
+                                        1, 8)) AS BIGINT) AS DOUBLE) + 0.5)
+           / 4294967296.0 AS rand_u
+  FROM q
+)
+SELECT doc_id, w, rand_u, pow(rand_u, 1.0 / w) AS sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {WS_TOPK}
+""",
+)

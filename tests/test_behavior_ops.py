@@ -679,3 +679,128 @@ def test_good_turing_identities(spark):
         else:
             assert r.r_star is None
         assert r.p_class == pytest.approx(r.r * r.n_r / n_tokens)
+
+
+def test_weighted_sample_matches_python(spark):
+    """Efraimidis-Spirakis keys recomputed exactly in Python (md5
+    uniform, u^(1/w)); the returned top-K must be the true top-K and
+    the draw must be biased toward quality: the mean weight of the
+    sample strictly exceeds the corpus mean weight."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        WS_MIN_W,
+        WS_TOPK,
+        _STOPWORDS,
+        sample_weighted_quality,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    keys = {}
+    weights = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        alpha = sum(1 for c in r.text if c.isalpha()) / len(r.text)
+        stop = sum(1 for t in toks if t in _STOPWORDS) / len(toks)
+        w = max(0.5 * alpha + 0.5 * stop, WS_MIN_W)
+        u = (
+            int(
+                hashlib.md5(f"{r.doc_id}#ws".encode()).hexdigest()[:8], 16
+            )
+            + 0.5
+        ) / 4294967296.0
+        weights[r.doc_id] = w
+        keys[r.doc_id] = u ** (1.0 / w)
+    expect = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:WS_TOPK]
+    rows = sample_weighted_quality(spark, SF_SMOKE).collect()
+    assert [(r.doc_id) for r in rows] == [d for d, _ in expect]
+    for r in rows:
+        assert r.sample_key == pytest.approx(keys[r.doc_id], abs=1e-12)
+        assert r.w == pytest.approx(weights[r.doc_id], abs=1e-12)
+    sample_mean_w = sum(weights[r.doc_id] for r in rows) / len(rows)
+    corpus_mean_w = sum(weights.values()) / len(weights)
+    assert sample_mean_w > corpus_mean_w
+
+
+def test_funnel_lag_percentiles_match_python(spark, events):
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        funnel_lag_percentiles,
+    )
+    from flink_tornadovm_artifact_spark.queries.temporal_q import (
+        FUNNEL_STEPS,
+    )
+
+    per = defaultdict(lambda: defaultdict(list))
+    for _, s, u, et, _ in events:
+        per[u][et].append(s)
+    lags = {f"{FUNNEL_STEPS[0]}->{FUNNEL_STEPS[1]}": [],
+            f"{FUNNEL_STEPS[1]}->{FUNNEL_STEPS[2]}": []}
+    for u, d in per.items():
+        t1 = min(d.get(FUNNEL_STEPS[0], []), default=None)
+        if t1 is None:
+            continue
+        t2 = min((s for s in d.get(FUNNEL_STEPS[1], []) if s > t1),
+                 default=None)
+        if t2 is None:
+            continue
+        lags[f"{FUNNEL_STEPS[0]}->{FUNNEL_STEPS[1]}"].append(
+            (t2 - t1) // 60
+        )
+        t3 = min((s for s in d.get(FUNNEL_STEPS[2], []) if s > t2),
+                 default=None)
+        if t3 is None:
+            continue
+        lags[f"{FUNNEL_STEPS[1]}->{FUNNEL_STEPS[2]}"].append(
+            (t3 - t2) // 60
+        )
+    rows = {r.step_pair: r for r in
+            funnel_lag_percentiles(spark, SF_SMOKE).collect()}
+    assert set(rows) == {k for k, v in lags.items() if v}
+    for pair, vals in lags.items():
+        if not vals:
+            continue
+        r = rows[pair]
+        assert r.n_users == len(vals)
+        p25, p50, p75 = np.percentile(vals, [25, 50, 75], method="linear")
+        assert r.p25_min == pytest.approx(p25, abs=1e-9)
+        assert r.p50_min == pytest.approx(p50, abs=1e-9)
+        assert r.p75_min == pytest.approx(p75, abs=1e-9)
+        assert r.p25_min <= r.p50_min <= r.p75_min
+
+
+def test_revenue_concentration_matches_numpy(spark):
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        revenue_concentration_panel,
+    )
+
+    orders = load(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    per = defaultdict(int)
+    for r in orders:
+        per[r.o_custkey] += round(r.o_totalprice * 100)
+    m = np.array(sorted(per.values()))
+    t80, t90, t99 = np.percentile(m, [80, 90, 99], method="linear")
+    row = revenue_concentration_panel(spark, SF_SMOKE).collect()[0]
+    assert row.n_customers == len(per)
+    assert row.total_revenue == pytest.approx(m.sum() / 100.0)
+    assert row.p80_cents == pytest.approx(t80, abs=1e-6)
+    assert row.p90_cents == pytest.approx(t90, abs=1e-6)
+    assert row.p99_cents == pytest.approx(t99, abs=1e-6)
+    assert row.share_above_p80 == pytest.approx(
+        m[m > t80].sum() / m.sum(), abs=1e-9
+    )
+    assert row.share_above_p90 == pytest.approx(
+        m[m > t90].sum() / m.sum(), abs=1e-9
+    )
+    assert row.share_above_p99 == pytest.approx(
+        m[m > t99].sum() / m.sum(), abs=1e-9
+    )
+    # concentration ordering: smaller top-slices carry less revenue,
+    # and the top-20% slice carries more than its population share
+    assert row.share_above_p80 > row.share_above_p90 > row.share_above_p99
+    assert row.share_above_p80 > 0.2 - 1e-9

@@ -77,6 +77,8 @@ NESTED_LOOP_ALLOWLIST = {
     # round-8 batch 13
     "orders_independence_chi2": "1-row total/dof broadcasts onto the <=35-cell contingency table",
     "lm_good_turing_counts": "1-row token-total broadcast onto the count-of-counts table",
+    # round-8 batch 14
+    "revenue_concentration_panel": "1-row exact-quantile-thresholds broadcast onto the customer table",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
