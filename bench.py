@@ -238,6 +238,12 @@ HEADLINE = [
     "sample_weighted_quality",
     "funnel_lag_percentiles",
     "revenue_concentration_panel",
+    # round-8 batch 15: dense-grid autocorrelation (per-type hour
+    # explode + lag self-join), elasticity OLS (one keyed moment agg),
+    # DP noisy counts (sources-sized count + inverse-CDF expression)
+    "events_autocorrelation_panel",
+    "lineitem_discount_elasticity",
+    "dp_noisy_counts",
 ]
 
 

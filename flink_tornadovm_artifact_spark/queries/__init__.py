@@ -231,7 +231,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # NOTE (r9 window leads): orders_independence_chi2 and
     # lm_good_turing_counts (batch 13), plus sample_weighted_quality,
     # funnel_lag_percentiles and revenue_concentration_panel
-    # (batch 14), registered after this window was full at 50 — the quality_retention_curve precedent. They are
+    # (batch 14), events_autocorrelation_panel,
+    # lineitem_discount_elasticity and dp_noisy_counts (batch 15),
+    # registered after this window was full at 50 — the quality_retention_curve precedent. They are
     # oracle-swept in pytest at both SFs every run; the never-checked
     # guard (tests/test_driver_ledger.py) makes scheduling them in the
     # r9 window mandatory, alongside the displaced staleness queue:

@@ -1486,3 +1486,189 @@ SELECT thr.n_customers,
 FROM cust CROSS JOIN thr
 GROUP BY 1, 2, 3, 4, 5
 """
+
+
+# ---------------------------------------------------------------------------
+# Hourly autocorrelation panel: per event type, the lag-1..6 Pearson
+# autocorrelation of the DENSE hourly count series (missing hours = 0
+# over the type's own span — the gapfill grid discipline). The
+# time-series diagnostic behind seasonality detection and anomaly
+# baselines.
+# Plan / 100 TB: the corpus collapses to (type, hour) counts in one
+# map-side-combined groupBy; the dense grid is a per-type sequence
+# explode (linear in the type's own hour span — TIME-bounded); the
+# lagged pairs are a keyed self-join on (type, h+k) fanned over the
+# 6-row lag grid; every moment is an exact INTEGER sum, so r_k is a
+# closed form identical in both engines.
+# ---------------------------------------------------------------------------
+AC_MAX_LAG = 6
+
+
+def events_autocorrelation_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("h"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    lags = spark.range(1, AC_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag_h")
+    )
+    a = dense.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag_h", (F.col("h") + F.col("lag_h")).alias("hj"),
+        F.col("c").alias("x"),
+    )
+    b = dense.select(
+        "event_type", F.col("h").alias("hj"), F.col("c").alias("y")
+    )
+    pairs = a.join(b, ["event_type", "hj"])
+    mom = pairs.groupBy("event_type", "lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = mom["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (mom["n"] * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (mom["n"] * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return mom.select(
+        "event_type",
+        "lag_h",
+        F.col("n").alias("n_pairs"),
+        F.when(den > 0, num.cast("double") / den).alias("autocorr"),
+    )
+
+
+QUERIES["events_autocorrelation_panel"] = events_autocorrelation_panel
+ORACLE["events_autocorrelation_panel"] = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h
+  FROM events
+), hourly AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+), span AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, UNNEST(range(h0, h1 + 1)) AS h FROM span
+), dense AS (
+  SELECT g.event_type, g.h, COALESCE(hourly.c, 0) AS c
+  FROM grid g LEFT JOIN hourly
+    ON g.event_type = hourly.event_type AND g.h = hourly.h
+), lags AS (
+  SELECT UNNEST(range(1, {AC_MAX_LAG + 1})) AS lag_h
+), pairs AS (
+  SELECT a.event_type, CAST(l.lag_h AS INTEGER) AS lag_h,
+         a.c AS x, b.c AS y
+  FROM dense a
+  CROSS JOIN lags l
+  JOIN dense b ON b.event_type = a.event_type
+              AND b.h = a.h + l.lag_h
+), mom AS (
+  SELECT event_type, lag_h, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag_h, n AS n_pairs,
+       CASE WHEN (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) END
+         AS autocorr
+FROM mom
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity OLS: per part category, the least-squares fit of
+# quantity on discount (slope, intercept, r²) — "does a deeper
+# discount move volume". The distributed-regression primitive next to
+# the Zipf log-log fit and the CUPED θ.
+# Plan / 100 TB: one hash join lineitem⋈part (part SF-linear, not
+# broadcast), then ONE ≤types-group moment aggregate; the 2-decimal
+# inputs make Σx/Σy/Σxy/Σx² exact in DECIMAL (the _util discipline) so
+# the per-group closed forms are engine-identical.
+# ---------------------------------------------------------------------------
+def lineitem_discount_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "p_type",
+        F.col("l_discount").cast(DEC).alias("x"),
+        F.col("l_quantity").cast(DEC).alias("y"),
+    )
+    mom = j.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    slope = cov / var_x
+    return mom.select(
+        "p_type",
+        n.alias("n_lines"),
+        slope.alias("slope"),
+        (F.col("sy") / n - slope * (F.col("sx") / n)).alias("intercept"),
+        F.when(var_y > 0, cov * cov / (var_x * var_y)).alias("r2"),
+    )
+
+
+QUERIES["lineitem_discount_elasticity"] = lineitem_discount_elasticity
+ORACLE["lineitem_discount_elasticity"] = """
+WITH j AS (
+  SELECT p.p_type,
+         CAST(l.l_discount AS DECIMAL(18,4)) AS x,
+         CAST(l.l_quantity AS DECIMAL(18,4)) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), mom AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM j GROUP BY 1
+)
+SELECT p_type, n AS n_lines,
+       ((sxy - sx * sy / n) / n) / ((sxx - sx * sx / n) / n) AS slope,
+       sy / n - ((sxy - sx * sy / n) / n) / ((sxx - sx * sx / n) / n)
+         * (sx / n) AS intercept,
+       CASE WHEN (syy - sy * sy / n) / n > 0
+            THEN ((sxy - sx * sy / n) / n) * ((sxy - sx * sy / n) / n)
+                 / (((sxx - sx * sx / n) / n) * ((syy - sy * sy / n) / n))
+       END AS r2
+FROM mom
+"""

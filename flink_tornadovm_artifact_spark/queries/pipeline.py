@@ -1436,3 +1436,76 @@ FROM per_q p JOIN n_rel n ON p.query_id = n.query_id
 
 
 _register(retrieval_eval_panel, _retrieval_eval_oracle())
+
+
+# ---------------------------------------------------------------------------
+# DP noisy-count release (Dwork et al. 2006 Laplace mechanism): the
+# per-source document counts released with Laplace(Δf/ε) noise
+# (Δf = 1 for a counting query), next to the k-anonymity and PII
+# panels in the privacy family. The noise draw is DETERMINISTIC from
+# md5(source) — the engine-portable inverse-CDF construction the
+# weighted sampler uses — which makes the release differentially
+# testable across engines; a production release re-seeds per
+# publication (the seed, not the mechanism, is the demo
+# simplification, stated here honestly).
+# Plan / 100 TB: one sources-sized keyed count + a per-row expression
+# (uniform → inverse Laplace CDF). Nothing else.
+# ---------------------------------------------------------------------------
+DP_EPSILON = 1.0
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..tables import load
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("source"), F.lit("#dp"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "source",
+        "n_true",
+        u.alias("rand_u"),
+        noise.alias("noise"),
+        (F.col("n_true") + noise).alias("n_noisy"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+_register(
+    dp_noisy_counts,
+    f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM documents GROUP BY 1
+), drawn AS (
+  SELECT source, n_true,
+         (CAST(CAST(concat('0x', substr(md5(source || '#dp'), 1, 8))
+                    AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS rand_u
+  FROM counts
+)
+SELECT source, n_true, rand_u,
+       -(1.0 / {DP_EPSILON}) * sign(rand_u - 0.5)
+         * ln(1.0 - 2.0 * abs(rand_u - 0.5)) AS noise,
+       n_true + (-(1.0 / {DP_EPSILON}) * sign(rand_u - 0.5)
+                 * ln(1.0 - 2.0 * abs(rand_u - 0.5))) AS n_noisy,
+       CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+FROM drawn
+""",
+)

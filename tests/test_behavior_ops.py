@@ -804,3 +804,95 @@ def test_revenue_concentration_matches_numpy(spark):
     # and the top-20% slice carries more than its population share
     assert row.share_above_p80 > row.share_above_p90 > row.share_above_p99
     assert row.share_above_p80 > 0.2 - 1e-9
+
+
+def test_autocorrelation_matches_numpy(spark, events):
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        AC_MAX_LAG,
+        events_autocorrelation_panel,
+    )
+
+    hourly = defaultdict(Counter)
+    for _, s, _, et, _ in events:
+        hourly[et][s // 3600] += 1
+    rows = events_autocorrelation_panel(spark, SF_SMOKE).collect()
+    got = {(r.event_type, r.lag_h): r for r in rows}
+    for et, cnts in hourly.items():
+        h0, h1 = min(cnts), max(cnts)
+        series = np.array([cnts.get(h, 0) for h in range(h0, h1 + 1)],
+                          dtype=float)
+        for k in range(1, AC_MAX_LAG + 1):
+            x, y = series[:-k], series[k:]
+            r = got[(et, k)]
+            assert r.n_pairs == len(x)
+            if x.std() > 0 and y.std() > 0:
+                expect = float(np.corrcoef(x, y)[0, 1])
+                assert r.autocorr == pytest.approx(expect, abs=1e-9)
+            else:
+                assert r.autocorr is None
+    assert len(got) == len(hourly) * AC_MAX_LAG
+
+
+def test_discount_elasticity_matches_numpy(spark):
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        lineitem_discount_elasticity,
+    )
+
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    ).collect()
+    pt = {r.p_partkey: r.p_type
+          for r in load(spark, SF_SMOKE, "part").collect()}
+    groups = defaultdict(lambda: ([], []))
+    for r in li:
+        g = groups[pt[r.l_partkey]]
+        g[0].append(r.l_discount)
+        g[1].append(r.l_quantity)
+    rows = {r.p_type: r for r in
+            lineitem_discount_elasticity(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(groups)
+    for t, (xs, ys) in groups.items():
+        x, y = np.array(xs), np.array(ys)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = rows[t]
+        assert r.n_lines == len(xs)
+        assert r.slope == pytest.approx(slope, abs=1e-6)
+        assert r.intercept == pytest.approx(intercept, abs=1e-6)
+        expect_r2 = float(np.corrcoef(x, y)[0, 1]) ** 2
+        assert r.r2 == pytest.approx(expect_r2, abs=1e-9)
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """Noise recomputed exactly from the md5 inverse-CDF; the release
+    must conserve the true counts, the noise must be symmetric-Laplace
+    shaped (both signs occur across sources), and |noise| must respect
+    the inverse-CDF bound for each source's u."""
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        DP_EPSILON,
+        dp_noisy_counts,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("source").collect()
+    true = Counter(r.source for r in docs)
+    rows = dp_noisy_counts(spark, SF_SMOKE).collect()
+    assert {r.source: r.n_true for r in rows} == dict(true)
+    signs = set()
+    for r in rows:
+        u = (
+            int(hashlib.md5(f"{r.source}#dp".encode()).hexdigest()[:8], 16)
+            + 0.5
+        ) / 4294967296.0
+        c = u - 0.5
+        noise = -(1.0 / DP_EPSILON) * math.copysign(1.0, c) * math.log(
+            1.0 - 2.0 * abs(c)
+        )
+        assert r.rand_u == pytest.approx(u, abs=1e-15)
+        assert r.noise == pytest.approx(noise, abs=1e-9)
+        assert r.n_noisy == pytest.approx(r.n_true + noise, abs=1e-9)
+        assert r.epsilon == DP_EPSILON
+        signs.add(noise > 0)
+    assert signs == {True, False}, "both noise signs occur across sources"

@@ -79,6 +79,8 @@ NESTED_LOOP_ALLOWLIST = {
     "lm_good_turing_counts": "1-row token-total broadcast onto the count-of-counts table",
     # round-8 batch 14
     "revenue_concentration_panel": "1-row exact-quantile-thresholds broadcast onto the customer table",
+    # round-8 batch 15
+    "events_autocorrelation_panel": "6-row lag-grid broadcast fanning the dense hourly table (constant fan-out by construction)",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
