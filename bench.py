@@ -244,6 +244,14 @@ HEADLINE = [
     "events_autocorrelation_panel",
     "lineitem_discount_elasticity",
     "dp_noisy_counts",
+    # round-8 batch 16: degree assortativity (two vertex-key joins +
+    # 1 moment agg), interval-count concurrency (session windows +
+    # hour-grid running sum), SLA delay quartiles (one fact-fact hash
+    # join), burstiness panel (two token-keyed collapses)
+    "graph_assortativity",
+    "concurrent_sessions_timeline",
+    "shipping_delay_panel",
+    "text_burstiness_panel",
 ]
 
 

@@ -1672,3 +1672,141 @@ SELECT p_type, n AS n_lines,
        END AS r2
 FROM mom
 """
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-sessions timeline: the classic interval-count problem —
+# for every hour of the corpus span, how many sessions (60-min-gap
+# sessionization, shared rule with session_path_topk) were active, via
+# the +1/−1 boundary-delta trick and a running sum over the hour grid.
+# Peak concurrency is what capacity planning reads off this.
+# Plan / 100 TB: sessionization = the two user-keyed windows; each
+# session emits exactly two delta rows (+1 at its start hour, −1
+# after its end hour) — the corpus collapses to ≤2·sessions deltas,
+# then to ≤span-hours grid rows (TIME-bounded). The running sum is a
+# global window over that hour grid — bounded by the time span, not
+# the corpus (GLOBAL_WINDOW_ALLOWLIST, the KM/duration-grid
+# discipline).
+# ---------------------------------------------------------------------------
+def concurrent_sessions_timeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_u.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            F.when(
+                (F.col("s") - F.lag("s").over(w_u)) > SESSION_GAP_S, 1
+            )
+            .when(F.lag("s").over(w_u).isNull(), 1)
+            .otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w_cum))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.floor(F.min("s") / 3600).alias("h0"),
+            F.floor(F.max("s") / 3600).alias("h1"),
+        )
+    )
+    deltas = sess.select(
+        F.col("h0").alias("h"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select((F.col("h1") + 1).alias("h"), F.lit(-1).alias("delta"))
+    )
+    hourly = deltas.groupBy("h").agg(F.sum("delta").alias("d"))
+    w_run = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        "h", F.sum("d").over(w_run).cast("bigint").alias("n_concurrent")
+    ).filter(F.col("n_concurrent") > 0)
+
+
+QUERIES["concurrent_sessions_timeline"] = concurrent_sessions_timeline
+ORACLE["concurrent_sessions_timeline"] = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, {_SECS_SQL.format(c="ts")} AS s
+  FROM events
+), f AS (
+  SELECT *,
+         CASE WHEN LAG(s) OVER w IS NULL THEN 1
+              WHEN s - LAG(s) OVER w > {{gap}} THEN 1
+              ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sess_id
+  FROM f
+), sess AS (
+  SELECT user_id, sess_id,
+         CAST(floor(MIN(s) / 3600) AS BIGINT) AS h0,
+         CAST(floor(MAX(s) / 3600) AS BIGINT) AS h1
+  FROM g GROUP BY 1, 2
+), deltas AS (
+  SELECT h0 AS h, 1 AS delta FROM sess
+  UNION ALL
+  SELECT h1 + 1, -1 FROM sess
+), hourly AS (
+  SELECT h, SUM(delta) AS d FROM deltas GROUP BY 1
+)
+SELECT h, CAST(SUM(d) OVER (ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS n_concurrent
+FROM hourly
+QUALIFY n_concurrent > 0
+""".replace("{gap}", str(SESSION_GAP_S))
+
+
+# ---------------------------------------------------------------------------
+# Shipping delay panel: per order priority, the exact quartiles of the
+# line-level shipping delay in whole days (l_shipdate − o_orderdate) —
+# the SLA read-out; integer-day lags keep the interpolation
+# engine-exact (the rfm/funnel-lag trick).
+# Plan / 100 TB: ONE hash join lineitem⋈orders on the order key (both
+# SF-linear — no broadcast), then a ≤priorities-group exact-percentile
+# aggregate; approx_percentile is the documented flip.
+# ---------------------------------------------------------------------------
+def shipping_delay_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(_DAYS.format(c="l_shipdate")).alias("ds")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(_DAYS.format(c="o_orderdate")).alias("do_"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", (F.col("ds") - F.col("do_")).alias("delay_d")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("delay_d").alias("min_d"),
+        F.expr("percentile(delay_d, 0.25)").alias("p25_d"),
+        F.expr("percentile(delay_d, 0.5)").alias("p50_d"),
+        F.expr("percentile(delay_d, 0.75)").alias("p75_d"),
+        F.max("delay_d").alias("max_d"),
+    )
+
+
+QUERIES["shipping_delay_panel"] = shipping_delay_panel
+ORACLE["shipping_delay_panel"] = f"""
+WITH j AS (
+  SELECT o.o_orderpriority,
+         {_DAYS_SQL.format(c="l.l_shipdate")}
+           - {_DAYS_SQL.format(c="o.o_orderdate")} AS delay_d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       MIN(delay_d) AS min_d,
+       quantile_cont(delay_d, 0.25) AS p25_d,
+       quantile_cont(delay_d, 0.5) AS p50_d,
+       quantile_cont(delay_d, 0.75) AS p75_d,
+       MAX(delay_d) AS max_d
+FROM j GROUP BY 1
+"""

@@ -1132,3 +1132,94 @@ SELECT DISTINCT x AS vertex FROM (
 
 QUERIES["kcore_social"] = kcore_social
 ORACLE["kcore_social"] = _kcore_oracle_sql()
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, eq. 4): the
+    Pearson correlation of the degrees at either end of an edge,
+    computed over both orientations of every undirected edge — do
+    hubs attach to hubs? One row: r, the half-edge count, and the
+    mean neighbor degree.
+
+    Plan / 100 TB: degrees are one keyed aggregate over the canonical
+    edge table; the correlation moments are one aggregate over the
+    degree-joined half-edges (two hash joins on the vertex key). All
+    moments are exact INTEGER sums — the closed form is
+    engine-identical. No windows, no driver iteration."""
+    o = load(spark, sf_dir, "orders")
+    canon = (
+        o.select(
+            F.least(F.col("o_custkey") % 997, F.col("o_orderkey") % 997)
+            .alias("u"),
+            F.greatest(F.col("o_custkey") % 997, F.col("o_orderkey") % 997)
+            .alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = canon.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        canon.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    half = (
+        und.join(deg.select(F.col("x"), F.col("d").alias("dx")), "x")
+        .join(
+            deg.select(F.col("x").alias("y"), F.col("d").alias("dy")), "y"
+        )
+    )
+    mom = half.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return mom.select(
+        F.col("m2").alias("n_half_edges"),
+        (F.col("sy") / F.col("m2")).alias("mean_neighbor_degree"),
+        F.when(den > 0, num.cast("double") / den).alias("assortativity"),
+    )
+
+
+_register(
+    graph_assortativity,
+    f"""
+WITH {_E_SQL},
+{_UND_SQL},
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+),
+half AS (
+  SELECT a.d AS dx, b.d AS dy
+  FROM und JOIN deg a ON a.x = und.x
+           JOIN deg b ON b.x = und.y
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM half
+)
+SELECT m2 AS n_half_edges,
+       sy * 1.0 / m2 AS mean_neighbor_degree,
+       CASE WHEN (CAST(m2 * sxx - sx * sx AS DOUBLE)
+                  * CAST(m2 * syy - sy * sy AS DOUBLE)) > 0
+            THEN CAST(m2 * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+                        * CAST(m2 * syy - sy * sy AS DOUBLE)) END
+         AS assortativity
+FROM mom
+""",
+)

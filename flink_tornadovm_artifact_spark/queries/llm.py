@@ -5691,3 +5691,64 @@ ORDER BY sample_key DESC, doc_id
 LIMIT {WS_TOPK}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness panel (Church & Gale 1995): per token type, the
+# collection frequency, document frequency, burstiness cf/df (how
+# concentrated the occurrences are in the docs that use the word) and
+# the Fano factor var/mean of per-doc counts over ALL docs — the
+# dispersion diagnostics a term-weighting or stopword decision reads.
+# Plan / 100 TB: per-(doc, token) counts are one map-side-combined
+# groupBy over the explode; the panel is a second token-keyed collapse
+# (Heaps-bounded) with the doc count as a 1-row broadcast; every
+# moment is an exact INTEGER sum.
+# ---------------------------------------------------------------------------
+def text_burstiness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    panel = per_doc.groupBy("t").agg(
+        F.sum("c").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("cf2"),
+    )
+    mean = F.col("cf") / F.col("n_docs")
+    ex2 = F.col("cf2") / F.col("n_docs")
+    return panel.crossJoin(F.broadcast(n_docs)).select(
+        "t",
+        "cf",
+        "df",
+        (F.col("cf") / F.col("df")).alias("burstiness"),
+        ((ex2 - mean * mean) / mean).alias("fano_factor"),
+    )
+
+
+_register(
+    text_burstiness_panel,
+    """
+WITH per_doc AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  GROUP BY 1, 2
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), panel AS (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS cf,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c * c) AS BIGINT) AS cf2
+  FROM per_doc GROUP BY 1
+)
+SELECT t, cf, df,
+       cf * 1.0 / df AS burstiness,
+       (cf2 * 1.0 / nd.n_docs
+        - (cf * 1.0 / nd.n_docs) * (cf * 1.0 / nd.n_docs))
+         / (cf * 1.0 / nd.n_docs) AS fano_factor
+FROM panel CROSS JOIN nd
+""",
+)

@@ -896,3 +896,142 @@ def test_dp_noisy_counts_mechanism(spark):
         assert r.epsilon == DP_EPSILON
         signs.add(noise > 0)
     assert signs == {True, False}, "both noise signs occur across sources"
+
+
+def test_assortativity_matches_python(spark):
+    from flink_tornadovm_artifact_spark.queries.gelly import (
+        graph_assortativity,
+    )
+
+    orders = load(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey"
+    ).collect()
+    edges = {
+        (min(r.o_custkey % 997, r.o_orderkey % 997),
+         max(r.o_custkey % 997, r.o_orderkey % 997))
+        for r in orders
+        if r.o_custkey % 997 != r.o_orderkey % 997
+    }
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    half = [(deg[u], deg[v]) for u, v in edges] + [
+        (deg[v], deg[u]) for u, v in edges
+    ]
+    m = len(half)
+    sx = sum(x for x, _ in half)
+    sy = sum(y for _, y in half)
+    sxy = sum(x * y for x, y in half)
+    sxx = sum(x * x for x, _ in half)
+    syy = sum(y * y for _, y in half)
+    r_expect = (m * sxy - sx * sy) / math.sqrt(
+        (m * sxx - sx * sx) * (m * syy - sy * sy)
+    )
+    row = graph_assortativity(spark, SF_SMOKE).collect()[0]
+    assert row.n_half_edges == m
+    assert row.mean_neighbor_degree == pytest.approx(sy / m)
+    assert row.assortativity == pytest.approx(r_expect, abs=1e-9)
+    assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_concurrent_sessions_match_python(spark, events):
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        SESSION_GAP_S,
+        concurrent_sessions_timeline,
+    )
+
+    by_user = defaultdict(list)
+    for eid, s, u, et, _ in events:
+        by_user[u].append((s, eid))
+    deltas = Counter()
+    n_sessions = 0
+    for seq in by_user.values():
+        seq.sort()
+        cur, last = [], None
+        spans = []
+        for s, _ in seq:
+            if last is not None and s - last > SESSION_GAP_S:
+                spans.append((cur[0], cur[-1]))
+                cur = []
+            cur.append(s)
+            last = s
+        spans.append((cur[0], cur[-1]))
+        n_sessions += len(spans)
+        for a, b in spans:
+            deltas[a // 3600] += 1
+            deltas[b // 3600 + 1] -= 1
+    timeline = {}
+    run = 0
+    for h in sorted(deltas):
+        run += deltas[h]
+        if run > 0:
+            timeline[h] = run
+    rows = concurrent_sessions_timeline(spark, SF_SMOKE).collect()
+    assert {r.h: r.n_concurrent for r in rows} == timeline
+    assert max(timeline.values()) >= 1
+
+
+def test_shipping_delay_matches_numpy(spark):
+    import numpy as np
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        shipping_delay_panel,
+    )
+
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    o = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in load(spark, SF_SMOKE, "orders").collect()
+    }
+    groups = defaultdict(list)
+    for r in li:
+        prio, od = o[r.l_orderkey]
+        d = (
+            int(r.l_shipdate.replace(tzinfo=None).timestamp()) // 86400
+            - int(od.replace(tzinfo=None).timestamp()) // 86400
+        )
+        groups[prio].append(d)
+    rows = {r.o_orderpriority: r
+            for r in shipping_delay_panel(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(groups)
+    for prio, vals in groups.items():
+        r = rows[prio]
+        v = np.array(vals)
+        assert r.n_lines == len(vals)
+        assert (r.min_d, r.max_d) == (v.min(), v.max())
+        p25, p50, p75 = np.percentile(v, [25, 50, 75], method="linear")
+        assert r.p25_d == pytest.approx(p25, abs=1e-9)
+        assert r.p50_d == pytest.approx(p50, abs=1e-9)
+        assert r.p75_d == pytest.approx(p75, abs=1e-9)
+
+
+def test_burstiness_matches_python(spark):
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        text_burstiness_panel,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    per_doc = defaultdict(Counter)
+    for r in docs:
+        for t in r.text.split(" "):
+            per_doc[t][r.doc_id] += 1
+    n_docs = len(docs)
+    rows = text_burstiness_panel(spark, SF_SMOKE).collect()
+    assert {r.t for r in rows} == set(per_doc)
+    for r in rows:
+        cnts = per_doc[r.t]
+        cf = sum(cnts.values())
+        assert (r.cf, r.df) == (cf, len(cnts))
+        assert r.burstiness == pytest.approx(cf / len(cnts))
+        assert r.burstiness >= 1.0
+        mean = cf / n_docs
+        ex2 = sum(c * c for c in cnts.values()) / n_docs
+        assert r.fano_factor == pytest.approx(
+            (ex2 - mean * mean) / mean, abs=1e-9
+        )
+        assert r.fano_factor >= 0.0

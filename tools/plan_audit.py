@@ -81,6 +81,8 @@ NESTED_LOOP_ALLOWLIST = {
     "revenue_concentration_panel": "1-row exact-quantile-thresholds broadcast onto the customer table",
     # round-8 batch 15
     "events_autocorrelation_panel": "6-row lag-grid broadcast fanning the dense hourly table (constant fan-out by construction)",
+    # round-8 batch 16
+    "text_burstiness_panel": "1-row doc-count broadcast onto the token type table",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
@@ -101,6 +103,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "survival_km_purchase": "risk-set/product windows over the duration grid",
     # the register table is <= QSK_BINS = 128 rows by construction
     "sketch_quantile_doc_length": "cum window over the 128-row register table",
+    # the running concurrency sum runs over the hour grid (TIME-
+    # bounded like the KM duration grid, never corpus-bounded)
+    "concurrent_sessions_timeline": "running sum over the span-hours grid",
 }
 
 
