@@ -252,6 +252,11 @@ HEADLINE = [
     "concurrent_sessions_timeline",
     "shipping_delay_panel",
     "text_burstiness_panel",
+    # round-8 batch 17: the CDC merge accounting (two latest-wins
+    # windows + one full outer join) and the KS length-drift statistic
+    # (length-domain ECDF grid + TakeOrdered argmax)
+    "cdc_merge_upsert",
+    "text_ks_length_drift",
 ]
 
 

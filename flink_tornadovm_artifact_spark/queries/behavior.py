@@ -1810,3 +1810,149 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
        MAX(delay_d) AS max_d
 FROM j GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (the MERGE INTO primitive): apply a change batch onto a
+# dimension snapshot — the batch twin of what the SCD2 build versions.
+# Base = each user's latest pre-split signup value; changes = post-
+# split latest signups (upserts) and a DELETE marker for users whose
+# post-split stream ends in an error event (delete wins over upsert —
+# stated precedence). The panel reports the merge accounting
+# (insert/update/unchanged/delete) plus the DECIMAL-exact checksum of
+# the merged dimension — what a warehouse MERGE audit logs.
+# Plan / 100 TB: two user-keyed latest-write-wins windows over the
+# signup-filtered scan, ONE full outer hash join on user, one
+# conditional aggregate. No global ordering.
+# ---------------------------------------------------------------------------
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr(_DAYS.format(c="ts")).alias("d"),
+        "ts",
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.filter(
+            (F.col("event_type") == "signup")
+            & (F.col("d") < CUPED_SPLIT_DAY)
+        )
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("value").alias("base_v"))
+    )
+    post = ev.filter(F.col("d") >= CUPED_SPLIT_DAY)
+    upserts = (
+        post.filter(F.col("event_type") == "signup")
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("value").alias("new_v"))
+    )
+    last_any = (
+        post.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+    )
+    changes = upserts.join(last_any, "user_id", "full").select(
+        "user_id",
+        "new_v",
+        F.coalesce("is_delete", F.lit(False)).alias("is_delete"),
+    )
+    m = base.join(changes, "user_id", "full")
+    merged_v = F.when(F.col("is_delete"), F.lit(None)).otherwise(
+        F.coalesce("new_v", "base_v")
+    )
+    op = (
+        F.when(F.col("is_delete") & F.col("base_v").isNotNull(), "delete")
+        .when(F.col("is_delete"), "noop")
+        .when(
+            F.col("base_v").isNotNull() & F.col("new_v").isNotNull(),
+            "update",
+        )
+        .when(F.col("new_v").isNotNull(), "insert")
+        .otherwise("unchanged")
+    )
+    return m.select(op.alias("op"), merged_v.alias("v")).agg(
+        F.sum(F.when(F.col("op") == "insert", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "update", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_updates"),
+        F.sum(F.when(F.col("op") == "unchanged", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unchanged"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+        F.sum(F.when(F.col("op") == "noop", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_noops"),
+        F.count("v").alias("n_final"),
+        F.sum(F.col("v").cast(DEC)).cast("double").alias("checksum_v"),
+    )
+
+
+QUERIES["cdc_merge_upsert"] = cdc_merge_upsert
+ORACLE["cdc_merge_upsert"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         {_DAYS_SQL.format(c="ts")} AS d, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), base AS (
+  SELECT user_id, value AS base_v FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e WHERE event_type = 'signup' AND d < {CUPED_SPLIT_DAY}
+  ) WHERE rn = 1
+), upserts AS (
+  SELECT user_id, value AS new_v FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e WHERE event_type = 'signup' AND d >= {CUPED_SPLIT_DAY}
+  ) WHERE rn = 1
+), last_any AS (
+  SELECT user_id, event_type = 'error' AS is_delete FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e WHERE d >= {CUPED_SPLIT_DAY}
+  ) WHERE rn = 1
+), changes AS (
+  SELECT COALESCE(u.user_id, l.user_id) AS user_id, u.new_v,
+         COALESCE(l.is_delete, FALSE) AS is_delete
+  FROM upserts u FULL JOIN last_any l ON l.user_id = u.user_id
+), m AS (
+  SELECT CASE
+           WHEN c.is_delete AND b.base_v IS NOT NULL THEN 'delete'
+           WHEN c.is_delete THEN 'noop'
+           WHEN b.base_v IS NOT NULL AND c.new_v IS NOT NULL
+             THEN 'update'
+           WHEN c.new_v IS NOT NULL THEN 'insert'
+           ELSE 'unchanged' END AS op,
+         CASE WHEN c.is_delete THEN NULL
+              ELSE COALESCE(c.new_v, b.base_v) END AS v
+  FROM base b FULL JOIN changes c ON c.user_id = b.user_id
+)
+SELECT
+  CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_inserts,
+  CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_updates,
+  CAST(SUM(CASE WHEN op = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unchanged,
+  CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_deletes,
+  CAST(SUM(CASE WHEN op = 'noop' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_noops,
+  CAST(COUNT(v) AS BIGINT) AS n_final,
+  CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS checksum_v
+FROM m
+"""

@@ -5752,3 +5752,98 @@ SELECT t, cf, df,
 FROM panel CROSS JOIN nd
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift statistic on document length:
+# KS = max |ECDF_A − ECDF_B| between the first ten sources and the
+# rest — the distribution-level drift test next to the token-level JS
+# divergence (corpus_drift_js). Emits the statistic, the length where
+# the ECDF gap peaks (min such length — deterministic tie-break), and
+# the classic sqrt(n·m/(n+m))-scaled value the p-value tables read.
+# Plan / 100 TB: per-(length) conditional group counts (length-domain-
+# bounded), cumulative ECDFs via a global window over that VALUE-
+# bounded grid (GLOBAL_WINDOW_ALLOWLIST — the quantile-register
+# discipline), TakeOrdered(1) for the argmax. The ECDF differences
+# are single divisions of exact integers — engine-identical, so the
+# argmax cannot flip between engines.
+# ---------------------------------------------------------------------------
+def text_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "n_chars",
+        (
+            F.regexp_extract("source", r"(\d+)$", 1).cast("int") < 10
+        ).alias("is_a"),
+    )
+    per_len = docs.groupBy("n_chars").agg(
+        F.sum(F.col("is_a").cast("int")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("int")).alias("cb"),
+    )
+    tot = per_len.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w_cum = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    ecdf = per_len.select(
+        "n_chars",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    diff = F.abs(
+        F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")
+    )
+    top = (
+        ecdf.select(
+            "n_chars", "na", "nb", diff.alias("gap")
+        )
+        .orderBy(F.col("gap").desc(), "n_chars")
+        .limit(1)
+    )
+    return top.select(
+        "na",
+        "nb",
+        F.col("gap").alias("ks_stat"),
+        F.col("n_chars").alias("ks_at_length"),
+        (
+            F.col("gap")
+            * F.sqrt(
+                (F.col("na") * F.col("nb")).cast("double")
+                / (F.col("na") + F.col("nb"))
+            )
+        ).alias("ks_scaled"),
+    )
+
+
+_register(
+    text_ks_length_drift,
+    r"""
+WITH d AS (
+  SELECT n_chars,
+         CAST(regexp_extract(source, '(\d+)$', 1) AS INTEGER) < 10 AS is_a
+  FROM documents
+), per_len AS (
+  SELECT n_chars,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM per_len
+), ecdf AS (
+  SELECT n_chars,
+         SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+  FROM per_len
+  WINDOW w AS (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g AS (
+  SELECT n_chars, tot.na, tot.nb,
+         abs(cum_a * 1.0 / tot.na - cum_b * 1.0 / tot.nb) AS gap
+  FROM ecdf CROSS JOIN tot
+  ORDER BY gap DESC, n_chars
+  LIMIT 1
+)
+SELECT na, nb, gap AS ks_stat, n_chars AS ks_at_length,
+       gap * sqrt(CAST(na * nb AS DOUBLE) / (na + nb)) AS ks_scaled
+FROM g
+""",
+)

@@ -1035,3 +1035,77 @@ def test_burstiness_matches_python(spark):
             (ex2 - mean * mean) / mean, abs=1e-9
         )
         assert r.fano_factor >= 0.0
+
+
+def test_cdc_merge_matches_python(spark, events):
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        CUPED_SPLIT_DAY,
+        cdc_merge_upsert,
+    )
+
+    base, up, last_any = {}, {}, {}
+    for eid, s, u, et, v in sorted(events, key=lambda e: (e[1], e[0])):
+        d = s // 86400
+        if et == "signup" and d < CUPED_SPLIT_DAY:
+            base[u] = v
+        if d >= CUPED_SPLIT_DAY:
+            last_any[u] = et
+            if et == "signup":
+                up[u] = v
+    ops = Counter()
+    final = {}
+    for u in set(base) | set(up) | set(last_any):
+        is_del = last_any.get(u) == "error"
+        if is_del:
+            ops["delete" if u in base else "noop"] += 1
+            continue
+        if u in base and u in up:
+            ops["update"] += 1
+            final[u] = up[u]
+        elif u in up:
+            ops["insert"] += 1
+            final[u] = up[u]
+        else:
+            ops["unchanged"] += 1
+            final[u] = base[u]
+    row = cdc_merge_upsert(spark, SF_SMOKE).collect()[0]
+    assert row.n_inserts == ops["insert"]
+    assert row.n_updates == ops["update"]
+    assert row.n_unchanged == ops["unchanged"]
+    assert row.n_deletes == ops["delete"]
+    assert row.n_noops == ops["noop"]
+    assert row.n_final == len(final)
+    assert row.checksum_v == pytest.approx(sum(final.values()), abs=1e-6)
+    # merge accounting identity: survivors = base - deletes - ... all
+    # covered by the exact dict compare above; pin non-vacuity
+    assert row.n_final > 0
+
+
+def test_ks_drift_matches_python(spark):
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        text_ks_length_drift,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    a = sorted(r.n_chars for r in docs if int(r.source[3:]) < 10)
+    b = sorted(r.n_chars for r in docs if int(r.source[3:]) >= 10)
+    grid = sorted({r.n_chars for r in docs})
+    import bisect
+
+    best, best_l = -1.0, None
+    for l in grid:
+        fa = bisect.bisect_right(a, l) / len(a)
+        fb = bisect.bisect_right(b, l) / len(b)
+        gap = abs(fa - fb)
+        if gap > best + 1e-15:
+            best, best_l = gap, l
+    row = text_ks_length_drift(spark, SF_SMOKE).collect()[0]
+    assert (row.na, row.nb) == (len(a), len(b))
+    assert row.ks_stat == pytest.approx(best, abs=1e-12)
+    assert row.ks_at_length == best_l
+    assert row.ks_scaled == pytest.approx(
+        best * math.sqrt(len(a) * len(b) / (len(a) + len(b))), abs=1e-9
+    )
+    assert 0.0 <= row.ks_stat <= 1.0

@@ -83,6 +83,8 @@ NESTED_LOOP_ALLOWLIST = {
     "events_autocorrelation_panel": "6-row lag-grid broadcast fanning the dense hourly table (constant fan-out by construction)",
     # round-8 batch 16
     "text_burstiness_panel": "1-row doc-count broadcast onto the token type table",
+    # round-8 batch 17
+    "text_ks_length_drift": "1-row group-totals broadcast onto the length-domain ECDF grid",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
@@ -106,6 +108,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     # the running concurrency sum runs over the hour grid (TIME-
     # bounded like the KM duration grid, never corpus-bounded)
     "concurrent_sessions_timeline": "running sum over the span-hours grid",
+    # ECDF windows run over the distinct-length grid (VALUE-bounded —
+    # the quantile-register discipline)
+    "text_ks_length_drift": "ECDF windows over the length-domain grid",
 }
 
 
