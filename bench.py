@@ -257,6 +257,10 @@ HEADLINE = [
     # (length-domain ECDF grid + TakeOrdered argmax)
     "cdc_merge_upsert",
     "text_ks_length_drift",
+    # round-8 batch 18: z-scored peak hour (dense grid + keyed argmax
+    # window) and the supplier-concentration HHI (exact decimal moments)
+    "events_peak_detection",
+    "supplier_hhi_panel",
 ]
 
 

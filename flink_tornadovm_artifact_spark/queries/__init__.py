@@ -236,6 +236,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # graph_assortativity, concurrent_sessions_timeline,
     # shipping_delay_panel and text_burstiness_panel (batch 16),
     # cdc_merge_upsert and text_ks_length_drift (batch 17),
+    # events_peak_detection and supplier_hhi_panel (batch 18),
     # registered after this window was full at 50 — the quality_retention_curve precedent. They are
     # oracle-swept in pytest at both SFs every run; the never-checked
     # guard (tests/test_driver_ledger.py) makes scheduling them in the

@@ -1956,3 +1956,164 @@ SELECT
   CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS checksum_v
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Hourly peak detection: per event type, the z-scored peak hour of the
+# dense hourly count series (and how many hours exceed 3σ) — the
+# ops-monitoring "when did it spike" read-out on top of the same dense
+# grid the autocorrelation panel uses.
+# Plan / 100 TB: identical corpus shape to the autocorrelation panel
+# (one keyed collapse + TIME-bounded grid); mean/σ are per-type
+# integer moments; the peak pick is a TYPE-keyed row_number window
+# with a deterministic (count desc, hour) tie-break. Always exactly
+# one row per type — the panel cannot go vacuous at small SF.
+# ---------------------------------------------------------------------------
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("h"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    dense = (
+        span.select(
+            "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+        )
+        .join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    mom = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    mean = F.col("sc") / F.col("n_hours")
+    std = F.sqrt(F.col("scc") / F.col("n_hours") - mean * mean)
+    stats = mom.select(
+        "event_type", "n_hours", mean.alias("mean_c"), std.alias("std_c")
+    )
+    j = dense.join(F.broadcast(stats), "event_type")
+    flagged = j.select(
+        "event_type", "h", "c", "n_hours", "mean_c", "std_c",
+        ((F.col("c") - F.col("mean_c")) / F.col("std_c")).alias("z"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), "h"
+    )
+    peaks = flagged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    above = flagged.groupBy("event_type").agg(
+        F.sum(
+            (F.col("z") > 3.0).cast("int")
+        ).cast("bigint").alias("n_above_3sigma")
+    )
+    return peaks.join(above, "event_type").select(
+        "event_type",
+        "n_hours",
+        "mean_c",
+        "std_c",
+        F.col("h").alias("peak_h"),
+        F.col("c").alias("peak_c"),
+        F.col("z").alias("peak_z"),
+        "n_above_3sigma",
+    )
+
+
+QUERIES["events_peak_detection"] = events_peak_detection
+ORACLE["events_peak_detection"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h
+  FROM events
+), hourly AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+), span AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, UNNEST(range(h0, h1 + 1)) AS h FROM span
+), dense AS (
+  SELECT g.event_type, g.h, COALESCE(hourly.c, 0) AS c
+  FROM grid g LEFT JOIN hourly
+    ON g.event_type = hourly.event_type AND g.h = hourly.h
+), mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM dense GROUP BY 1
+), stats AS (
+  SELECT event_type, n_hours,
+         sc * 1.0 / n_hours AS mean_c,
+         sqrt(scc * 1.0 / n_hours
+              - (sc * 1.0 / n_hours) * (sc * 1.0 / n_hours)) AS std_c
+  FROM mom
+), flagged AS (
+  SELECT d.event_type, d.h, d.c, s.n_hours, s.mean_c, s.std_c,
+         (d.c - s.mean_c) / s.std_c AS z
+  FROM dense d JOIN stats s ON s.event_type = d.event_type
+), peaks AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY c DESC, h) AS rn
+  FROM flagged
+), above AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above_3sigma
+  FROM flagged GROUP BY 1
+)
+SELECT p.event_type, p.n_hours, p.mean_c, p.std_c,
+       p.h AS peak_h, p.c AS peak_c, p.z AS peak_z, a.n_above_3sigma
+FROM peaks p JOIN above a ON a.event_type = p.event_type
+WHERE p.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration HHI: per part category, the Herfindahl-
+# Hirschman index of supplier quantity shares — the antitrust-grade
+# concentration metric next to the revenue 80/20 panel. Computed as
+# Σqᵢ²/(Σqᵢ)² over DECIMAL-exact supplier totals, so the only float
+# is one final division — engine-identical, no share-sum ordering.
+# Plan / 100 TB: lineitem⋈part hash join, (category, supplier)-keyed
+# DECIMAL sum (map-side combined), then a ≤types-group collapse.
+# ---------------------------------------------------------------------------
+def supplier_hhi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    per_supp = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+    )
+    return per_supp.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").cast("double").alias("total_qty"),
+        (
+            F.sum(F.col("q") * F.col("q")).cast("double")
+            / (F.sum("q") * F.sum("q")).cast("double")
+        ).alias("hhi"),
+    )
+
+
+QUERIES["supplier_hhi_panel"] = supplier_hhi_panel
+ORACLE["supplier_hhi_panel"] = """
+WITH per_supp AS (
+  SELECT p.p_type, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(q) AS DOUBLE) AS total_qty,
+       CAST(SUM(q * q) AS DOUBLE) / CAST(SUM(q) * SUM(q) AS DOUBLE) AS hhi
+FROM per_supp GROUP BY 1
+"""

@@ -1109,3 +1109,63 @@ def test_ks_drift_matches_python(spark):
         best * math.sqrt(len(a) * len(b) / (len(a) + len(b))), abs=1e-9
     )
     assert 0.0 <= row.ks_stat <= 1.0
+
+
+def test_peak_detection_matches_python(spark, events):
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        events_peak_detection,
+    )
+
+    hourly = defaultdict(Counter)
+    for _, s, _, et, _ in events:
+        hourly[et][s // 3600] += 1
+    rows = {r.event_type: r
+            for r in events_peak_detection(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(hourly)
+    for et, cnts in hourly.items():
+        h0, h1 = min(cnts), max(cnts)
+        series = {h: cnts.get(h, 0) for h in range(h0, h1 + 1)}
+        n = len(series)
+        mean = sum(series.values()) / n
+        std = math.sqrt(
+            sum(c * c for c in series.values()) / n - mean * mean
+        )
+        peak_h = min(series, key=lambda h: (-series[h], h))
+        r = rows[et]
+        assert r.n_hours == n
+        assert r.mean_c == pytest.approx(mean)
+        assert r.std_c == pytest.approx(std, abs=1e-9)
+        assert (r.peak_h, r.peak_c) == (peak_h, series[peak_h])
+        assert r.peak_z == pytest.approx(
+            (series[peak_h] - mean) / std, abs=1e-9
+        )
+        assert r.n_above_3sigma == sum(
+            (c - mean) / std > 3.0 for c in series.values()
+        )
+
+
+def test_supplier_hhi_matches_python(spark):
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        supplier_hhi_panel,
+    )
+
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    ).collect()
+    pt = {r.p_partkey: r.p_type
+          for r in load(spark, SF_SMOKE, "part").collect()}
+    per = defaultdict(lambda: defaultdict(float))
+    for r in li:
+        per[pt[r.l_partkey]][r.l_suppkey] += r.l_quantity
+    rows = {r.p_type: r for r in
+            supplier_hhi_panel(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per)
+    for t, supp in per.items():
+        tot = sum(supp.values())
+        hhi = sum(q * q for q in supp.values()) / (tot * tot)
+        r = rows[t]
+        assert r.n_suppliers == len(supp)
+        assert r.total_qty == pytest.approx(tot)
+        assert r.hhi == pytest.approx(hhi, abs=1e-9)
+        # HHI bounds: 1/n (even split) <= hhi <= 1 (monopoly)
+        assert 1.0 / len(supp) - 1e-12 <= r.hhi <= 1.0
