@@ -151,107 +151,98 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: staleness queue; the ≥4-round guard holds because no
 #: ≤2-round-green incumbent outside WINDOW_KEEP_FRESH holds a slot —
 #: all stay under the full-oracle pytest sweep at both SFs every run.
+#: Round-9 rotation (VERDICT r8 Next 1 + Next 5 — verification-debt
+#: round, registry growth FROZEN at 220):
+#: IN — FIRST the 16 batch-13-to-18 queries registered after the r8
+#: window froze (the never-driver-checked set; the ledger guard makes
+#: scheduling them mandatory), then dedup_semantic under rule 1 (its
+#: plan changed this round: the SemDeDup hyperplane-signature width is
+#: now derived from the corpus size instead of the fixed 8 planes —
+#: VERDICT r8 What's-wrong 4), then the full 29-query staleness queue
+#: whose last green row is r≤3 (the r1 pair q01/q02 displaced in r8,
+#: the r2 cohort q10/q12/q16 + q26/q33, and the 22-strong r3 cohort:
+#: the q21 window trio, q19/q20/q23/q29/q30/q36, the kernels trio
+#: vadd/matmul/pi, the r2-era text family fingerprint/token_count/
+#: lang_id/rolling_hash/udtf_ngrams, dedup_simhash/lsh_verified,
+#: similarity_topk/lsh_bucketed, multimodal_binary_meta), then 4
+#: diversity picks from the 30-strong r5 cohort — cep_followed_by
+#: (CEP NFA), similarity_ivf (the ANN scale path), temporal_join_events
+#: (as-of join), community_detection_labels (delta-iteration) — so the
+#: window still spans every §2 family.
+#: OUT — the entire r8 window's 50 green rows (all 1-round-fresh;
+#: rule 3 keeps them under the full-oracle pytest sweep at both SFs
+#: every run). No new queries were registered this round, so rule 1
+#: claims exactly one slot (dedup_semantic) and the never-checked set
+#: claims 16; the remaining 33 go to age.
 WINDOW_KEEP_FRESH: dict[str, str] = {
-    # rule-1 holds: green in r7 but their PLANS changed this round, so
-    # the driver must re-verify the new shapes (the staleness guard
-    # exempts these from the fresh-incumbent check)
-    "bpe_merge_table": "merge loop batches top-M non-conflicting merges/round",
-    "bpe_encode_fertility": "encodes with the batched trainer's type table",
-    "dedup_incremental": "added per-fingerprint min-doc_id representative",
+    # rule-1 hold: green in r8 but its PLAN changed this round, so the
+    # driver must re-verify the new shape (the staleness guard exempts
+    # it from the fresh-incumbent check)
+    "dedup_semantic": (
+        "hyperplane-signature width now scales with corpus size "
+        "(occupancy-capped cells; was a fixed 8 planes)"
+    ),
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # never-driver-checked (VERDICT r7 Next 1) + domain fix (1)
-    "quality_retention_curve",
-    # changed this round (rule 1; see WINDOW_KEEP_FRESH) (3)
-    "bpe_merge_table",
-    "bpe_encode_fertility",
-    "dedup_incremental",
-    # new this round (rule 1) (36 — batches 1-10 as itemized in the
-    # rotation note above; ends at rfm_segment_panel)
-    "release_sequence_packing",
+    # never-driver-checked: batches 13-18, registered after the r8
+    # window froze (16)
+    "orders_independence_chi2",
+    "lm_good_turing_counts",
+    "sample_weighted_quality",
+    "funnel_lag_percentiles",
+    "revenue_concentration_panel",
+    "events_autocorrelation_panel",
+    "lineitem_discount_elasticity",
+    "dp_noisy_counts",
+    "graph_assortativity",
+    "concurrent_sessions_timeline",
+    "shipping_delay_panel",
+    "text_burstiness_panel",
+    "cdc_merge_upsert",
+    "text_ks_length_drift",
+    "events_peak_detection",
+    "supplier_hhi_panel",
+    # changed this round (rule 1; see WINDOW_KEEP_FRESH) (1)
     "dedup_semantic",
-    "lm_kn_bigram",
-    "text_char_entropy",
-    "corpus_snapshot_delta",
-    "similarity_hard_negatives",
-    "pii_pattern_audit",
-    "lm_perplexity_bucket",
-    "zipf_token_panel",
-    "dq_table_profile",
-    "dq_referential_checks",
-    "release_length_buckets",
-    "dedup_containment",
-    "corpus_drift_js",
-    "embedding_principal_direction",
-    "quality_gopher_rules",
-    "text_ngram_novelty",
-    "pref_bradley_terry",
-    "embedding_abtt_residuals",
-    "dedup_recall_panel",
-    "retrieval_bm25_topk",
-    "curriculum_length_phases",
-    "sketch_hll_union_matrix",
-    "langid_confusion_matrix",
-    "hypertable_gapfill_locf",
-    "funnel_conversion_events",
-    "wordpiece_fertility_panel",
-    "unigram_viterbi_panel",
-    "dq_k_anonymity",
-    "retrieval_eval_panel",
-    "cohort_retention_weekly",
-    "markov_event_transitions",
-    "survival_km_purchase",
-    "experiment_ab_ztest",
-    "session_path_topk",
-    "rfm_segment_panel",
-    # new this round, batch 11 (rule 1) (5): Markov stationary panel,
-    # SCD2 dimension build, MAD anomaly panel, CMS heavy hitters,
-    # quantile-sketch registers — these displaced the five r2-cohort
-    # slots (q01/q02/q10/q12/q16), whose operator surfaces (filter/
-    # project, global agg, distinct, global top-k, scalar functions)
-    # every window entry exercises incidentally and the full-oracle
-    # pytest sweep pins at both SFs; they head the r9 staleness queue
-    # with the six batch-10 displacements
-    "markov_stationary_panel",
-    "scd2_dimension_build",
-    "anomaly_mad_events",
-    "sketch_cms_heavy_hitters",
-    "sketch_quantile_doc_length",
-    # new this round, batch 12 (rule 1) (2): market-basket rules +
-    # CUPED panel — displacing q26_count_distinct (exact-NDV surface
-    # stays under dq_table_profile, in-window) and q33_window_frames
-    # (bounded-frame windows are exercised by the passage-dedup /
-    # curriculum / gapfill entries); both head the r9 staleness queue
-    "market_basket_rules",
-    "experiment_cuped_panel",
-    # stalest: last green round 1 (2 of the quartet)
-    "q34_explode_tokens",
-    "q38_tpch_q6",
-    # NOTE (r9 window leads): orders_independence_chi2 and
-    # lm_good_turing_counts (batch 13), plus sample_weighted_quality,
-    # funnel_lag_percentiles and revenue_concentration_panel
-    # (batch 14), events_autocorrelation_panel,
-    # lineitem_discount_elasticity and dp_noisy_counts (batch 15),
-    # graph_assortativity, concurrent_sessions_timeline,
-    # shipping_delay_panel and text_burstiness_panel (batch 16),
-    # cdc_merge_upsert and text_ks_length_drift (batch 17),
-    # events_peak_detection and supplier_hhi_panel (batch 18),
-    # registered after this window was full at 50 — the quality_retention_curve precedent. They are
-    # oracle-swept in pytest at both SFs every run; the never-checked
-    # guard (tests/test_driver_ledger.py) makes scheduling them in the
-    # r9 window mandatory, alongside the displaced staleness queue:
-    # batch-10/12 displacements (dedup_lsh_verified,
-    # matmul_rows_kernel, q21_sliding_window, similarity_lsh_bucketed,
-    # text_rolling_hash, text_udtf_ngrams, q26_count_distinct,
-    # q33_window_frames) and the r2 cohort (q01/q02/q10/q12/q16).
-    # stalest: last green round 3 (1 of the 23-cohort; the 22
-    # displaced ones are named in the rotation note above)
-    "dft_events",
-    # (no r5 diversity picks left: the batch-2/3 new operators
-    # displaced all eight — rule 1 outranks diversity, and the r5
-    # cohort is only 3 rounds stale so the staleness guard holds
-    # without them; they head the r9 staleness queue)
+    # stalest: last green round 1 (2)
+    "q01_filter_project",
+    "q02_global_agg",
+    # stalest: last green round 2 (5)
+    "q10_distinct",
+    "q12_topk_global",
+    "q16_scalar_functions",
+    "q26_count_distinct",
+    "q33_window_frames",
+    # stalest: last green round 3 (22)
+    "q19_iot_outliers",
+    "q20_kmeans_assign",
+    "q21_tumbling_window",
+    "q21_sliding_window",
+    "q21_session_window_dynamic",
+    "q23_tpch_q10",
+    "q29_reduce_group",
+    "q30_tpch_q5",
+    "q36_json_extract",
+    "vector_add_kernel",
+    "matmul_rows_kernel",
+    "pi_estimation_weyl",
+    "text_fingerprint",
+    "text_token_count",
+    "text_lang_id",
+    "text_rolling_hash",
+    "text_udtf_ngrams",
+    "dedup_simhash",
+    "dedup_lsh_verified",
+    "similarity_topk",
+    "similarity_lsh_bucketed",
+    "multimodal_binary_meta",
+    # r5-cohort diversity picks (4): CEP NFA scan, ANN IVF scale path,
+    # temporal as-of join, label-propagation delta iteration
+    "cep_followed_by",
+    "similarity_ivf",
+    "temporal_join_events",
+    "community_detection_labels",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
