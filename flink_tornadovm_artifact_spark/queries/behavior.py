@@ -1204,6 +1204,129 @@ def session_path_stream(
 
 
 # ---------------------------------------------------------------------------
+# Streaming twin of the Markov transition build: the batch query's
+# per-user lead() window cannot run on an unbounded stream, so the
+# chaining state (each user's LAST event) moves into keyed state via
+# ``applyInPandasWithState`` — the engine's custom-stateful-operator
+# surface (the same analog as the reference's KeyedProcessFunction
+# family, streaming/core.py). Each micro-batch emits the per-user
+# (from_type, to_type) transition-count INCREMENTS observed in that
+# batch, chained across batches through the stored last event; a
+# downstream aggregation (or the test's store) folds increments into
+# the same transition matrix as the batch query.
+# Ordering contract (same as session_path_stream's): within a batch
+# the handler sorts the group by (ts, event_id) — the batch query's
+# exact lead() order — and across batches correctness requires the
+# per-user feed to be event-time-ordered (true of the replayable
+# file feed; at scale, an upstream watermark-buffered sort or
+# log-compacted per-key ordering provides it). State per user is ONE
+# (type, ts, event_id) triple — constant, never event-bounded.
+# ---------------------------------------------------------------------------
+def markov_transitions_stream(events_stream: DataFrame) -> DataFrame:
+    """Per-micro-batch transition-count increments over an events
+    STREAM with columns (ts timestamp, user_id, event_id, event_type).
+    Emits (user_id, from_type, to_type, n_trans) rows in append mode;
+    sum n_trans by (from_type, to_type) downstream to recover the
+    batch ``markov_event_transitions`` counts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def chain(key, pdfs, state: GroupState):
+        last_type, _last_ts, _last_eid = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        counts: dict = {}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64") // 1_000
+            for ts_us, eid, et in zip(us, pdf["event_id"], pdf["event_type"]):
+                if last_type is not None:
+                    k = (last_type, et)
+                    counts[k] = counts.get(k, 0) + 1
+                last_type, _last_ts, _last_eid = et, int(ts_us), int(eid)
+        if last_type is not None:
+            state.update((last_type, _last_ts, _last_eid))
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(ks),
+                    "from_type": [k[0] for k in ks],
+                    "to_type": [k[1] for k in ks],
+                    "n_trans": [counts[k] for k in ks],
+                }
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        chain,
+        outputStructType=(
+            "user_id long, from_type string, to_type string, n_trans long"
+        ),
+        stateStructType="last_type string, last_ts_us long, last_eid long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the weekly cohort-retention build: per user, keyed
+# state holds the cohort week (first week ever seen) and the set of
+# week OFFSETS already credited; each micro-batch emits one
+# (cohort_week, week_offset) increment per newly-seen (user, week).
+# Folding the increments gives the batch matrix exactly: n_active =
+# increment count per (cohort, offset); n_cohort = offset-0 count per
+# cohort (every user's first event emits offset 0).
+# State per user is the cohort week + the offset set — bounded by the
+# OBSERVATION SPAN in weeks (a time bound, not an event bound), the
+# same boundedness class as the batch query's weeks² output. Under the
+# event-time-ordered feed contract the first-seen week IS the min
+# week, so cohort assignment matches the batch MIN exactly.
+# ---------------------------------------------------------------------------
+def cohort_retention_stream(events_stream: DataFrame) -> DataFrame:
+    """Append-mode (user_id, cohort_week, week_offset) increments over
+    an events STREAM with columns (ts timestamp, user_id, ...). Each
+    (user, week) is credited exactly once across the whole stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def credit(key, pdfs, state: GroupState):
+        cohort, seen = (state.get if state.exists else (None, []))
+        seen = set(seen)
+        fresh = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            days = pdf["ts"].astype("int64") // 1_000_000_000 // 86400
+            for wk in sorted(int(d) // 7 for d in days):
+                if cohort is None:
+                    cohort = wk
+                off = wk - cohort
+                if off not in seen:
+                    seen.add(off)
+                    fresh.append(off)
+        if cohort is not None:
+            state.update((cohort, sorted(seen)))
+        if fresh:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(fresh),
+                    "cohort_week": [cohort] * len(fresh),
+                    "week_offset": sorted(fresh),
+                }
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        credit,
+        outputStructType="user_id long, cohort_week long, week_offset long",
+        stateStructType="cohort_week long, seen array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chi-square independence panel: is order PRIORITY independent of the
 # DAY-OF-WEEK the order was placed? The contingency-table test every
 # BI layer ships (and the q50 cube's inferential complement). Emits

@@ -343,3 +343,66 @@ UNION ALL
 SELECT CAST(3 AS INTEGER), '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
        n3 * 1.0 / n2, n3 * 1.0 / n1 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the funnel: the batch query's three first-hit
+# join+aggs become ONE per-user state machine in keyed state
+# (``applyInPandasWithState``): the state holds the first-hit
+# timestamps (t1, t2, t3); an event advances the machine iff it is the
+# next step's type and STRICTLY after the previous step's first hit —
+# the batch query's exact MIN-after-previous semantics under an
+# event-time-ordered per-user feed (the first qualifying hit in order
+# IS the min; ties at the previous step's timestamp are excluded by
+# the strict > on both sides). Each advance emits one
+# (user_id, step, step_ts) row in append mode; counting rows per step
+# downstream reproduces the batch panel's n_users column.
+# State per user is three timestamps — constant; no per-user event
+# history is ever retained (the CEP NFA analog keeps partial matches;
+# the funnel machine is memoryless beyond its first-hits).
+# ---------------------------------------------------------------------------
+def funnel_conversion_stream(events_stream: DataFrame) -> DataFrame:
+    """Append-mode (user_id, step, step_ts) first-hit rows over an
+    events STREAM with columns (ts timestamp, user_id, event_type);
+    each (user, step) is emitted at most once across the stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def advance(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        hits = []  # (step, ts_us)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("ts")
+            us = pdf["ts"].astype("int64") // 1_000
+            for ts_us, et in zip(us, pdf["event_type"]):
+                ts_us = int(ts_us)
+                if et == FUNNEL_STEPS[0] and t1 == 0:
+                    t1 = ts_us
+                    hits.append((1, ts_us))
+                elif et == FUNNEL_STEPS[1] and t1 and ts_us > t1 and t2 == 0:
+                    t2 = ts_us
+                    hits.append((2, ts_us))
+                elif et == FUNNEL_STEPS[2] and t2 and ts_us > t2 and t3 == 0:
+                    t3 = ts_us
+                    hits.append((3, ts_us))
+        state.update((t1, t2, t3))
+        if hits:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(hits),
+                    "step": [h[0] for h in hits],
+                    "step_ts": [
+                        pd.Timestamp(h[1], unit="us") for h in hits
+                    ],
+                }
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType="user_id long, step int, step_ts timestamp",
+        stateStructType="t1_us long, t2_us long, t3_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

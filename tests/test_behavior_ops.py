@@ -1169,3 +1169,165 @@ def test_supplier_hhi_matches_python(spark):
         assert r.hhi == pytest.approx(hhi, abs=1e-9)
         # HHI bounds: 1/n (even split) <= hhi <= 1 (monopoly)
         assert 1.0 / len(supp) - 1e-12 <= r.hhi <= 1.0
+
+
+def _ordered_event_feed(spark, tmp_path, name):
+    """The shared streaming-twin harness: the events fixture ordered by
+    (ts, event_id), split into three parquet micro-batch files, read
+    back with maxFilesPerTrigger=1 — per-user event-time order holds
+    because the global order does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .select("ts", "user_id", "event_id", "event_type")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    src = tmp_path / name
+    src.mkdir()
+    third = len(rows) // 3
+    for i, part in enumerate(
+        (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r.ts for r in part], pa.timestamp("us")),
+                    "user_id": pa.array([r.user_id for r in part], pa.int64()),
+                    "event_id": pa.array(
+                        [r.event_id for r in part], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        [r.event_type for r in part], pa.string()
+                    ),
+                }
+            ),
+            str(src / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return rows, stream
+
+
+def _drain(stream_df, ckpt):
+    """Run an append-mode stream to completion, collecting every emitted
+    row via foreachBatch (driver-side accumulator)."""
+    out = []
+
+    def sink(batch_df, _epoch):
+        out.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out
+
+
+def test_markov_stream_matches_batch(spark, tmp_path):
+    """Summing the streaming twin's per-batch transition increments must
+    reproduce the batch lead()-window transition matrix EXACTLY — the
+    chaining state carries each user's last event across the three
+    micro-batches, so transitions that straddle a batch boundary are
+    the load-bearing case (asserted non-vacuous)."""
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        markov_transitions_stream,
+    )
+
+    rows, stream = _ordered_event_feed(spark, tmp_path, "mkv_feed")
+    got = Counter()
+    emitted = _drain(
+        markov_transitions_stream(stream), tmp_path / "mkv_ckpt"
+    )
+    per_user_batches = defaultdict(int)
+    for r in emitted:
+        got[(r.from_type, r.to_type)] += r.n_trans
+    # batch expectation
+    expect = Counter()
+    for r in markov_event_transitions(spark, SF_SMOKE).collect():
+        expect[(r.from_type, r.to_type)] = r.n_trans
+    assert got == expect
+    # non-vacuity: some user's events span more than one micro-batch,
+    # so cross-batch chaining was actually exercised
+    third = len(rows) // 3
+    for i, part in enumerate(
+        (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    ):
+        for r in part:
+            per_user_batches[r.user_id] |= 1 << i
+    assert any(b not in (1, 2, 4) for b in per_user_batches.values())
+
+
+def test_cohort_stream_matches_batch(spark, tmp_path):
+    """Folding the streaming twin's (cohort_week, week_offset)
+    increments reproduces the batch retention matrix: n_active per
+    cell, n_cohort from the offset-0 row, every (user, week) credited
+    exactly once."""
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        cohort_retention_stream,
+    )
+
+    _, stream = _ordered_event_feed(spark, tmp_path, "coh_feed")
+    emitted = _drain(
+        cohort_retention_stream(stream), tmp_path / "coh_ckpt"
+    )
+    # exactly-once per (user, week): no duplicate credits
+    seen_pairs = [(r.user_id, r.cohort_week + r.week_offset) for r in emitted]
+    assert len(seen_pairs) == len(set(seen_pairs))
+    n_active = Counter((r.cohort_week, r.week_offset) for r in emitted)
+    n_cohort = {
+        c: n for (c, off), n in n_active.items() if off == 0
+    }
+    batch = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.n_cohort)
+        for r in cohort_retention_weekly(spark, SF_SMOKE).collect()
+    }
+    assert set(n_active) == set(batch)
+    for cell, n in n_active.items():
+        exp_active, exp_cohort = batch[cell]
+        assert n == exp_active, cell
+        assert n_cohort[cell[0]] == exp_cohort, cell
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Counting the streaming state machine's first-hit rows per step
+    reproduces the batch funnel's n_users column; each (user, step)
+    appears at most once and steps are strictly ordered per user."""
+    from flink_tornadovm_artifact_spark.queries.temporal_q import (
+        funnel_conversion_events,
+        funnel_conversion_stream,
+    )
+
+    _, stream = _ordered_event_feed(spark, tmp_path, "fun_feed")
+    emitted = _drain(
+        funnel_conversion_stream(stream), tmp_path / "fun_ckpt"
+    )
+    pairs = [(r.user_id, r.step) for r in emitted]
+    assert len(pairs) == len(set(pairs))
+    by_user = defaultdict(dict)
+    for r in emitted:
+        by_user[r.user_id][r.step] = r.step_ts
+    for u, steps in by_user.items():
+        # prefix-closed and strictly increasing timestamps
+        assert set(steps) in ({1}, {1, 2}, {1, 2, 3}), u
+        ts = [steps[s] for s in sorted(steps)]
+        assert ts == sorted(ts) and len(set(ts)) == len(ts), u
+    got = Counter(s for _, s in pairs)
+    batch = {
+        r.step: r.n_users
+        for r in funnel_conversion_events(spark, SF_SMOKE).collect()
+    }
+    assert {s: got.get(s, 0) for s in (1, 2, 3)} == batch
