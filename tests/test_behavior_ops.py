@@ -1331,3 +1331,78 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
         for r in funnel_conversion_events(spark, SF_SMOKE).collect()
     }
     assert {s: got.get(s, 0) for s in (1, 2, 3)} == batch
+
+
+def test_markov_stream_recovers_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart durability for the keyed chaining state: run the
+    stream over batch file 1 only, stop it, add files 2-3, restart from
+    the SAME checkpoint — the restarted query must resume from the
+    stored per-user last events (no re-emission of file-1 increments,
+    no lost boundary transitions), and the union of both runs' emissions
+    must still fold to the exact batch matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        markov_transitions_stream,
+    )
+
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .select("ts", "user_id", "event_id", "event_type")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    src = tmp_path / "rec_feed"
+    src.mkdir()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+
+    def write_chunk(i):
+        part = chunks[i]
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r.ts for r in part], pa.timestamp("us")),
+                    "user_id": pa.array([r.user_id for r in part], pa.int64()),
+                    "event_id": pa.array(
+                        [r.event_id for r in part], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        [r.event_type for r in part], pa.string()
+                    ),
+                }
+            ),
+            str(src / f"b{i}.parquet"),
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, user_id long, event_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return _drain(
+            markov_transitions_stream(stream), tmp_path / "rec_ckpt"
+        )
+
+    write_chunk(0)
+    first_run = run_once()  # processes file 1, then stops
+    write_chunk(1)
+    write_chunk(2)
+    second_run = run_once()  # restarts from the checkpoint
+
+    got = Counter()
+    for r in first_run + second_run:
+        got[(r.from_type, r.to_type)] += r.n_trans
+    expect = Counter()
+    for r in markov_event_transitions(spark, SF_SMOKE).collect():
+        expect[(r.from_type, r.to_type)] = r.n_trans
+    assert got == expect
+    # the restart resumed, not replayed: run 2 emitted only files 2-3
+    n_first = sum(r.n_trans for r in first_run)
+    n_second = sum(r.n_trans for r in second_run)
+    assert n_first > 0 and n_second > 0
+    assert n_first + n_second == sum(expect.values())
