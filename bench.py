@@ -334,15 +334,30 @@ def main() -> None:
     # Reps are INTERLEAVED (full pass over all queries per rep) so one
     # query's reps are minutes apart — a transient load burst can then
     # inflate at most one rep of each query, not all of them.
+    # SUB-SECOND queries additionally take each rep as the best of
+    # MICRO_REPS back-to-back executions (round-9 kernel-trio
+    # attribution, SCALE.md: a load transient multiplies a 0.3 s
+    # Python-worker-bound kernel by 2×, and best-of-3 single samples
+    # can all land inside one burst; 3 consecutive micro-samples cost
+    # ~2×Σ(short queries) ≈ 80 s per pass and bound the estimator by
+    # the quietest instant of each visit).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    MICRO_REPS, MICRO_CUTOFF_S = 3, 1.0
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     rep_times: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(reps):
         for name in headline:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            rep_times[name].append(time.perf_counter() - t0)
+            t = run_once(name)
+            if t < MICRO_CUTOFF_S:
+                t = min([t] + [run_once(name) for _ in range(MICRO_REPS - 1)])
+            rep_times[name].append(t)
 
     times = {name: round(min(ts), 3) for name, ts in rep_times.items()}
     stats = {
