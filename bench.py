@@ -374,7 +374,19 @@ def main() -> None:
     # stats block was added ("parsed": null in BENCH_r03.json). So: the
     # per-rep stats go to a separate artifact + a PRECEDING line, and the
     # compact contract line prints LAST, on its own, stats-free.
-    stats_out = {"stats": stats, "sf": sf, "n": reps}
+    stats_out = {
+        "stats": stats,
+        "sf": sf,
+        "n": reps,
+        # artifact self-description: round-over-round deltas must know
+        # which sampling protocol produced each snapshot (micro-reps
+        # landed round 9)
+        "protocol": {
+            "micro_reps": MICRO_REPS,
+            "micro_cutoff_s": MICRO_CUTOFF_S,
+            "estimator": "best-of-n interleaved; sub-cutoff queries best-of-micro_reps per visit",
+        },
+    }
     stats_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_stats.json"
     )
