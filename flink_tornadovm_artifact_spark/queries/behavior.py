@@ -1327,6 +1327,77 @@ def cohort_retention_stream(events_stream: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming twin of the CDC merge: the MERGE INTO panel's latest-wins
+# semantics as a live UPSERT CHANGELOG — the form a streaming CDC
+# consumer (Flink upsert stream / Kafka log-compacted topic reader)
+# actually maintains. Keyed state per user holds the visible dimension
+# view (latest signup value; tombstoned while the user's most recent
+# event of ANY type is an error — the batch op's delete-wins rule);
+# each micro-batch emits one changelog row per user whose VISIBLE view
+# net-changed in that batch, classified insert / update / delete.
+# Internal churn that leaves the view unchanged (e.g. a new signup
+# while tombstoned) emits nothing — the changelog is the view's
+# derivative, not the event stream's.
+# State per user is one (has, value, deleted, ts, id) record —
+# constant; the ordering contract is the family's (event-time-ordered
+# per-user feed; at scale an upstream per-key ordered log provides it).
+# ---------------------------------------------------------------------------
+def cdc_upsert_stream(events_stream: DataFrame) -> DataFrame:
+    """Append-mode changelog (user_id, op, v, ts) over an events STREAM
+    with columns (ts timestamp, user_id, event_id, event_type, value):
+    op ∈ {insert, update, delete}; v is the new visible value (null for
+    delete). Replaying the changelog reproduces the latest-wins
+    dimension view at every batch boundary."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def merge(key, pdfs, state: GroupState):
+        has, v, dead, ts_us, eid = (
+            state.get if state.exists else (False, 0.0, False, 0, 0)
+        )
+        prev_visible = None if (dead or not has) else v
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64") // 1_000
+            for t, e, et, val in zip(
+                us, pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                if et == "signup":
+                    has, v = True, float(val)
+                dead = et == "error"
+                ts_us, eid = int(t), int(e)
+        state.update((has, v, dead, ts_us, eid))
+        visible = None if (dead or not has) else v
+        if visible == prev_visible:
+            return
+        op = (
+            "delete"
+            if visible is None
+            else ("insert" if prev_visible is None else "update")
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "op": [op],
+                "v": [visible],
+                "ts": [pd.Timestamp(ts_us, unit="us")],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        merge,
+        outputStructType="user_id long, op string, v double, ts timestamp",
+        stateStructType=(
+            "has boolean, v double, dead boolean, ts_us long, eid long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chi-square independence panel: is order PRIORITY independent of the
 # DAY-OF-WEEK the order was placed? The contingency-table test every
 # BI layer ships (and the q50 cube's inferential complement). Emits
