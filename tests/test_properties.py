@@ -539,3 +539,115 @@ def test_vocab_coverage_matches_counter(spark, tmp_path_factory, texts):
         assert abs(r.cum_frac - cum / total) < 1e-12
     if len(counts) <= VOCAB_TOP_K:
         assert abs(rows[-1].cum_frac - 1.0) < 1e-12
+
+
+# funnel events: few users, COARSE timestamp grid (seconds 0..6) so ties
+# — including a click at exactly the first view's timestamp, the strict->
+# boundary the batch query excludes — are generated often; split point
+# chosen by hypothesis so state-carry across the batch boundary is
+# explored too
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user_id
+        st.integers(0, 6),  # ts seconds (collision-rich)
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(_funnel_events, st.integers(0, 16))
+@settings(**SETTINGS)
+def test_funnel_stream_matches_batch_semantics_on_ties(
+    spark, tmp_path_factory, rows, cut
+):
+    """The streaming funnel state machine vs the batch query's
+    MIN-strictly-after-previous semantics on random tie-rich event
+    streams fed as two micro-batches: first hits must agree exactly,
+    including the boundary cases (a click AT the first view's timestamp
+    does not qualify; the first strictly-later one does)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.queries.temporal_q import (
+        FUNNEL_STEPS,
+        funnel_conversion_stream,
+    )
+
+    # event_id assigned in list order; feed ordered by (ts, event_id) —
+    # the family's ordering contract
+    data = sorted(
+        (
+            (u, _EPOCH + dt.timedelta(seconds=s), eid, et)
+            for eid, (u, s, et) in enumerate(rows)
+        ),
+        key=lambda r: (r[1], r[2]),
+    )
+    # brute force: batch semantics (min ts per step strictly after the
+    # previous step's first hit), independent of feed order
+    expect = {}
+    for u in {r[0] for r in data}:
+        evs = [(ts, et) for (uu, ts, _eid, et) in data if uu == u]
+        t1 = min((ts for ts, et in evs if et == FUNNEL_STEPS[0]), default=None)
+        t2 = (
+            min(
+                (ts for ts, et in evs if et == FUNNEL_STEPS[1] and ts > t1),
+                default=None,
+            )
+            if t1
+            else None
+        )
+        t3 = (
+            min(
+                (ts for ts, et in evs if et == FUNNEL_STEPS[2] and ts > t2),
+                default=None,
+            )
+            if t2
+            else None
+        )
+        for step, t in ((1, t1), (2, t2), (3, t3)):
+            if t is not None:
+                expect[(u, step)] = t
+    d = tmp_path_factory.mktemp("funnel_prop")
+    cut = min(cut, len(data))
+    parts = [p for p in (data[:cut], data[cut:]) if p]
+    for i, part in enumerate(parts):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[1] for r in part], pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in part], pa.int64()),
+                    "event_id": pa.array([r[2] for r in part], pa.int64()),
+                    "event_type": pa.array(
+                        [r[3] for r in part], pa.string()
+                    ),
+                }
+            ),
+            str(d / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = []
+
+    def sink(batch_df, _epoch):
+        out.extend(batch_df.collect())
+
+    q = (
+        funnel_conversion_stream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.user_id, r.step): r.step_ts for r in out}
+    assert got == expect
