@@ -1514,3 +1514,36 @@ def test_cdc_upsert_stream_matches_chunk_replay(spark, tmp_path):
     # non-vacuity: all three op kinds occur on this fixture
     kinds = {op for _, op, _ in got}
     assert kinds == {"insert", "update", "delete"}, kinds
+
+
+def test_markov_twin_state_inspectable_offline(spark, tmp_path):
+    """State-processor-API leg for the round-9 twins: after the stream
+    stops, the Markov twin's keyed chaining state must be readable
+    OFFLINE from the checkpoint via the statestore source
+    (streaming/savepoint.py) and equal the Python recompute — each
+    user's last (type, ts, event_id) under (ts, event_id) order."""
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        markov_transitions_stream,
+    )
+    from flink_tornadovm_artifact_spark.streaming.savepoint import (
+        read_keyed_state,
+    )
+
+    rows, stream = _ordered_event_feed(spark, tmp_path, "mkvstate_feed")
+    ckpt = tmp_path / "mkvstate_ckpt"
+    _drain(markov_transitions_stream(stream), ckpt)
+    # applyInPandasWithState stores wrap the user schema one level down
+    # (value.groupState.<field>)
+    state = {
+        r.key_user_id: (
+            r.value_groupState.last_type,
+            r.value_groupState.last_ts_us,
+            r.value_groupState.last_eid,
+        )
+        for r in read_keyed_state(spark, str(ckpt)).collect()
+    }
+    last = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        us = int(r.ts.replace(tzinfo=None).timestamp() * 1_000_000)
+        last[r.user_id] = (r.event_type, us, r.event_id)
+    assert state == last
