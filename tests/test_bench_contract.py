@@ -13,12 +13,15 @@ re-breaking the parse.
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_baseline20_is_the_r01_recorded_set():
-    with open("BENCH_r01.json") as f:
+    with open(os.path.join(REPO, "BENCH_r01.json")) as f:
         r1 = json.load(f)
     assert list(r1["parsed"]["queries"]) == bench.BASELINE_20
 
@@ -63,7 +66,7 @@ def test_stats_clobber_guard():
     (b) fewer-query runs, and (c) runs at a DIFFERENT sf — the round-9
     near-miss: a subset smoke at sf0.001 slipped past the original
     same-sf-only comparison and clobbered the n=5 sf0.1 snapshot."""
-    guard_src = open("bench.py").read()
+    guard_src = open(os.path.join(REPO, "bench.py")).read()
     # replicate the guard decision exactly as written
     def decide(prev, sf, reps, stats):
         if (
