@@ -651,3 +651,93 @@ def test_funnel_stream_matches_batch_semantics_on_ties(
         q.stop()
     got = {(r.user_id, r.step): r.step_ts for r in out}
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user_id
+            st.integers(0, 5),  # ts seconds (collision-rich)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    st.integers(0, 16),
+)
+@settings(**SETTINGS)
+def test_markov_stream_matches_lead_semantics_on_ties(
+    spark, tmp_path_factory, rows, cut
+):
+    """The streaming Markov chaining state vs the batch lead() window's
+    (ts, event_id) order on tie-rich streams split into two
+    micro-batches: summed increments must equal the brute-force
+    transition counts exactly — including chains that pass through a
+    timestamp tie (broken by event_id) and across the batch boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import Counter, defaultdict
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        markov_transitions_stream,
+    )
+
+    data = sorted(
+        (
+            (u, _EPOCH + dt.timedelta(seconds=s), eid, et)
+            for eid, (u, s, et) in enumerate(rows)
+        ),
+        key=lambda r: (r[1], r[2]),
+    )
+    by_user = defaultdict(list)
+    for u, ts, eid, et in data:
+        by_user[u].append((ts, eid, et))
+    expect = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            expect[(a, b)] += 1
+    d = tmp_path_factory.mktemp("mkv_prop")
+    cut = min(cut, len(data))
+    parts = [p for p in (data[:cut], data[cut:]) if p]
+    for i, part in enumerate(parts):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[1] for r in part], pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in part], pa.int64()),
+                    "event_id": pa.array([r[2] for r in part], pa.int64()),
+                    "event_type": pa.array(
+                        [r[3] for r in part], pa.string()
+                    ),
+                }
+            ),
+            str(d / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = []
+
+    def sink(batch_df, _epoch):
+        out.extend(batch_df.collect())
+
+    q = (
+        markov_transitions_stream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = Counter()
+    for r in out:
+        got[(r.from_type, r.to_type)] += r.n_trans
+    assert got == expect
