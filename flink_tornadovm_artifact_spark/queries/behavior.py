@@ -1208,8 +1208,11 @@ def session_path_stream(
 # per-user lead() window cannot run on an unbounded stream, so the
 # chaining state (each user's LAST event) moves into keyed state via
 # ``applyInPandasWithState`` — the engine's custom-stateful-operator
-# surface (the same analog as the reference's KeyedProcessFunction
-# family, streaming/core.py). Each micro-batch emits the per-user
+# surface (the analog of the reference's KeyedProcessFunction +
+# ValueState idiom: FT flink-streaming-java .../functions/
+# KeyedProcessFunction.java with per-key state as in
+# KeyedStream.java:1009's queryable ValueState; see streaming/core.py
+# for the family mapping). Each micro-batch emits the per-user
 # (from_type, to_type) transition-count INCREMENTS observed in that
 # batch, chained across batches through the stored last event; a
 # downstream aggregation (or the test's store) folds increments into

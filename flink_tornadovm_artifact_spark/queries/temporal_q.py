@@ -348,7 +348,9 @@ SELECT CAST(3 AS INTEGER), '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
 # ---------------------------------------------------------------------------
 # Streaming twin of the funnel: the batch query's three first-hit
 # join+aggs become ONE per-user state machine in keyed state
-# (``applyInPandasWithState``): the state holds the first-hit
+# (``applyInPandasWithState`` — the reference's KeyedProcessFunction +
+# ValueState idiom, FT flink-streaming-java .../functions/
+# KeyedProcessFunction.java): the state holds the first-hit
 # timestamps (t1, t2, t3); an event advances the machine iff it is the
 # next step's type and STRICTLY after the previous step's first hit —
 # the batch query's exact MIN-after-previous semantics under an
