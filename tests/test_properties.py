@@ -741,3 +741,88 @@ def test_markov_stream_matches_lead_semantics_on_ties(
     for r in out:
         got[(r.from_type, r.to_type)] += r.n_trans
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user_id
+            st.integers(0, 28),         # ts DAYS (spans 5 weeks)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(0, 20),
+)
+@settings(**SETTINGS)
+def test_cohort_stream_matches_min_week_semantics(
+    spark, tmp_path_factory, rows, cut
+):
+    """The streaming cohort twin vs the batch definition (cohort = MIN
+    week, one credit per distinct (user, week)) on random two-batch
+    feeds: increments must cover exactly the distinct activity matrix,
+    each exactly once, with the cohort anchored at the user's true
+    first week even when the same week repeats across both batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        cohort_retention_stream,
+    )
+
+    data = sorted(
+        (
+            (u, _EPOCH + dt.timedelta(days=d), eid)
+            for eid, (u, d) in enumerate(rows)
+        ),
+        key=lambda r: (r[1], r[2]),
+    )
+    # brute force: epoch-week per event (the twin floors epoch days / 7;
+    # _EPOCH = 2024-01-01 = epoch day 19723)
+    base_day = (_EPOCH - dt.datetime(1970, 1, 1)).days
+    act = {(u, (base_day + (ts - _EPOCH).days) // 7) for u, ts, _ in data}
+    first = {}
+    for u, w in sorted(act):
+        first.setdefault(u, w)
+    expect = Counter()
+    for u, w in act:
+        expect[(first[u], w - first[u])] += 1
+    d = tmp_path_factory.mktemp("cohort_prop")
+    cut = min(cut, len(data))
+    parts = [p for p in (data[:cut], data[cut:]) if p]
+    for i, part in enumerate(parts):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[1] for r in part], pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in part], pa.int64()),
+                }
+            ),
+            str(d / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = []
+
+    def sink(batch_df, _epoch):
+        out.extend(batch_df.collect())
+
+    q = (
+        cohort_retention_stream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = [(r.user_id, r.cohort_week + r.week_offset) for r in out]
+    assert len(pairs) == len(set(pairs))  # exactly-once per (user, week)
+    got = Counter((r.cohort_week, r.week_offset) for r in out)
+    assert got == expect
