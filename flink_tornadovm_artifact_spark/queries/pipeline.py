@@ -350,13 +350,29 @@ PROFILE_COLUMNS = (
 )
 
 
-def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_table_profile(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    """``approx=True`` is the 100 TB flip, as a MECHANISM (round 9; the
+    SemDeDup lesson — scale paths must be code, not docstring prose):
+    every exact ``countDistinct`` becomes HLL++
+    ``approx_count_distinct(rsd=0.05)``, turning the six-way Expand over
+    the fact table into six fixed-size mergeable register sets — one
+    map-side-combined pass, shuffle bytes independent of cardinality.
+    The registered (oracle-checked) variant stays exact;
+    tests/test_round8b_ops.py pins the approx profile within the 5% rsd
+    of the exact one on every column."""
     orders = load(spark, sf_dir, "orders")
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd=0.05))
+        if approx
+        else F.countDistinct
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in PROFILE_COLUMNS:
         aggs += [
             F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
+            nd(c).alias(f"nd_{c}"),
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]

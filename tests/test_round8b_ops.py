@@ -318,3 +318,43 @@ def test_principal_direction_matches_numpy_eigh(spark):
     assert abs(float(np.dot(v, top))) >= 0.999
     assert abs(lam1 - w[-1]) <= 0.01 * abs(w[-1])
     assert share == pytest.approx(lam1 / np.trace(cov), rel=1e-6)
+
+
+def test_dq_profile_approx_flip_within_rsd(spark):
+    """The approx=True scale path (HLL++ NDVs) must agree with the
+    exact profile within the declared 5% relative standard deviation on
+    every column, leave every other field bit-identical, and carry NO
+    Expand in its plan (the exact variant's six-way Expand is the thing
+    the flip removes at 100 TB)."""
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        dq_table_profile,
+    )
+
+    exact = {
+        r.column_name: r for r in dq_table_profile(spark, SF_SMOKE).collect()
+    }
+    approx_df = dq_table_profile(spark, SF_SMOKE, approx=True)
+    approx = {r.column_name: r for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_nonnull, a.min_value, a.max_value) == (
+            e.n_rows,
+            e.n_nonnull,
+            e.min_value,
+            e.max_value,
+        ), c
+        # 4 sigma of the declared 5% rsd — deterministic for a given
+        # HLL++ implementation, so this pins, not flakes
+        assert abs(a.n_distinct - e.n_distinct) <= max(
+            1, 0.2 * e.n_distinct
+        ), (c, a.n_distinct, e.n_distinct)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = (
+        dq_table_profile(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan
