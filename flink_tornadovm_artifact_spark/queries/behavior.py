@@ -37,6 +37,22 @@ from ._util import DEC
 ORACLE: dict[str, str] = {}
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+def _pctl(col: str, prob: float, approx: bool):
+    """Grouped percentile with the 100 TB flip as a MECHANISM (round 9;
+    the dq_table_profile pattern): exact ``percentile`` buffers every
+    group value in executor memory — fine at test SFs and registered
+    for oracle exactness — while ``approx=True`` swaps in the mergeable
+    fixed-size t-digest sketch (``approx_percentile``, accuracy 10000),
+    whose state is bounded regardless of group cardinality. Tests pin
+    the approx panels against the exact ones within interpolation
+    tolerance."""
+    if approx:
+        return F.expr(f"approx_percentile({col}, {prob}, 10000)").cast(
+            "double"
+        )
+    return F.expr(f"percentile({col}, {prob})")
+
+
 #: Spark-side integer day / second since the naive epoch (NTZ-safe).
 _DAYS = "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
 _SECS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
@@ -814,17 +830,19 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 MAD_K = 3 * 1.4826
 
 
-def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def anomaly_mad_events(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med_v")
+        _pctl("value", 0.5, approx).alias("med_v")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med_v",
         F.abs(F.col("value") - F.col("med_v")).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad_v")
+        _pctl("adev", 0.5, approx).alias("mad_v")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -1510,7 +1528,9 @@ FROM p, d, t
 # funnel, then one ≤2-group exact-percentile aggregate;
 # approx_percentile is the documented flip.
 # ---------------------------------------------------------------------------
-def funnel_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def funnel_lag_percentiles(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     from .temporal_q import FUNNEL_STEPS
 
     ev = load(spark, sf_dir, "events").select(
@@ -1548,9 +1568,9 @@ def funnel_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("step_pair")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            F.expr("percentile(lag_min, 0.25)").alias("p25_min"),
-            F.expr("percentile(lag_min, 0.5)").alias("p50_min"),
-            F.expr("percentile(lag_min, 0.75)").alias("p75_min"),
+            _pctl("lag_min", 0.25, approx).alias("p25_min"),
+            _pctl("lag_min", 0.5, approx).alias("p50_min"),
+            _pctl("lag_min", 0.75, approx).alias("p75_min"),
         )
     )
 
@@ -1969,7 +1989,9 @@ QUALIFY n_concurrent > 0
 # SF-linear — no broadcast), then a ≤priorities-group exact-percentile
 # aggregate; approx_percentile is the documented flip.
 # ---------------------------------------------------------------------------
-def shipping_delay_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shipping_delay_panel(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.expr(_DAYS.format(c="l_shipdate")).alias("ds")
     )
@@ -1984,9 +2006,9 @@ def shipping_delay_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.min("delay_d").alias("min_d"),
-        F.expr("percentile(delay_d, 0.25)").alias("p25_d"),
-        F.expr("percentile(delay_d, 0.5)").alias("p50_d"),
-        F.expr("percentile(delay_d, 0.75)").alias("p75_d"),
+        _pctl("delay_d", 0.25, approx).alias("p25_d"),
+        _pctl("delay_d", 0.5, approx).alias("p50_d"),
+        _pctl("delay_d", 0.75, approx).alias("p75_d"),
         F.max("delay_d").alias("max_d"),
     )
 

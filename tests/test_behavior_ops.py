@@ -1547,3 +1547,57 @@ def test_markov_twin_state_inspectable_offline(spark, tmp_path):
         us = int(r.ts.replace(tzinfo=None).timestamp() * 1_000_000)
         last[r.user_id] = (r.event_type, us, r.event_id)
     assert state == last
+
+
+def test_percentile_approx_flip_within_tolerance(spark):
+    """The approx=True flip on the three percentile panels (round 9 —
+    the dq_table_profile pattern) must agree with the exact panels
+    within interpolation tolerance: approx_percentile returns a real
+    data point while exact percentile interpolates, so on these
+    integer-valued (minutes/days) and continuous (value) domains the
+    divergence is bounded by one neighbor gap — pinned as a relative
+    tolerance, with all non-percentile columns bit-identical."""
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        anomaly_mad_events,
+        funnel_lag_percentiles,
+        shipping_delay_panel,
+    )
+
+    for fn, key, pct_cols, other in (
+        (
+            funnel_lag_percentiles,
+            "step_pair",
+            ("p25_min", "p50_min", "p75_min"),
+            ("n_users",),
+        ),
+        (
+            shipping_delay_panel,
+            "o_orderpriority",
+            ("p25_d", "p50_d", "p75_d"),
+            ("n_lines", "min_d", "max_d"),
+        ),
+        (
+            anomaly_mad_events,
+            "event_type",
+            ("med_v", "mad_v"),
+            ("n",),
+        ),
+    ):
+        exact = {r[key]: r for r in fn(spark, SF_SMOKE).collect()}
+        approx = {
+            r[key]: r for r in fn(spark, SF_SMOKE, approx=True).collect()
+        }
+        assert set(exact) == set(approx), fn.__name__
+        for k, e in exact.items():
+            a = approx[k]
+            for c in other:
+                assert a[c] == e[c], (fn.__name__, k, c)
+            for c in pct_cols:
+                tol = max(1.0, 0.1 * abs(e[c]))
+                assert abs(a[c] - e[c]) <= tol, (
+                    fn.__name__,
+                    k,
+                    c,
+                    a[c],
+                    e[c],
+                )
