@@ -524,8 +524,9 @@ LIMIT {PATH_TOPK}
 # pattern applied to three dimensions at once).
 # Plan / 100 TB: per-customer aggregate (customers-sized, map-side
 # combined); quartile boundaries are ONE 1-row exact-percentile panel
-# broadcast back (NESTED_LOOP_ALLOWLIST; at 100 TB the documented flip
-# is approx_percentile — the q49/dq_table_profile trade); the rollup
+# broadcast back (NESTED_LOOP_ALLOWLIST; at 100 TB the flip is the
+# same one-line _pctl(approx=True) swap mechanized and tolerance-tested
+# on the MAD/funnel-lag/shipping panels); the rollup
 # is ≤64 segment rows. Quartiles interpolate INTEGER metrics (days,
 # counts, exact cents from the DECIMAL sum) so the boundary doubles are
 # engine-exact (the curriculum trick), and monetary never compares a
@@ -824,7 +825,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 # Plan / 100 TB: two keyed exact-percentile aggregates (≤ types
 # groups) + joins on the ≤5-key type column + one conditional count
 # pass. Exact percentile buffers per group at this SF;
-# approx_percentile is the documented 100 TB flip (the
+# the approx_percentile flip is a mechanism: approx=True (_pctl; the
 # dq_table_profile / rfm trade).
 # ---------------------------------------------------------------------------
 MAD_K = 3 * 1.4826
@@ -1526,7 +1527,7 @@ FROM p, d, t
 # engine-exact (the curriculum/rfm trick).
 # Plan / 100 TB: the same three user-keyed first-hit joins as the
 # funnel, then one ≤2-group exact-percentile aggregate;
-# approx_percentile is the documented flip.
+# the approx_percentile flip is a mechanism (approx=True via _pctl).
 # ---------------------------------------------------------------------------
 def funnel_lag_percentiles(
     spark: SparkSession, sf_dir: str, approx: bool = False
@@ -1987,7 +1988,7 @@ QUALIFY n_concurrent > 0
 # engine-exact (the rfm/funnel-lag trick).
 # Plan / 100 TB: ONE hash join lineitem⋈orders on the order key (both
 # SF-linear — no broadcast), then a ≤priorities-group exact-percentile
-# aggregate; approx_percentile is the documented flip.
+# aggregate; the approx_percentile flip is a mechanism (approx=True).
 # ---------------------------------------------------------------------------
 def shipping_delay_panel(
     spark: SparkSession, sf_dir: str, approx: bool = False
