@@ -826,3 +826,102 @@ def test_cohort_stream_matches_min_week_semantics(
     assert len(pairs) == len(set(pairs))  # exactly-once per (user, week)
     got = Counter((r.cohort_week, r.week_offset) for r in out)
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),                      # user_id
+            st.sampled_from(["signup", "error", "view"]),
+            st.integers(0, 99),                     # value
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(0, 14),
+)
+@settings(**SETTINGS)
+def test_cdc_changelog_matches_replay_including_undelete(
+    spark, tmp_path_factory, rows, cut
+):
+    """Random signup/error/view interleavings over two micro-batches vs
+    a Python replay of the changelog contract — including the UNDELETE
+    transition (a signup after a tombstone re-inserts) and view-neutral
+    churn (a signup while tombstoned emits nothing), which fixture data
+    rarely exercises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        cdc_upsert_stream,
+    )
+
+    data = [
+        (u, _EPOCH + dt.timedelta(seconds=eid), eid, et, float(v))
+        for eid, (u, et, v) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp("cdc_prop")
+    cut = min(cut, len(data))
+    parts = [p for p in (data[:cut], data[cut:]) if p]
+    # Python replay: per batch, per user, net visible-view change
+    st_map = {}
+    predicted = []
+    for part in parts:
+        before = {}
+        for u, _ts, _eid, et, v in part:
+            has, val, dead = st_map.get(u, (False, 0.0, False))
+            if u not in before:
+                before[u] = None if (dead or not has) else val
+            if et == "signup":
+                has, val = True, v
+            dead = et == "error"
+            st_map[u] = (has, val, dead)
+        for u, prev in before.items():
+            has, val, dead = st_map[u]
+            vis = None if (dead or not has) else val
+            if vis != prev:
+                op = (
+                    "delete"
+                    if vis is None
+                    else ("insert" if prev is None else "update")
+                )
+                predicted.append((u, op, vis))
+    for i, part in enumerate(parts):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[1] for r in part], pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in part], pa.int64()),
+                    "event_id": pa.array([r[2] for r in part], pa.int64()),
+                    "event_type": pa.array([r[3] for r in part], pa.string()),
+                    "value": pa.array([r[4] for r in part], pa.float64()),
+                }
+            ),
+            str(d / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = []
+
+    def sink(batch_df, _epoch):
+        out.extend(batch_df.collect())
+
+    q = (
+        cdc_upsert_stream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(((r.user_id, r.op, r.v) for r in out), key=str)
+    assert got == sorted(predicted, key=str)
