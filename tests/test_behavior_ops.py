@@ -1601,3 +1601,50 @@ def test_percentile_approx_flip_within_tolerance(spark):
                     a[c],
                     e[c],
                 )
+
+
+def test_markov_twin_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state-store provider is RocksDB (bounded executor
+    memory, incremental checkpoints), not the default HDFS-backed
+    in-memory map — pin that the twins' state schemas work under it
+    and produce the identical transition matrix. Provider is set for
+    the query's session at start and restored after."""
+    from flink_tornadovm_artifact_spark.queries.behavior import (
+        markov_transitions_stream,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        _, stream = _ordered_event_feed(spark, tmp_path, "rocks_feed")
+        emitted = _drain(
+            markov_transitions_stream(stream), tmp_path / "rocks_ckpt"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = Counter()
+    for r in emitted:
+        got[(r.from_type, r.to_type)] += r.n_trans
+    expect = Counter()
+    for r in markov_event_transitions(spark, SF_SMOKE).collect():
+        expect[(r.from_type, r.to_type)] = r.n_trans
+    assert got == expect
+    # the checkpoint really used RocksDB (sst/log layout under state/)
+    import glob as _glob
+
+    rocks_files = _glob.glob(
+        str(tmp_path / "rocks_ckpt" / "state" / "**" / "*.zip"),
+        recursive=True,
+    ) + _glob.glob(
+        str(tmp_path / "rocks_ckpt" / "state" / "**" / "*.changelog"),
+        recursive=True,
+    )
+    assert rocks_files, "no RocksDB snapshot artifacts under the checkpoint"
