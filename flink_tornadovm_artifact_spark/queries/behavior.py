@@ -1236,13 +1236,17 @@ def session_path_stream(
 # batch, chained across batches through the stored last event; a
 # downstream aggregation (or the test's store) folds increments into
 # the same transition matrix as the batch query.
-# Ordering contract (same as session_path_stream's): within a batch
-# the handler sorts the group by (ts, event_id) — the batch query's
-# exact lead() order — and across batches correctness requires the
-# per-user feed to be event-time-ordered (true of the replayable
-# file feed; at scale, an upstream watermark-buffered sort or
-# log-compacted per-key ordering provides it). State per user is ONE
-# (type, ts, event_id) triple — constant, never event-bounded.
+# Ordering contract (MECHANIZED, round 10): the whole micro-batch is
+# materialized and sorted ONCE by (ts, event_id) — the batch query's
+# exact lead() order — via ``_util.twin_batch`` (per-chunk sorting is
+# wrong: applyInPandasWithState splits a group's batch across Arrow
+# chunks in no guaranteed time order). Across batches the per-user
+# feed must be event-time-ordered; twin_batch RAISES on violation
+# instead of silently miscounting, and
+# ``streaming.order.ordered_events_stream`` is the shipped
+# watermark-buffered reorder stage to compose upstream when the raw
+# feed is unordered. State per user is ONE (type, ts, event_id)
+# triple — constant, never event-bounded.
 # ---------------------------------------------------------------------------
 def markov_transitions_stream(events_stream: DataFrame) -> DataFrame:
     """Per-micro-batch transition-count increments over an events
@@ -1253,21 +1257,22 @@ def markov_transitions_stream(events_stream: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ._util import twin_batch
+
     def chain(key, pdfs, state: GroupState):
         last_type, _last_ts, _last_eid = (
-            state.get if state.exists else (None, 0, 0)
+            state.get if state.exists else (None, -1, -1)
         )
+        pdf = twin_batch(pdfs, key, _last_ts, _last_eid)
+        if pdf is None:
+            return
         counts: dict = {}
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            us = pdf["ts"].astype("int64") // 1_000
-            for ts_us, eid, et in zip(us, pdf["event_id"], pdf["event_type"]):
-                if last_type is not None:
-                    k = (last_type, et)
-                    counts[k] = counts.get(k, 0) + 1
-                last_type, _last_ts, _last_eid = et, int(ts_us), int(eid)
+        us = pdf["ts"].astype("int64") // 1_000
+        for ts_us, eid, et in zip(us, pdf["event_id"], pdf["event_type"]):
+            if last_type is not None:
+                k = (last_type, et)
+                counts[k] = counts.get(k, 0) + 1
+            last_type, _last_ts, _last_eid = et, int(ts_us), int(eid)
         if last_type is not None:
             state.update((last_type, _last_ts, _last_eid))
         if counts:
@@ -1302,34 +1307,45 @@ def markov_transitions_stream(events_stream: DataFrame) -> DataFrame:
 # cohort (every user's first event emits offset 0).
 # State per user is the cohort week + the offset set — bounded by the
 # OBSERVATION SPAN in weeks (a time bound, not an event bound), the
-# same boundedness class as the batch query's weeks² output. Under the
-# event-time-ordered feed contract the first-seen week IS the min
-# week, so cohort assignment matches the batch MIN exactly.
+# same boundedness class as the batch query's weeks² output — plus the
+# (ts, event_id) feed position backing the family's mechanized
+# ordering guard (``_util.twin_batch``). Under the event-time-ordered
+# feed contract the first-seen week IS the min week, so cohort
+# assignment matches the batch MIN exactly; an out-of-order feed now
+# raises instead of silently assigning a later cohort (compose
+# ``streaming.order.ordered_events_stream`` upstream to provide the
+# order).
 # ---------------------------------------------------------------------------
 def cohort_retention_stream(events_stream: DataFrame) -> DataFrame:
     """Append-mode (user_id, cohort_week, week_offset) increments over
-    an events STREAM with columns (ts timestamp, user_id, ...). Each
-    (user, week) is credited exactly once across the whole stream."""
+    an events STREAM with columns (ts timestamp, user_id, event_id,
+    ...). Each (user, week) is credited exactly once across the whole
+    stream."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ._util import twin_batch
+
     def credit(key, pdfs, state: GroupState):
-        cohort, seen = (state.get if state.exists else (None, []))
+        cohort, seen, last_ts, last_eid = (
+            state.get if state.exists else (None, [], -1, -1)
+        )
+        pdf = twin_batch(pdfs, key, last_ts, last_eid)
+        if pdf is None:
+            return
         seen = set(seen)
         fresh = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            days = pdf["ts"].astype("int64") // 1_000_000_000 // 86400
-            for wk in sorted(int(d) // 7 for d in days):
-                if cohort is None:
-                    cohort = wk
-                off = wk - cohort
-                if off not in seen:
-                    seen.add(off)
-                    fresh.append(off)
-        if cohort is not None:
-            state.update((cohort, sorted(seen)))
+        us = pdf["ts"].astype("int64") // 1_000
+        for wk in (int(t) // 1_000_000 // 86400 // 7 for t in us):
+            if cohort is None:
+                cohort = wk
+            off = wk - cohort
+            if off not in seen:
+                seen.add(off)
+                fresh.append(off)
+        last_ts = int(us.iloc[-1])
+        last_eid = int(pdf["event_id"].iloc[-1])
+        state.update((cohort, sorted(seen), last_ts, last_eid))
         if fresh:
             yield pd.DataFrame(
                 {
@@ -1342,7 +1358,10 @@ def cohort_retention_stream(events_stream: DataFrame) -> DataFrame:
     return events_stream.groupBy("user_id").applyInPandasWithState(
         credit,
         outputStructType="user_id long, cohort_week long, week_offset long",
-        stateStructType="cohort_week long, seen array<long>",
+        stateStructType=(
+            "cohort_week long, seen array<long>, last_ts_us long, "
+            "last_eid long"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -1361,8 +1380,11 @@ def cohort_retention_stream(events_stream: DataFrame) -> DataFrame:
 # while tombstoned) emits nothing — the changelog is the view's
 # derivative, not the event stream's.
 # State per user is one (has, value, deleted, ts, id) record —
-# constant; the ordering contract is the family's (event-time-ordered
-# per-user feed; at scale an upstream per-key ordered log provides it).
+# constant; the ordering contract is the family's mechanized one
+# (``_util.twin_batch``: whole-batch sort by (ts, event_id), loud
+# failure on an out-of-order feed; compose
+# ``streaming.order.ordered_events_stream`` upstream when the raw
+# feed is unordered).
 # ---------------------------------------------------------------------------
 def cdc_upsert_stream(events_stream: DataFrame) -> DataFrame:
     """Append-mode changelog (user_id, op, v, ts) over an events STREAM
@@ -1373,26 +1395,36 @@ def cdc_upsert_stream(events_stream: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ._util import twin_batch
+
     def merge(key, pdfs, state: GroupState):
         has, v, dead, ts_us, eid = (
-            state.get if state.exists else (False, 0.0, False, 0, 0)
+            state.get if state.exists else (False, 0.0, False, -1, -1)
         )
+        pdf = twin_batch(pdfs, key, ts_us, eid)
+        if pdf is None:
+            return
         prev_visible = None if (dead or not has) else v
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            us = pdf["ts"].astype("int64") // 1_000
-            for t, e, et, val in zip(
-                us, pdf["event_id"], pdf["event_type"], pdf["value"]
-            ):
-                if et == "signup":
-                    has, v = True, float(val)
-                dead = et == "error"
-                ts_us, eid = int(t), int(e)
+        us = pdf["ts"].astype("int64") // 1_000
+        for t, e, et, val in zip(
+            us, pdf["event_id"], pdf["event_type"], pdf["value"]
+        ):
+            if et == "signup":
+                has, v = True, float(val)
+            dead = et == "error"
+            ts_us, eid = int(t), int(e)
         state.update((has, v, dead, ts_us, eid))
         visible = None if (dead or not has) else v
-        if visible == prev_visible:
+        # NaN-aware no-op suppression: a signup carrying a null/NaN value
+        # makes `visible` NaN, and NaN != NaN would otherwise re-emit a
+        # spurious 'update' in every later batch the user appears in.
+        same = visible == prev_visible or (
+            visible is not None
+            and prev_visible is not None
+            and visible != visible
+            and prev_visible != prev_visible
+        )
+        if same:
             return
         op = (
             "delete"

@@ -1085,6 +1085,157 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# Multimodal perceptual-hash near-dup (round 10 — the image analog of
+# SimHash dedup; the dedup family was text/embedding-only before): a
+# 64-bit dHash per blob + banded Hamming LSH bucketing + exact Hamming
+# verify on candidates only.
+#
+# dHash (difference hash, the classic perceptual image hash): downscale
+# to a (bands*bits+1)-pixel strip, bit_j = pixel_j < pixel_{j+1}. The
+# real decode+downscale is codec work (stubbed in this container, same
+# policy as operators/multimodal.py); the deterministic stand-in
+# "downscale" is a STRIDED SAMPLE of the blob's bytes — unlike the
+# md5-seeded fake decoder it PRESERVES LOCALITY, so near-identical
+# blobs genuinely get near-identical hashes and the near-dup semantics
+# are real, not simulated (tests/test_round10_ops.py injects true
+# near-dup blobs and checks they are found).
+#
+# Plan / 100 TB: one scan computes the 8 band values per blob (pure JVM
+# expressions); the candidate join shuffles on (band_idx, band_value) —
+# never all-pairs; the Hamming verify runs per candidate pair over 8
+# ints. Recall guarantee: any pair within Hamming distance < 8 agrees
+# exactly on >=1 of the 8 bands (pigeonhole), so true near-dups always
+# collide. Band WIDTH is a mechanism, not a constant (the SemDeDup
+# occupancy control, llm.py:_semdedup_planes): band_bits =
+# max(8, ceil(log2(N / PHASH_TARGET_BUCKET))) from a metadata-only
+# corpus count, so expected bucket occupancy N/2^band_bits stays
+# bounded at any corpus size. At every test SF (N <= 5000) the formula
+# yields exactly 8 bits, so the static 8-bit oracle SQL is the exact
+# twin. The fixture corpus is independent word salad (no true image
+# dups): banded-candidate Hamming bottoms out at 14/64, so the
+# registered threshold 16 keeps the verify stage discriminating
+# (13/19/1804 pairs at sf0.001/0.01/0.1); real pipelines use <= 7
+# (inside the pigeonhole bound) via the `ham_max` parameter.
+# ---------------------------------------------------------------------------
+PHASH_BANDS = 8
+PHASH_MIN_BAND_BITS = 8
+PHASH_TARGET_BUCKET = 64
+_PHASH_HAM_MAX = 16
+
+
+def _phash_band_bits(n_docs: int) -> int:
+    """Band width for an ``n_docs`` corpus: enough bits per band that
+    expected bucket occupancy N / 2^bits <= PHASH_TARGET_BUCKET,
+    floored at PHASH_MIN_BAND_BITS (== classic 64-bit dHash)."""
+    if n_docs <= PHASH_TARGET_BUCKET:
+        return PHASH_MIN_BAND_BITS
+    return max(
+        PHASH_MIN_BAND_BITS,
+        math.ceil(math.log2(n_docs / PHASH_TARGET_BUCKET)),
+    )
+
+
+def _phash_bands_expr(bits: int) -> str:
+    """Spark SQL for the per-blob band-value array (expects a ``px``
+    pixel-array column): dHash bits -> `PHASH_BANDS` ints of `bits`
+    bits each."""
+    return (
+        f"transform(sequence(0, {PHASH_BANDS - 1}), k -> "
+        f"aggregate(transform(sequence(0, {bits - 1}), i -> "
+        f"shiftleft(CASE WHEN element_at(px, {bits} * k + i + 1) "
+        f"< element_at(px, {bits} * k + i + 2) THEN 1 ELSE 0 END, i)), "
+        f"0, (acc, x) -> acc + x))"
+    )
+
+
+def multimodal_phash_neardup(
+    spark: SparkSession, sf_dir: str, ham_max: int = _PHASH_HAM_MAX
+) -> DataFrame:
+    """Near-duplicate blob pairs by banded dHash: (doc_u, doc_v,
+    hamming) for every candidate pair sharing >=1 band with Hamming
+    distance <= ham_max over the full 8*band_bits-bit hash."""
+    bits = _phash_band_bits(_corpus_count(spark, sf_dir, "documents"))
+    n_px = PHASH_BANDS * bits
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    px = (
+        f"transform(sequence(0, {n_px}), j -> "
+        f"ascii(substring(text, "
+        f"1 + cast((j * (length(text) - 1)) div {n_px} as int), 1)))"
+    )
+    sig = (
+        docs.withColumn("px", F.expr(px))
+        .select("doc_id", F.expr(_phash_bands_expr(bits)).alias("bands"))
+    ).select(
+        "doc_id",
+        "bands",
+        F.posexplode("bands").alias("band_idx", "bval"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_u"),
+            F.col("b.doc_id").alias("doc_v"),
+            F.col("a.bands").alias("bu"),
+            F.col("b.bands").alias("bv"),
+        )
+        .dropDuplicates(["doc_u", "doc_v"])
+    )
+    ham = F.aggregate(
+        F.zip_with("bu", "bv", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        pairs.select("doc_u", "doc_v", ham.alias("hamming"))
+        .filter(F.col("hamming") <= ham_max)
+    )
+
+
+# the px CTE is shared by the bands construction; 8-bit static twin of
+# the derived-width Spark plan (exact at every test SF — see above)
+_register(
+    multimodal_phash_neardup,
+    f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, {PHASH_BANDS * 8 + 1}), j ->
+           ascii(substr(text,
+                        1 + ((j * (length(text) - 1)) // {PHASH_BANDS * 8}),
+                        1))) AS px
+  FROM documents WHERE length(text) >= 2
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {PHASH_BANDS}), k ->
+           list_sum(list_transform(range(0, 8), i ->
+             CASE WHEN px[8 * k + i + 1] < px[8 * k + i + 2]
+                  THEN (1 << i) ELSE 0 END))) AS bands
+  FROM px
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_u, b.doc_id AS doc_v,
+         a.bands AS bu, b.bands AS bv
+  FROM sig a, LATERAL (SELECT unnest(range(0, {PHASH_BANDS})) AS k), sig b
+  WHERE a.bands[k + 1] = b.bands[k + 1] AND a.doc_id < b.doc_id
+)
+SELECT doc_u, doc_v,
+       CAST(list_sum(list_transform(range(0, {PHASH_BANDS}), k ->
+              bit_count(xor(CAST(bu[k + 1] AS BIGINT),
+                            CAST(bv[k + 1] AS BIGINT))))) AS INTEGER)
+         AS hamming
+FROM cand
+WHERE list_sum(list_transform(range(0, {PHASH_BANDS}), k ->
+        bit_count(xor(CAST(bu[k + 1] AS BIGINT), CAST(bv[k + 1] AS BIGINT)))))
+      <= {_PHASH_HAM_MAX}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: flag corpus documents sharing any word
 # 3-shingle with a benchmark/eval set — the training-pipeline step that
 # keeps test data out of the training corpus. The benchmark here is the
@@ -3915,9 +4066,27 @@ def _semdedup_planes(n_vectors: int) -> int:
     )
 
 
+_CORPUS_N_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Corpus size for the occupancy-control mechanisms (SemDeDup plane
+    width, pHash band width): a count(*) on the RAW table parquet
+    (metadata-only — parquet footers answer it with no column scan),
+    memoized per (sf_dir, table) so repeated query builds / EXPLAINs
+    trigger at most one such job per corpus (round-10 fix: the r9 form
+    counted the projected+derived plan eagerly on every build)."""
+    key = (sf_dir, table)
+    n = _CORPUS_N_CACHE.get(key)
+    if n is None:
+        n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+        _CORPUS_N_CACHE[key] = n
+    return n
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_norm2(spark, sf_dir)
-    planes = _semdedup_planes(emb.count())
+    planes = _semdedup_planes(_corpus_count(spark, sf_dir, "embeddings"))
     bucketed = emb.select(
         "vec_id",
         "v",

@@ -359,37 +359,50 @@ SELECT CAST(3 AS INTEGER), '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
 # the strict > on both sides). Each advance emits one
 # (user_id, step, step_ts) row in append mode; counting rows per step
 # downstream reproduces the batch panel's n_users column.
-# State per user is three timestamps — constant; no per-user event
-# history is ever retained (the CEP NFA analog keeps partial matches;
-# the funnel machine is memoryless beyond its first-hits).
+# State per user is three timestamps plus the (ts, event_id) feed
+# position backing the family's mechanized ordering guard — constant;
+# no per-user event history is ever retained (the CEP NFA analog
+# keeps partial matches; the funnel machine is memoryless beyond its
+# first-hits).
 # ---------------------------------------------------------------------------
 def funnel_conversion_stream(events_stream: DataFrame) -> DataFrame:
     """Append-mode (user_id, step, step_ts) first-hit rows over an
-    events STREAM with columns (ts timestamp, user_id, event_type);
-    each (user, step) is emitted at most once across the stream."""
+    events STREAM with columns (ts timestamp, user_id, event_id,
+    event_type); each (user, step) is emitted at most once across the
+    stream. Ordering is the family's mechanized contract
+    (``_util.twin_batch``): the whole micro-batch is sorted once by
+    (ts, event_id) and an out-of-order cross-batch feed raises loudly
+    (compose ``streaming.order.ordered_events_stream`` upstream for an
+    unordered raw feed). First-hit sentinels are -1, not 0, so an
+    event at exactly the epoch still registers and advances."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ._util import twin_batch
+
     def advance(key, pdfs, state: GroupState):
-        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        t1, t2, t3, last_ts, last_eid = (
+            state.get if state.exists else (-1, -1, -1, -1, -1)
+        )
+        pdf = twin_batch(pdfs, key, last_ts, last_eid)
+        if pdf is None:
+            return
         hits = []  # (step, ts_us)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("ts")
-            us = pdf["ts"].astype("int64") // 1_000
-            for ts_us, et in zip(us, pdf["event_type"]):
-                ts_us = int(ts_us)
-                if et == FUNNEL_STEPS[0] and t1 == 0:
-                    t1 = ts_us
-                    hits.append((1, ts_us))
-                elif et == FUNNEL_STEPS[1] and t1 and ts_us > t1 and t2 == 0:
-                    t2 = ts_us
-                    hits.append((2, ts_us))
-                elif et == FUNNEL_STEPS[2] and t2 and ts_us > t2 and t3 == 0:
-                    t3 = ts_us
-                    hits.append((3, ts_us))
-        state.update((t1, t2, t3))
+        us = pdf["ts"].astype("int64") // 1_000
+        for ts_us, et in zip(us, pdf["event_type"]):
+            ts_us = int(ts_us)
+            if et == FUNNEL_STEPS[0] and t1 < 0:
+                t1 = ts_us
+                hits.append((1, ts_us))
+            elif et == FUNNEL_STEPS[1] and t1 >= 0 and ts_us > t1 and t2 < 0:
+                t2 = ts_us
+                hits.append((2, ts_us))
+            elif et == FUNNEL_STEPS[2] and t2 >= 0 and ts_us > t2 and t3 < 0:
+                t3 = ts_us
+                hits.append((3, ts_us))
+        state.update(
+            (t1, t2, t3, int(us.iloc[-1]), int(pdf["event_id"].iloc[-1]))
+        )
         if hits:
             yield pd.DataFrame(
                 {
@@ -404,7 +417,10 @@ def funnel_conversion_stream(events_stream: DataFrame) -> DataFrame:
     return events_stream.groupBy("user_id").applyInPandasWithState(
         advance,
         outputStructType="user_id long, step int, step_ts timestamp",
-        stateStructType="t1_us long, t2_us long, t3_us long",
+        stateStructType=(
+            "t1_us long, t2_us long, t3_us long, last_ts_us long, "
+            "last_eid long"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -797,12 +797,13 @@ def test_cohort_stream_matches_min_week_semantics(
                 {
                     "ts": pa.array([r[1] for r in part], pa.timestamp("us")),
                     "user_id": pa.array([r[0] for r in part], pa.int64()),
+                    "event_id": pa.array([r[2] for r in part], pa.int64()),
                 }
             ),
             str(d / f"b{i}.parquet"),
         )
     stream = (
-        spark.readStream.schema("ts timestamp, user_id long")
+        spark.readStream.schema("ts timestamp, user_id long, event_id long")
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
