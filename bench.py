@@ -27,7 +27,20 @@ would let Catalyst prune the aggregates away). The headline set mirrors
 BASELINE.md's rebuild benchmark set: the IoT reduces (Q17-Q19), the KMeans
 assignment step (Q20), the TPC-H join/agg shapes (Q03/Q04), the interval
 join (Q22), plus the LLM-pipeline scale paths (minhash LSH dedup, ANN
-top-k).
+top-k). SPARK_GRAFT_BENCH_FULL=1 widens the pass to EVERY registered
+query — the mode the committed BENCH_stats.json snapshot uses from
+round 10 on.
+
+PROTOCOL COMPATIBILITY (round 9+): sub-second queries take each
+interleaved rep as the best of MICRO_REPS back-to-back executions
+(see below). This lowers their "best" relative to the single-sample
+protocol of rounds 1-8 BY CONSTRUCTION, so round-over-round "best"
+comparisons are only meaningful between snapshots whose `protocol`
+fields match — the r9 BENCH_stats snapshot is the reference for the
+micro-rep era; pre-r9 values for sub-second queries are NOT
+comparable. (The r1 BASELINE_20 contract ratio is unaffected in
+spirit: it measures distance to the recorded baseline, and the
+protocol note is recorded in both artifacts.)
 """
 
 from __future__ import annotations
@@ -303,16 +316,31 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    # Isolation runs (e.g. the round-9 kernel-trio attribution): a
-    # comma-separated name subset. The BENCH_stats clobber guard already
-    # keeps such partial runs from overwriting the standing snapshot.
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = (
-        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
-    )
-
     from flink_tornadovm_artifact_spark.queries import QUERIES
     from flink_tornadovm_artifact_spark.session import get_spark
+
+    # Coverage modes (round 10 — VERDICT r9 What's-wrong 2: the bench
+    # artifact was blind to half the registry):
+    # - default: the curated HEADLINE set (~half the registry) — bounded
+    #   wall-clock for the driver's end-of-round run;
+    # - SPARK_GRAFT_BENCH_FULL=1: EVERY registered query — the mode the
+    #   committed n=5 BENCH_stats.json snapshot is recorded with, so a
+    #   perf regression anywhere in the registry is visible in the
+    #   artifact diff (the clobber guard below keeps the driver's
+    #   narrower default run from shrinking the standing snapshot);
+    # - SPARK_GRAFT_BENCH_ONLY=a,b: isolation subset (e.g. the round-9
+    #   kernel-trio attribution).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    base_set = (
+        list(QUERIES)
+        if os.environ.get("SPARK_GRAFT_BENCH_FULL")
+        else HEADLINE
+    )
+    headline = (
+        [q for q in base_set if q in set(only.split(","))]
+        if only
+        else base_set
+    )
 
     spark = get_spark(app_name="bench")
     # Warm each query's whole-stage-codegen + JVM JIT at the smallest sf

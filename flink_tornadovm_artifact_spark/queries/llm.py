@@ -1136,15 +1136,26 @@ def _phash_band_bits(n_docs: int) -> int:
 
 
 def _phash_bands_expr(bits: int) -> str:
-    """Spark SQL for the per-blob band-value array (expects a ``px``
-    pixel-array column): dHash bits -> `PHASH_BANDS` ints of `bits`
-    bits each."""
+    """Spark SQL for the per-blob band-value array: strided
+    8*bits+1-pixel sample -> dHash bits -> `PHASH_BANDS` ints of
+    `bits` bits each. The pixel array is LET-BOUND via the
+    single-element-transform idiom (``transform(array(px), px -> ...)``)
+    so CollapseProject cannot inline the 8*bits+1-substring sample into
+    each of the 2*8*bits element_at references (measured 230 s -> 5 s
+    at sf0.1 before the binding + slim-join fixes)."""
+    n_px = PHASH_BANDS * bits
+    px = (
+        f"transform(sequence(0, {n_px}), j -> "
+        f"ascii(substring(text, "
+        f"1 + cast((j * (length(text) - 1)) div {n_px} as int), 1)))"
+    )
     return (
+        f"transform(array({px}), px -> "
         f"transform(sequence(0, {PHASH_BANDS - 1}), k -> "
         f"aggregate(transform(sequence(0, {bits - 1}), i -> "
         f"shiftleft(CASE WHEN element_at(px, {bits} * k + i + 1) "
         f"< element_at(px, {bits} * k + i + 2) THEN 1 ELSE 0 END, i)), "
-        f"0, (acc, x) -> acc + x))"
+        f"0, (acc, x) -> acc + x)))[0]"
     )
 
 
@@ -1153,25 +1164,22 @@ def multimodal_phash_neardup(
 ) -> DataFrame:
     """Near-duplicate blob pairs by banded dHash: (doc_u, doc_v,
     hamming) for every candidate pair sharing >=1 band with Hamming
-    distance <= ham_max over the full 8*band_bits-bit hash."""
+    distance <= ham_max over the full 8*band_bits-bit hash.
+
+    Join discipline: the band-bucket self-join and the (doc_u, doc_v)
+    dedup run over SLIM scalar columns only — carrying the band ARRAYS
+    through the join makes every join output row re-evaluate the
+    signature expression (839k rows * the whole pixel sample; the
+    measured 230 s pathology) — and the arrays rejoin AFTER the dedup,
+    once per surviving pair side."""
     bits = _phash_band_bits(_corpus_count(spark, sf_dir, "documents"))
-    n_px = PHASH_BANDS * bits
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
-    px = (
-        f"transform(sequence(0, {n_px}), j -> "
-        f"ascii(substring(text, "
-        f"1 + cast((j * (length(text) - 1)) div {n_px} as int), 1)))"
+    sig = docs.select("doc_id", F.expr(_phash_bands_expr(bits)).alias("bands"))
+    flat = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "bval")
     )
-    sig = (
-        docs.withColumn("px", F.expr(px))
-        .select("doc_id", F.expr(_phash_bands_expr(bits)).alias("bands"))
-    ).select(
-        "doc_id",
-        "bands",
-        F.posexplode("bands").alias("band_idx", "bval"),
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = (
+    a, b = flat.alias("a"), flat.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -1181,10 +1189,14 @@ def multimodal_phash_neardup(
         .select(
             F.col("a.doc_id").alias("doc_u"),
             F.col("b.doc_id").alias("doc_v"),
-            F.col("a.bands").alias("bu"),
-            F.col("b.bands").alias("bv"),
         )
         .dropDuplicates(["doc_u", "doc_v"])
+    )
+    pairs = (
+        cand.join(sig.select(F.col("doc_id").alias("doc_u"),
+                             F.col("bands").alias("bu")), "doc_u")
+        .join(sig.select(F.col("doc_id").alias("doc_v"),
+                         F.col("bands").alias("bv")), "doc_v")
     )
     ham = F.aggregate(
         F.zip_with("bu", "bv", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
@@ -5395,6 +5407,183 @@ GROUP BY 1
 
 
 _register(wordpiece_fertility_panel, _wordpiece_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer round-trip QA panel (round 10): encode -> decode -> compare
+# against the ORIGINAL text, over the same frequency-thresholded
+# WordPiece vocabulary and greedy max-match segmentation as
+# wordpiece_fertility_panel (ONE vocab definition). The fertility panel
+# counts pieces; this panel proves the segmentation is LOSSLESS where
+# it claims to be: the decode re-CONCATENATES the matched pieces (UNK
+# positions decode to the replacement char '?'), and a word type is
+# round-trip exact iff decoded == original — the QA gate a pipeline
+# runs before trusting token counts for packing/billing, catching
+# normalization loss and off-by-one segmentation bugs that a pure
+# unk-rate cannot (the comparison is on the actual reconstructed
+# string, not on the unk counter).
+# Per source: occurrence-weighted token fidelity, distinct OOV types,
+# and the char-level loss rate (share of characters that decoded to
+# the replacement char).
+# Plan / 100 TB: identical shape to the fertility panel — corpus
+# touched once (word-occurrence groupBy), vocabulary broadcast bounded
+# at <= 1/WORDPIECE_VOCAB_RATIO entries by the frequency threshold,
+# decode = ONE expression fold per word TYPE (types, not tokens), then
+# a sources-sized keyed aggregate.
+# ---------------------------------------------------------------------------
+def tokenizer_roundtrip_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    occ_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    occ = occ_sw.groupBy("w").agg(F.sum("c").alias("c"))
+    subs = occ.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), i ->"
+                f" transform(sequence(1, least({WORDPIECE_MAX_LEN},"
+                f" length(w) - i + 1)), k -> substr(w, i, k))))"
+            )
+        ).alias("piece"),
+        "c",
+    )
+    sub_freq = subs.groupBy("piece").agg(F.sum("c").alias("freq"))
+    tot = sub_freq.agg(F.sum("freq").cast("double").alias("t"))
+    vocab_rows = (
+        sub_freq.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") >= WORDPIECE_VOCAB_RATIO * F.col("t"))
+        .select("piece")
+        .collect()
+    )  # <= 1/WORDPIECE_VOCAB_RATIO rows by the threshold bound
+    vlit = F.array(*[F.lit(r.piece) for r in vocab_rows])
+
+    def step(acc: Column, i: Column) -> Column:
+        in_v = lambda k: (F.length("w") - i + 1 >= k) & F.array_contains(
+            vlit, F.substring(F.col("w"), i, F.lit(k))
+        )
+        best = F.lit(None).cast("int")
+        for k in range(1, WORDPIECE_MAX_LEN + 1):
+            best = F.when(in_v(k), k).otherwise(best)
+        return F.when(acc.getField("pos") != i, acc).otherwise(
+            F.when(
+                best.isNotNull(),
+                F.struct(
+                    (i + best).alias("pos"),
+                    F.concat(
+                        acc.getField("dec"), F.col("w").substr(i, best)
+                    ).alias("dec"),
+                    acc.getField("unks").alias("unks"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (i + 1).alias("pos"),
+                    F.concat(acc.getField("dec"), F.lit("?")).alias("dec"),
+                    (acc.getField("unks") + 1).alias("unks"),
+                )
+            )
+        )
+
+    seg_state = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(
+            F.lit(1).alias("pos"),
+            F.lit("").alias("dec"),
+            F.lit(0).alias("unks"),
+        ),
+        step,
+    )
+    seg = occ.select(
+        "w",
+        (seg_state.getField("dec") == F.col("w")).alias("exact"),
+        seg_state.getField("unks").alias("unks"),
+    )
+    return (
+        occ_sw.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("exact"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            (
+                F.sum(F.when(F.col("exact"), F.col("c")).otherwise(0))
+                / F.sum("c")
+            ).alias("roundtrip_fidelity"),
+            F.count_distinct(
+                F.when(~F.col("exact"), F.col("w"))
+            ).alias("n_oov_types"),
+            (
+                F.sum(F.col("unks") * F.col("c"))
+                / F.sum(F.length("w") * F.col("c"))
+            ).alias("char_loss_rate"),
+        )
+    )
+
+
+def _roundtrip_oracle() -> str:
+    """Step-unrolled independent formulation, same depth policy as
+    _wordpiece_oracle, with the decoded-string accumulator carried
+    through the chain."""
+    steps = []
+    for k in range(1, WORDPIECE_MAX_STEPS + 1):
+        steps.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT s.w, MAX(u.k) AS mk
+  FROM s{k - 1} s, UNNEST([1, 2, 3, 4]) AS u(k), vocab v
+  WHERE s.pos <= s.len AND s.pos + u.k - 1 <= s.len
+    AND v.piece = substr(s.w, s.pos, u.k)
+  GROUP BY 1
+), s{k} AS MATERIALIZED (
+  SELECT s.w, s.len,
+         CASE WHEN s.pos > s.len THEN s.pos
+              WHEN c.mk IS NOT NULL THEN s.pos + c.mk
+              ELSE s.pos + 1 END AS pos,
+         CASE WHEN s.pos > s.len THEN s.dec
+              WHEN c.mk IS NOT NULL THEN s.dec || substr(s.w, s.pos, c.mk)
+              ELSE s.dec || '?' END AS dec,
+         s.unks + CASE WHEN s.pos <= s.len AND c.mk IS NULL
+                  THEN 1 ELSE 0 END AS unks
+  FROM s{k - 1} s LEFT JOIN c{k} c ON c.w = s.w
+),"""
+        )
+    unroll = "\n".join(steps)
+    return f"""
+WITH occ_sw AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+), occ AS (SELECT w, SUM(c) AS c FROM occ_sw GROUP BY 1),
+sub AS (
+  SELECT substr(w, s.i, l.k) AS piece, SUM(c) AS freq
+  FROM occ, UNNEST(range(1, length(w) + 1)) AS s(i),
+       UNNEST([1, 2, 3, 4]) AS l(k)
+  WHERE s.i + l.k - 1 <= length(w)
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM sub),
+vocab AS (
+  SELECT piece FROM sub, tot WHERE freq >= {WORDPIECE_VOCAB_RATIO} * t
+),
+s0 AS (
+  SELECT w, length(w) AS len, 1 AS pos, '' AS dec, 0 AS unks FROM occ
+),
+{unroll}
+fin AS (
+  SELECT w, dec = w AS exact, unks FROM s{WORDPIECE_MAX_STEPS}
+)
+SELECT o.source, CAST(SUM(o.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN f.exact THEN o.c ELSE 0 END) AS BIGINT) AS n_exact,
+       SUM(CASE WHEN f.exact THEN o.c ELSE 0 END) * 1.0 / SUM(o.c)
+         AS roundtrip_fidelity,
+       CAST(COUNT(DISTINCT CASE WHEN NOT f.exact THEN o.w END) AS BIGINT)
+         AS n_oov_types,
+       SUM(f.unks * o.c) * 1.0 / SUM(length(o.w) * o.c) AS char_loss_rate
+FROM occ_sw o JOIN fin f ON o.w = f.w
+GROUP BY 1
+"""
+
+
+_register(tokenizer_roundtrip_qa, _roundtrip_oracle())
 
 
 # ---------------------------------------------------------------------------

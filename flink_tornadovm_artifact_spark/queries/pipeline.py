@@ -670,7 +670,7 @@ _register(
     """
 WITH tok AS (
   SELECT source,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#snap'), 1, 8))
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING) || '#snap'), 1, 8))
               AS BIGINT) % 10 = 0 AS is_new,
          unnest(string_split(text, ' ')) AS w
   FROM documents
@@ -1523,5 +1523,125 @@ SELECT source, n_true, rand_u,
                  * ln(1.0 - 2.0 * abs(rand_u - 0.5))) AS n_noisy,
        CAST({DP_EPSILON} AS DOUBLE) AS epsilon
 FROM drawn
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host-level dedup keys (round 10 — the crawl
+# half of the dedup family: before any content dedup, a web pipeline
+# collapses URL aliases and keys work by host). The fixture has no URL
+# column, so a deterministic MESSY url is derived per document from
+# (source, doc_id) with the alias classes a crawler actually sees —
+# scheme/host case variation, explicit default port, trailing slash,
+# utm_* tracking params, fragments — using identical arithmetic in both
+# engines; the OPERATOR under test is the canonicalizer:
+#   lowercase scheme+host, strip the scheme-default port, drop the
+#   fragment, drop utm_* params (keeping the rest, order preserved),
+#   strip the trailing slash, and key by host minus its 'www.' prefix
+#   (the path stays case-sensitive per RFC 3986 §6.2.2.1).
+# is_host_rep marks the min-doc_id representative per host key — the
+# host-level dedup decision, same representative rule as the content
+# dedup family.
+# Plan / 100 TB: canonicalization is pure per-row JVM string
+# expressions (one scan, no Python); the representative flag is one
+# window min over the host key — the only shuffle, keyed on hosts
+# (bounded cardinality, heavy hosts are exactly the hot keys a crawl
+# frontier shards the same way).
+# ---------------------------------------------------------------------------
+_MESSY_URL_SQL = """
+(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+(CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE 'www.' END) ||
+source || '.Example.COM' ||
+(CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+'/Path/' || CAST(doc_id % 7 AS STRING) ||
+(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+'?id=' || CAST(doc_id AS STRING) || '&utm_source=feed' ||
+(CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x&ref=rss' ELSE '' END) ||
+(CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END)
+"""
+
+#: shared (Spark == DuckDB) regex pieces over the messy url column `u`
+_URL_SCHEME = "lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+_URL_HOST = "lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))"
+_URL_PORT = "regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)', 1)"
+_URL_PATH = "regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+_URL_QUERY = "regexp_extract(u, '[?]([^#]*)', 1)"
+
+
+def _url_canon_sql(
+    split_fn: str, filter_fn: str, join_fn: str, sw_fn: str
+) -> str:
+    """The canonical-url expression, parameterized only by the engines'
+    function names (split/filter/join/startswith differ; everything
+    else is the shared dialect subset)."""
+    scheme, host, port, path, query = (
+        _URL_SCHEME,
+        _URL_HOST,
+        _URL_PORT,
+        _URL_PATH,
+        _URL_QUERY,
+    )
+    keep_q = (
+        f"{join_fn}({filter_fn}({split_fn}({query}, '&'),"
+        f" p -> NOT {sw_fn}(p, 'utm_')), '&')"
+    )
+    keep_port = (
+        f"CASE WHEN {port} = '' THEN ''"
+        f" WHEN {scheme} = 'https' AND {port} = '443' THEN ''"
+        f" WHEN {scheme} = 'http' AND {port} = '80' THEN ''"
+        f" ELSE ':' || {port} END"
+    )
+    clean_path = (
+        f"CASE WHEN {path} <> '/' AND {path} LIKE '%/'"
+        f" THEN substr({path}, 1, length({path}) - 1) ELSE {path} END"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {keep_port} || {clean_path}"
+        f" || CASE WHEN {keep_q} = '' THEN '' ELSE '?' || {keep_q} END"
+    )
+
+
+def _host_key_sql(sw_fn: str) -> str:
+    return (
+        f"CASE WHEN {sw_fn}({_URL_HOST}, 'www.')"
+        f" THEN substr({_URL_HOST}, 5) ELSE {_URL_HOST} END"
+    )
+
+
+def url_canonicalize_hostdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = _url_canon_sql("split", "filter", "array_join", "startswith")
+    raw = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MESSY_URL_SQL).alias("u")
+    )
+    keyed = raw.select(
+        "doc_id",
+        F.expr(canon).alias("canon_url"),
+        F.expr(_host_key_sql("startswith")).alias("host_key"),
+    )
+    w = W.partitionBy("host_key")
+    return keyed.select(
+        "doc_id",
+        "canon_url",
+        "host_key",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_host_rep"),
+    )
+
+
+_register(
+    url_canonicalize_hostdedup,
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_MESSY_URL_SQL} AS u FROM documents
+), keyed AS (
+  SELECT doc_id,
+         {_url_canon_sql("string_split", "list_filter", "array_to_string", "starts_with")}
+           AS canon_url,
+         {_host_key_sql("starts_with")} AS host_key
+  FROM raw
+)
+SELECT doc_id, canon_url, host_key,
+       doc_id = MIN(doc_id) OVER (PARTITION BY host_key) AS is_host_rep
+FROM keyed
 """,
 )

@@ -902,17 +902,81 @@ FROM orders GROUP BY o_orderstatus
 # the reference's Blink SQL surface; Spark adds approx_percentile). The
 # 100 TB path for cardinality/quantiles: HLL++ and KLL-style sketches
 # merge associatively across partitions — one partial+final agg, no
-# exact-distinct shuffle explosion. Rows-only by design: sketch outputs
-# are engine-specific (DuckDB uses different sketches); the error bound
-# vs the exact answer is pinned in tests/test_queries_extra.py.
+# exact-distinct shuffle explosion.
+# Oracle design (round 10 — closes the ledger's last rows-only hole):
+# raw sketch outputs are engine-specific (Spark HLL++/KLL vs DuckDB
+# HLL/T-digest) and can never hash-match, so the REGISTERED output is
+# the tolerance-banded VERDICT — each engine runs its own approx
+# aggregate in the same plan, compares it to its own exact counterpart,
+# and emits within-band booleans (plus the exact anchors, which do
+# hash-match). A sketch drifting past its documented error bound flips
+# the boolean and fails the driver differential. Bands: 5× the 2% rsd
+# for the HLL leg (both engines' defaults sit well inside), 1% relative
+# for the median leg (approx quantile returns a nearby data point; the
+# exact side interpolates).
 # ---------------------------------------------------------------------------
-def q49_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_approx_aggregates(
+    spark: SparkSession, sf_dir: str, audit: bool = True
+) -> DataFrame:
+    """``audit=True`` (registered): the tolerance-banded QA panel —
+    sketches AND their exact counterparts, verdict booleans. The exact
+    legs are inherently corpus-linear (distinct-shuffle + full-sort
+    percentile), which is exactly the cost the sketches exist to avoid;
+    at 100 TB the flip is ``audit=False`` — the sketch-only production
+    form (one partial+final agg, no exact legs), with the audit run on
+    a bounded slice instead (test_queries_extra.py pins the two forms'
+    sketch columns identical)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_nd_parts"),
+    # Legs are SPLIT, not fused: count_distinct fused with other aggs
+    # forces an Expand (row multiplication by the agg count) and the
+    # exact percentile drags every column through its sort buffer —
+    # probed 10.4 s at sf0.1 fused vs ~1.1 s split. Each leg shuffles
+    # only its own columns; the join key is the 6-row group domain.
+    sk = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_nd"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_p50"),
         F.count(F.lit(1)).alias("cnt"),
     )
+    if not audit:
+        return sk
+    nd = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_nd"))
+    )
+    p50 = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50")
+    )
+    g = sk.join(nd, "l_returnflag").join(p50, "l_returnflag")
+    return g.select(
+        "l_returnflag",
+        "cnt",
+        "exact_nd",
+        F.col("exact_p50").cast("double").alias("exact_p50"),
+        (
+            F.abs(F.col("apx_nd") - F.col("exact_nd"))
+            <= 0.10 * F.col("exact_nd")
+        ).alias("nd_within_band"),
+        (
+            F.abs(F.col("apx_p50") - F.col("exact_p50"))
+            <= 0.01 * F.col("exact_p50")
+        ).alias("p50_within_band"),
+    )
+
+
+ORACLE["q49_approx_aggregates"] = """
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       COUNT(DISTINCT l_partkey) AS exact_nd,
+       CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_p50,
+       ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+         <= 0.10 * COUNT(DISTINCT l_partkey) AS nd_within_band,
+       ABS(approx_quantile(l_extendedprice, 0.5)
+           - quantile_cont(l_extendedprice, 0.5))
+         <= 0.01 * quantile_cont(l_extendedprice, 0.5) AS p50_within_band
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------

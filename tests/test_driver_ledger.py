@@ -148,8 +148,8 @@ def test_keep_fresh_entries_are_in_window():
 
 
 def test_rows_only_exemption_is_exact(ledger):
-    """q49_approx_aggregates is the ONE deliberate never-driver-checked
-    query (rows-only sketches, no oracle). Pin the exemption so it can't
-    silently grow."""
+    """Round 10 closed the ledger's last rows-only hole: q49 now emits
+    tolerance-banded booleans + exact anchors and carries an oracle.
+    Pin the exemption set EMPTY so it can't silently grow."""
     no_oracle = sorted(set(QUERIES) - set(ORACLE))
-    assert no_oracle == ["q49_approx_aggregates"]
+    assert no_oracle == []

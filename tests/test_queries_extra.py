@@ -29,9 +29,11 @@ def test_ivf_recall_vs_bruteforce(spark):
 
 
 def test_approx_aggregates_error_bound(spark):
-    """q49's sketches must track the exact answers: HLL++ at rsd=0.02 and
-    percentile_approx at accuracy=10000 should land within 5% on the
-    deterministic testdata."""
+    """q49's registered output is the tolerance-banded verdict (round 10:
+    the sketch values themselves are engine-specific, the booleans and
+    exact anchors are not). The sketches must actually track the exact
+    answers — every within-band boolean TRUE — and the exact anchors
+    must equal an independent exact recompute."""
     from pyspark.sql import functions as F
 
     from flink_tornadovm_artifact_spark.queries.relational import (
@@ -39,7 +41,7 @@ def test_approx_aggregates_error_bound(spark):
     )
     from flink_tornadovm_artifact_spark.tables import load
 
-    approx = {
+    got = {
         r["l_returnflag"]: r for r in q49_approx_aggregates(spark, SF_SMOKE).collect()
     }
     exact = {
@@ -52,10 +54,27 @@ def test_approx_aggregates_error_bound(spark):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for k in exact:
-        assert abs(approx[k]["apx_nd_parts"] - exact[k]["nd"]) <= 0.05 * exact[k]["nd"]
-        assert abs(approx[k]["apx_p50"] - exact[k]["p50"]) <= 0.05 * exact[k]["p50"]
+        assert got[k]["nd_within_band"], k
+        assert got[k]["p50_within_band"], k
+        assert got[k]["exact_nd"] == exact[k]["nd"], k
+        assert abs(got[k]["exact_p50"] - exact[k]["p50"]) < 1e-9, k
+    # the 100 TB flip (audit=False): sketch-only production form — same
+    # sketch values, no exact legs in the plan
+    prod = {
+        r["l_returnflag"]: r
+        for r in q49_approx_aggregates(spark, SF_SMOKE, audit=False).collect()
+    }
+    assert set(prod) == set(got)
+    assert set(prod[next(iter(prod))].asDict()) == {
+        "l_returnflag",
+        "apx_nd",
+        "apx_p50",
+        "cnt",
+    }
+    for k, r in prod.items():
+        assert r["cnt"] == got[k]["cnt"], k
 
 
 def test_q19_outliers_fire_on_injected_spike(spark, tmp_path):

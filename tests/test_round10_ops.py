@@ -1,0 +1,195 @@
+"""Semantic pins for the round-10 operators (the driver differential
+checks Spark == DuckDB; these check the operators mean what they claim):
+
+- multimodal_phash_neardup: true injected near-dups ARE found (the
+  fixture corpus has none — vacuity guard, q19-spike style), the banded
+  pigeonhole recall bound holds, and the band-width mechanism is
+  monotone with the occupancy bound (the SemDeDup pattern).
+- tokenizer_roundtrip_qa: round-trip exactness coincides with zero UNKs
+  against the fertility panel's independent unk counts, and a word
+  lossy under the vocab is actually reported lossy.
+- url_canonicalize_hostdedup: every canonicalization rule verified on
+  the emitted rows (lowercase scheme/host, default port stripped,
+  fragment and utm_* dropped, non-utm params kept in order, trailing
+  slash stripped, PATH CASE PRESERVED), alias classes collapse, and
+  exactly one host representative per host key.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from flink_tornadovm_artifact_spark.queries.llm import (
+    PHASH_BANDS,
+    PHASH_MIN_BAND_BITS,
+    PHASH_TARGET_BUCKET,
+    _phash_band_bits,
+    multimodal_phash_neardup,
+    tokenizer_roundtrip_qa,
+    wordpiece_fertility_panel,
+)
+from flink_tornadovm_artifact_spark.queries.pipeline import (
+    url_canonicalize_hostdedup,
+)
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup
+# ---------------------------------------------------------------------------
+def test_phash_finds_injected_near_dups(spark, tmp_path):
+    """The fixture corpus is independent word salad with no true
+    near-dups (banded Hamming bottoms out at 14), so pin the semantics
+    the hard way: a corpus with two INJECTED near-identical blobs (one
+    char edited mid-blob) plus unrelated blobs must pair exactly the
+    injected two at a small Hamming distance, under the tight
+    production threshold (7, inside the pigeonhole bound), not just
+    the fixture-calibrated 16."""
+    base = "the quick brown fox jumps over the lazy dog " * 40
+    near = base[:900] + "X" + base[901:]
+    docs = [(0, base), (1, near)] + [
+        (i, f"totally different content {i} " * (30 + i)) for i in range(2, 30)
+    ]
+    d = tmp_path / "phash_docs"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    pairs = {
+        (r.doc_u, r.doc_v): r.hamming
+        for r in multimodal_phash_neardup(spark, str(d), ham_max=7).collect()
+    }
+    assert (0, 1) in pairs, pairs
+    assert pairs[(0, 1)] <= 7
+    others = {p for p in pairs if p != (0, 1)}
+    assert not others, others
+
+
+def test_phash_pigeonhole_recall(spark):
+    """Any pair within Hamming distance < PHASH_BANDS must share a band
+    exactly (pigeonhole over 8 bands), so raising ham_max to 64 returns
+    a superset of ALL banded candidates; every returned pair at <= 7
+    would also be returned by the candidate stage — verified by the
+    injected-dup test; here pin the structural facts on the fixture:
+    results are symmetric-free (u < v), distances within [0, 64], and
+    the ham_max filter is honoured."""
+    rows = multimodal_phash_neardup(spark, SF_SMOKE).collect()
+    assert all(r.doc_u < r.doc_v for r in rows)
+    assert all(0 <= r.hamming <= PHASH_BANDS * 8 for r in rows)
+    assert all(r.hamming <= 16 for r in rows)
+    # fixture calibration: non-vacuous at every SF (13 at sf0.001)
+    assert len(rows) > 0
+
+
+def test_phash_band_bits_mechanism():
+    """The occupancy control: monotone non-decreasing in N, floored at
+    the classic 64-bit dHash, and expected bucket occupancy
+    N / 2^bits <= TARGET once past the floor regime."""
+    prev = 0
+    for n in (1, 64, 10_000, 10**6, 10**9, 10**12):
+        bits = _phash_band_bits(n)
+        assert bits >= PHASH_MIN_BAND_BITS
+        assert bits >= prev
+        prev = bits
+        if n > PHASH_TARGET_BUCKET * (2**PHASH_MIN_BAND_BITS):
+            assert n / 2**bits <= PHASH_TARGET_BUCKET
+    assert _phash_band_bits(5000) == 8  # every test SF stays on the
+    # static 8-bit oracle twin
+    assert _phash_band_bits(10**9) >= 24
+
+
+# ---------------------------------------------------------------------------
+# tokenizer round-trip QA
+# ---------------------------------------------------------------------------
+def test_roundtrip_consistent_with_fertility_unks(spark):
+    """Same vocab, same greedy segmentation → the round-trip panel's
+    char-loss numerator must equal the fertility panel's n_unk per
+    source, and fidelity == 1 exactly where unk_rate == 0."""
+    rt = {r.source: r for r in tokenizer_roundtrip_qa(spark, SF_SMOKE).collect()}
+    fp = {
+        r.source: r
+        for r in wordpiece_fertility_panel(spark, SF_SMOKE).collect()
+    }
+    assert set(rt) == set(fp)
+    for s, r in rt.items():
+        assert 0 < r.n_exact <= r.n_tokens, s
+        assert abs(r.roundtrip_fidelity - r.n_exact / r.n_tokens) < 1e-12
+        # occurrence-weighted unk mass: identical segmentation on both
+        # panels (char_loss numerator == fertility n_unk)
+        assert r.n_tokens == fp[s].n_tokens, s
+        if fp[s].n_unk == 0:
+            assert r.roundtrip_fidelity == 1.0 and r.char_loss_rate == 0.0
+        else:
+            assert r.roundtrip_fidelity < 1.0 and r.char_loss_rate > 0.0
+            assert r.n_oov_types > 0, s
+
+
+def test_roundtrip_reports_lossy_word(spark, tmp_path):
+    """A corpus where one rare word contains a char absent from every
+    frequent substring must be reported lossy: its source shows
+    fidelity < 1 and exactly one OOV type."""
+    common = ("abab " * 50).strip()
+    docs = [(i, common, "en", "srcA", len(common)) for i in range(20)]
+    # 'q' never appears in the frequent mass; 'aqab' cannot round-trip
+    rare_doc = common + " aqab"
+    docs.append((99, rare_doc, "en", "srcB", len(rare_doc)))
+    d = tmp_path / "rt_docs"
+    d.mkdir()
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {r.source: r for r in tokenizer_roundtrip_qa(spark, str(d)).collect()}
+    assert rows["srcA"].roundtrip_fidelity == 1.0
+    assert rows["srcA"].n_oov_types == 0
+    assert rows["srcB"].roundtrip_fidelity < 1.0
+    assert rows["srcB"].n_oov_types == 1
+    assert rows["srcB"].char_loss_rate > 0.0
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host-level dedup
+# ---------------------------------------------------------------------------
+def test_url_canonical_rules(spark):
+    rows = url_canonicalize_hostdedup(spark, SF_SMOKE).collect()
+    assert rows
+    by_host = defaultdict(list)
+    for r in rows:
+        u = r.canon_url
+        scheme, rest = u.split("://", 1)
+        assert scheme == "https"  # lowercased
+        host = rest.split("/", 1)[0]
+        assert host == host.lower()
+        assert ":443" not in u  # default port stripped
+        assert "#" not in u  # fragment dropped
+        assert "utm_" not in u  # tracking params dropped
+        assert f"id={r.doc_id}&ref=rss" in u or u.endswith(f"id={r.doc_id}")
+        # non-utm params kept in original order
+        path = "/" + rest.split("/", 1)[1].split("?", 1)[0]
+        assert not path.endswith("/")  # trailing slash stripped
+        assert path.startswith("/Path/")  # path case PRESERVED
+        assert r.host_key == host.removeprefix("www.")
+        by_host[r.host_key].append(r)
+    # exactly one representative per host, and it's the min doc_id
+    for host, rs in by_host.items():
+        reps = [r for r in rs if r.is_host_rep]
+        assert len(reps) == 1, host
+        assert reps[0].doc_id == min(r.doc_id for r in rs)
+
+
+def test_url_aliases_collapse(spark):
+    """The alias classes the messy generator varies (scheme case, www
+    case, explicit :443, trailing slash, utm params, fragment) must NOT
+    survive into the canonical form: across all docs of one source, the
+    canonical urls differ ONLY in the (id, path-segment) payload — i.e.
+    stripping the query leaves at most 7 distinct path variants (the
+    doc_id % 7 segments), not 7 * alias-class-count."""
+    rows = url_canonicalize_hostdedup(spark, SF_SMOKE).collect()
+    per_source = defaultdict(set)
+    for r in rows:
+        base = r.canon_url.split("?", 1)[0]
+        per_source[r.host_key].add(base)
+    for host, bases in per_source.items():
+        assert len(bases) <= 7, (host, sorted(bases))
