@@ -221,3 +221,42 @@ def test_manifest_accounts_for_every_train_doc(stages):
     assert {(r.shard, r.n_tokens) for r in again.collect()} == {
         (r.shard, r.n_tokens) for r in rows
     }
+
+
+def test_crawl_and_tokenizer_stages_compose(spark, stages):
+    """Round-10 stages compose with the release pipeline: the URL
+    panel joins 1:1 onto the corpus (a crawl keys every doc by
+    canonical URL + host BEFORE content dedup), canonical urls stay
+    unique per doc (alias classes collapsed, payload preserved), host
+    keys coincide with the source domains they derive from, and the
+    tokenizer round-trip QA gate clears every source that reaches the
+    released set (fidelity >= the release bar on this fixture)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        tokenizer_roundtrip_qa,
+    )
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        url_canonicalize_hostdedup,
+    )
+
+    docs = stages["docs"]
+    urls = url_canonicalize_hostdedup(spark, SF_SMOKE)
+    assert docs.join(urls, "doc_id").count() == docs.count()
+    assert urls.select("canon_url").distinct().count() == docs.count()
+    n_hosts = urls.select("host_key").distinct().count()
+    assert n_hosts == docs.select("source").distinct().count()
+    # exactly one host representative per host key, also within the
+    # composed frame
+    assert (
+        urls.filter(F.col("is_host_rep")).count() == n_hosts
+    )
+    qa = {
+        r.source: r.roundtrip_fidelity
+        for r in tokenizer_roundtrip_qa(spark, SF_SMOKE).collect()
+    }
+    released_sources = {
+        r.source
+        for r in stages["released"].select("source").distinct().collect()
+    }
+    assert released_sources <= set(qa)
+    bar = 0.9  # release bar; fixture fidelity measured ~0.93 per source
+    assert released_sources <= {s for s, f in qa.items() if f >= bar}
