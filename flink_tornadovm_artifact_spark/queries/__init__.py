@@ -177,7 +177,7 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: Round-10 rotation (VERDICT r9 Next 1 + Next 5 — registry UNFROZEN
 #: with the per-round cap: 3 new operators, well under the 10-12
 #: ceiling):
-#: IN — FIRST the rule-1 set: the 3 round-10 debuts
+#: IN — FIRST the rule-1 set: the 4 round-10 debuts
 #: (multimodal_phash_neardup: banded dHash near-dup, the image analog
 #: of SimHash; tokenizer_roundtrip_qa: encode→decode fidelity + OOV
 #: panel over the WordPiece vocab; url_canonicalize_hostdedup: URL
@@ -188,9 +188,11 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: r9-designated staleness queue), then 20 of the 47-query r6 cohort
 #: picked for family diversity: the 7-strong CEP completion family,
 #: 5 Gelly/graph analytics, both iteration pipelines (kmeans bulk,
-#: sssp delta), 2 TPC-H heavies, both temporal-table ops, a corpus
-#: datasheet, and the dedup-representatives op. The remaining 27
-#: r6-cohort queries head the r11 staleness queue.
+#: sssp delta), 2 TPC-H heavies, both temporal-table ops, and the
+#: dedup-representatives op (corpus_datasheet ceded its slot to the
+#: fourth debut; its expressions stay swept via the v2/v3 datasheets
+#: and the full-oracle pytest run). The remaining 28 r6-cohort queries
+#: head the r11 staleness queue.
 #: OUT — the entire r9 window's 50 green rows (all 1-round-fresh; rule
 #: 3 keeps them under the full-oracle pytest sweep at both SFs every
 #: run). WINDOW_KEEP_FRESH is EMPTY this round: dedup_semantic's r10
@@ -201,10 +203,11 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 WINDOW_KEEP_FRESH: dict[str, str] = {}
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — round-10 debuts (3) + the q49 oracle-gap close (1)
+    # rule 1 — round-10 debuts (4) + the q49 oracle-gap close (1)
     "multimodal_phash_neardup",
     "tokenizer_roundtrip_qa",
     "url_canonicalize_hostdedup",
+    "bloom_decontaminate_screen",
     "q49_approx_aggregates",
     # stalest: last green round 5 (26 — the whole cohort)
     "average_clustering_coefficient_directed_q",
@@ -252,7 +255,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q53_tpch_q2",
     "hypertable_rollup_events",
     "range_join_events",
-    "corpus_datasheet",
     "dedup_cluster_representatives",
 )
 

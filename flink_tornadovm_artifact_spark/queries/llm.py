@@ -1307,6 +1307,174 @@ GROUP BY e.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter contamination screen (round 10 — Bloom 1970; the
+# membership-screen primitive an incremental 100 TB ingest actually
+# ships): the EVAL/BENCHMARK set's shingles (the text_decontaminate
+# benchmark: doc_id % _DECON_MOD == 0) are summarized as an m-bit Bloom
+# filter (k md5-derived positions per shingle — the engine-portable
+# hash family the CMS/HLL sketches already use), and every incoming
+# corpus document is screened against the BITSET, never against the
+# benchmark rows: per doc, the count/share of its shingles whose k
+# positions are all set — the Bloom-approximate version of
+# text_decontaminate's exact join, ONE-SIDED by construction (no false
+# negatives; E[fp] = (1 - e^(-kn/m))^k, pinned with the exact-superset
+# invariant in tests/test_round10_ops.py).
+# Filter SIZE is a mechanism, not a constant (the SemDeDup rule): m =
+# 2^max(17, ceil(log2(N_docs * BLOOM_BITS_PER_DOC))) from the
+# metadata-only corpus count, identical arithmetic in the oracle SQL
+# (which derives m from its own COUNT(*)), so bits-per-element — and
+# therefore the fp rate (~1e-3) — stays flat from 500 docs to 10^9
+# while the fixed-m form saturates by sf0.1.
+# Plan / 100 TB: the screen side collapses to <= m distinct BIT
+# POSITIONS (broadcast here; literally a bitmap in cluster memory), so
+# screening costs ONE broadcast-hash probe per (shingle, position) —
+# no shuffle of the benchmark shingle set, no corpus⋈benchmark join,
+# and re-screening a new batch reuses the filter without re-reading
+# the benchmark (text_decontaminate re-broadcasts its exact set every
+# run; the Bloom form is the amortized streaming-ingest analog).
+# ---------------------------------------------------------------------------
+BLOOM_K = 3  # hash functions
+BLOOM_MIN_M_EXP = 17  # filter floor: 2^17 bits
+BLOOM_BITS_PER_DOC = 128  # sizing budget per CORPUS doc (benchmark =
+# a fixed 1/_DECON_MOD share of it, so bits/element stays ~27-33)
+
+
+def _bloom_m_exp(n_docs: int) -> int:
+    """log2 of the filter width for an ``n_docs`` corpus."""
+    return max(
+        BLOOM_MIN_M_EXP, math.ceil(math.log2(max(2, n_docs) * BLOOM_BITS_PER_DOC))
+    )
+
+
+def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus doc with >= 1 Bloom-flagged shingle: (doc_id,
+    n_shingles, bloom_hits, bloom_containment) — the Bloom-approximate
+    superset of ``text_decontaminate``'s exact contamination join."""
+    m = 1 << _bloom_m_exp(_corpus_count(spark, sf_dir, "documents"))
+    # The distinct-shingle frame is PERSISTED (MEMORY_AND_DISK, the
+    # graph-base discipline — CacheManager plan-dedupes repeated
+    # builds): without it, the explode's implied size/isnotnull
+    # predicates push below the projection and inline the whole
+    # shingle transform into a Filter re-evaluated several times per
+    # corpus row on BOTH branches (measured 10.5 s -> 6.5 s at sf0.1).
+    from pyspark import StorageLevel
+
+    sh = (
+        _shingled(spark, sf_dir)
+        .select("doc_id", F.array_distinct("shingles").alias("sset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode("sset").alias("s"))
+        .distinct()
+    )
+    positions = lambda col: F.array_distinct(
+        F.array(*[_md5_bucket(col, f"#bf{j}", m) for j in range(BLOOM_K)])
+    )
+    bits = (
+        bench.select(F.explode(positions(F.col("s"))).alias("pos")).distinct()
+    )  # <= m rows by construction — the bitmap
+    # probe keys are ALL ints (doc_id, shingle ordinal si): shuffling
+    # the shingle STRINGS through the per-shingle verdict groupBy was
+    # the dominant local cost (~2x)
+    probe = (
+        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .select(
+            "doc_id",
+            F.size("sset").cast("bigint").alias("n_shingles"),
+            F.posexplode("sset").alias("si", "s"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "si",
+            F.size(positions(F.col("s"))).alias("n_pos"),
+            F.explode(positions(F.col("s"))).alias("pos"),
+        )
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "n_shingles", "si", "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_pos"))  # all k bits set
+    )
+    return (
+        hits.groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            (F.col("bloom_hits") / F.col("n_shingles")).alias(
+                "bloom_containment"
+            ),
+        )
+    )
+
+
+def _bloom_pos_sql(j: int) -> str:
+    """DuckDB twin of _md5_bucket(s, '#bfj', m); m is the mexp CTE's
+    column, cross-joined into scope (a scalar subquery inside
+    UNNEST(list_transform(...)) trips DuckDB's binder)."""
+    return (
+        f"CAST(concat('0x', substr(md5(s || '#bf{j}'), 1, 8)) AS BIGINT)"
+        f" % m"
+    )
+
+
+_bloom_positions_sql = (
+    "list_distinct(["
+    + ", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))
+    + "])"
+)
+
+_register(
+    bloom_decontaminate_screen,
+    f"""
+WITH mexp AS (
+  SELECT (CAST(1 AS BIGINT) << GREATEST({BLOOM_MIN_M_EXP},
+            CAST(ceil(log2(GREATEST(2, COUNT(*)) * {BLOOM_BITS_PER_DOC}))
+                 AS INT))) AS m
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(t) - 2),
+                        i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+           AS sset
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(sset) AS n_shingles,
+         UNNEST(sset) AS s,
+         UNNEST(range(1, len(sset) + 1)) AS si
+  FROM shingled
+), bits AS (
+  SELECT DISTINCT UNNEST({_bloom_positions_sql}) AS pos
+  FROM (SELECT DISTINCT s FROM ex WHERE doc_id % {_DECON_MOD} = 0), mexp
+), probe AS (
+  SELECT doc_id, n_shingles, si,
+         len({_bloom_positions_sql}) AS n_pos,
+         UNNEST({_bloom_positions_sql}) AS pos
+  FROM ex, mexp WHERE doc_id % {_DECON_MOD} <> 0
+), hits AS (
+  SELECT doc_id, n_shingles, si, n_pos, COUNT(*) AS n_hit
+  FROM probe JOIN bits USING (pos)
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) = n_pos
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT) AS bloom_hits,
+       COUNT(*) * 1.0 / n_shingles AS bloom_containment
+FROM hits
+GROUP BY doc_id, n_shingles
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Within-document repetition metrics (round 4) — the Gopher-rules family
 # of quality signals (Rae et al. 2021 §A1.1: fraction of duplicated
 # words / n-grams inside a document flags boilerplate and degenerate

@@ -193,3 +193,120 @@ def test_url_aliases_collapse(spark):
         per_source[r.host_key].add(base)
     for host, bases in per_source.items():
         assert len(bases) <= 7, (host, sorted(bases))
+
+
+# ---------------------------------------------------------------------------
+# Bloom contamination screen
+# ---------------------------------------------------------------------------
+def test_bloom_screen_one_sided_vs_exact(spark):
+    """The Bloom screen can only OVER-report membership (false
+    positives, never false negatives): per corpus doc, bloom_hits >=
+    the exact count of its shingles present in the benchmark set
+    (text_decontaminate's n_contaminated over DISTINCT shingles), and
+    the overshoot mass stays within the analytic false-positive
+    budget."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        _DECON_MOD,
+        _bloom_m_exp,
+        _shingled,
+        BLOOM_K,
+        bloom_decontaminate_screen,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    got = {
+        r.doc_id: r
+        for r in bloom_decontaminate_screen(spark, SF_SMOKE).collect()
+    }
+    sh = _shingled(spark, SF_SMOKE).select(
+        "doc_id", F.array_distinct("shingles").alias("sset")
+    )
+    bench = {
+        r.s
+        for r in sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode("sset").alias("s"))
+        .distinct()
+        .collect()
+    }
+    corpus = {
+        r.doc_id: set(r.sset)
+        for r in sh.filter(F.col("doc_id") % _DECON_MOD != 0).collect()
+    }
+    assert set(got) <= set(corpus)
+    n_extra = n_probed = 0
+    for d, sset in corpus.items():
+        exact = len(sset & bench)
+        bloom = got[d].bloom_hits if d in got else 0
+        assert bloom >= exact, d  # no false negatives
+        if d in got:
+            assert got[d].n_shingles == len(sset), d
+        n_extra += bloom - exact
+        n_probed += len(sset) - exact
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    m = 1 << _bloom_m_exp(n_docs)
+    fp_budget = (1 - math.exp(-BLOOM_K * len(bench) / m)) ** BLOOM_K
+    # the mechanized sizing keeps fp ~1e-3; allow 5x + counting slack
+    assert n_probed == 0 or n_extra / n_probed <= max(
+        5 * fp_budget, 0.02
+    ), (n_extra, n_probed, fp_budget)
+    # non-vacuous on the fixture: the benchmark leaks shingles into the
+    # corpus, so the screen flags real mass too
+    assert sum(r.bloom_hits for r in got.values()) > 0
+
+
+def test_bloom_bitmap_is_bounded_and_sized(spark):
+    """The screen side the probe joins against is the BITSET, bounded
+    at m positions with m derived from the metadata doc count — the
+    whole scale argument; and the sizing mechanism is monotone with a
+    flat bits-per-element budget past the floor."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        _DECON_MOD,
+        _bloom_m_exp,
+        _md5_bucket,
+        _shingled,
+        BLOOM_BITS_PER_DOC,
+        BLOOM_K,
+        BLOOM_MIN_M_EXP,
+    )
+    from flink_tornadovm_artifact_spark.tables import load
+
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    m = 1 << _bloom_m_exp(n_docs)
+    bits = (
+        _shingled(spark, SF_SMOKE)
+        .filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode(F.array_distinct("shingles")).alias("s"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        _md5_bucket(F.col("s"), f"#bf{j}", m)
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    n = bits.count()
+    assert 0 < n <= m
+    rng = bits.agg(F.min("pos"), F.max("pos")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < m
+    # sizing mechanism: floor, monotone, and within one power of two of
+    # the bits-per-doc budget past the floor
+    prev = 0
+    for nd in (1, 500, 10**6, 10**9):
+        e = _bloom_m_exp(nd)
+        assert e >= BLOOM_MIN_M_EXP and e >= prev
+        prev = e
+        if nd * BLOOM_BITS_PER_DOC > 2**BLOOM_MIN_M_EXP:
+            assert nd * BLOOM_BITS_PER_DOC <= 2**e < 4 * nd * BLOOM_BITS_PER_DOC
