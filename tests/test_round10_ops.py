@@ -310,3 +310,25 @@ def test_bloom_bitmap_is_bounded_and_sized(spark):
         prev = e
         if nd * BLOOM_BITS_PER_DOC > 2**BLOOM_MIN_M_EXP:
             assert nd * BLOOM_BITS_PER_DOC <= 2**e < 4 * nd * BLOOM_BITS_PER_DOC
+
+
+def test_url_canonicalization_is_idempotent(spark):
+    """Canonicalization must be a projection: applying the canon
+    expression to ALREADY-canonical urls changes nothing (the property
+    that makes incremental re-crawls safe — a second pass over stored
+    canonical urls is a no-op)."""
+    from pyspark.sql import functions as F
+
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        _url_canon_sql,
+        url_canonicalize_hostdedup,
+    )
+
+    canon = _url_canon_sql("split", "filter", "array_join", "startswith")
+    once = url_canonicalize_hostdedup(spark, SF_SMOKE).select(
+        "doc_id", F.col("canon_url").alias("u")
+    )
+    twice = once.select(
+        "doc_id", "u", F.expr(canon).alias("u2")
+    ).filter(F.col("u") != F.col("u2"))
+    assert twice.count() == 0, twice.limit(5).collect()
