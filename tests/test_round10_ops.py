@@ -332,3 +332,55 @@ def test_url_canonicalization_is_idempotent(spark):
         "doc_id", "u", F.expr(canon).alias("u2")
     ).filter(F.col("u") != F.col("u2"))
     assert twice.count() == 0, twice.limit(5).collect()
+
+
+def test_phash_matches_pure_python_recompute(spark):
+    """Third implementation of the banded dHash (after Spark and the
+    DuckDB oracle): a pure-Python recompute of the strided pixel
+    sample, band values, banded candidates, and Hamming distances must
+    reproduce the emitted pair set exactly on the smoke fixture."""
+    import duckdb
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        _PHASH_HAM_MAX,
+        PHASH_BANDS,
+        multimodal_phash_neardup,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' "
+        "WHERE length(text) >= 2"
+    ).fetchall()
+    n_px = PHASH_BANDS * 8
+
+    def bands(t):
+        px = [ord(t[(j * (len(t) - 1)) // n_px]) for j in range(n_px + 1)]
+        bits = [1 if px[j] < px[j + 1] else 0 for j in range(n_px)]
+        return [
+            sum(bits[8 * k + i] << i for i in range(8))
+            for k in range(PHASH_BANDS)
+        ]
+
+    B = {d: bands(t) for d, t in rows}
+    expect = {}
+    ids = sorted(B)
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for d in ids:
+        for k, v in enumerate(B[d]):
+            buckets[(k, v)].append(d)
+    cands = set()
+    for ds in buckets.values():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cands.add((ds[i], ds[j]))
+    for u, v in cands:
+        ham = sum(bin(a ^ b).count("1") for a, b in zip(B[u], B[v]))
+        if ham <= _PHASH_HAM_MAX:
+            expect[(u, v)] = ham
+    got = {
+        (r.doc_u, r.doc_v): r.hamming
+        for r in multimodal_phash_neardup(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
