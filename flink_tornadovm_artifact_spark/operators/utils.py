@@ -69,6 +69,60 @@ def zip_with_unique_id(df: DataFrame, id_col: str = "unique_id") -> DataFrame:
     return df.withColumn(id_col, F.monotonically_increasing_id())
 
 
+def sorted_rank(
+    df: DataFrame,
+    col: str,
+    rank_col: str = "rid",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Dense 0-based rank of every row by ``col`` — the zip_with_index
+    two-phase mechanism, but ordered by a column instead of arrival
+    order, so the result is DETERMINISTIC given distinct ``col`` values
+    (the property an oracle can reproduce with ``ROW_NUMBER() OVER
+    (ORDER BY col)``).
+
+    Scale shape: a global window rank would sort everything into ONE
+    partition; this ranges-partitions on ``col`` (parallel sort), ranks
+    within each range partition, and adds broadcast cumulative
+    partition offsets — every stage is parallel, per-partition memory
+    is one range's rows. ``localCheckpoint`` pins the sampled range
+    bounds so the rank pass and the count pass see the SAME partition
+    assignment (repartitionByRange re-samples bounds per job
+    otherwise — the two passes could disagree and corrupt offsets).
+    Lazy checkpoint keeps query BUILD side-effect-free (the family's
+    lazy-builder rule): the pin materializes with the first action.
+    """
+    part = df.repartitionByRange(num_partitions, col).localCheckpoint(
+        eager=False
+    )
+    with_pid = part.withColumn("_sr_pid", F.spark_partition_id())
+    in_part = Window.partitionBy("_sr_pid").orderBy(col)
+    numbered = with_pid.withColumn(
+        "_sr_rn", F.row_number().over(in_part) - 1
+    )
+    counts = (
+        with_pid.groupBy("_sr_pid")
+        .agg(F.count(F.lit(1)).alias("_sr_cnt"))
+        .withColumn(
+            "_sr_offset",
+            F.coalesce(
+                F.sum("_sr_cnt").over(
+                    Window.orderBy("_sr_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_sr_pid", "_sr_offset")
+    )
+    return (
+        numbered.join(F.broadcast(counts), "_sr_pid")
+        .withColumn(rank_col, F.col("_sr_rn") + F.col("_sr_offset"))
+        .drop("_sr_pid", "_sr_rn", "_sr_offset")
+    )
+
+
 def sample(
     df: DataFrame,
     fraction: float,

@@ -175,23 +175,28 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: claims exactly one slot (dedup_semantic) and the never-checked set
 #: claims 16; the remaining 33 go to age.
 #: Round-10 rotation (VERDICT r9 Next 1 + Next 5 — registry UNFROZEN
-#: with the per-round cap: 3 new operators, well under the 10-12
+#: with the per-round cap: 10 new operators, exactly at the 10-12
 #: ceiling):
-#: IN — FIRST the rule-1 set: the 4 round-10 debuts
+#: IN — FIRST the rule-1 set: the 10 round-10 debuts
 #: (multimodal_phash_neardup: banded dHash near-dup, the image analog
 #: of SimHash; tokenizer_roundtrip_qa: encode→decode fidelity + OOV
 #: panel over the WordPiece vocab; url_canonicalize_hostdedup: URL
-#: canonicalization + host-level dedup keys) and q49_approx_aggregates,
+#: canonicalization + host-level dedup keys; bloom_decontaminate_screen;
+#: then the second batch: text_normalize_panel, ann_recall_panel,
+#: epoch_shuffle_contract, multimodal_frame_sample, phrase_search_topk,
+#: entity_resolution_blocking) and q49_approx_aggregates,
 #: whose OUTPUT changed to the tolerance-banded boolean panel and which
 #: is now oracle-backed — the ledger's last never-green query (VERDICT
 #: r9 What's-wrong 1). THEN the full 26-query r5-stale cohort (the
-#: r9-designated staleness queue), then 20 of the 47-query r6 cohort
+#: r9-designated staleness queue), then 13 of the 47-query r6 cohort
 #: picked for family diversity: the 7-strong CEP completion family,
-#: 5 Gelly/graph analytics, both iteration pipelines (kmeans bulk,
-#: sssp delta), 2 TPC-H heavies, both temporal-table ops, and the
-#: dedup-representatives op (corpus_datasheet ceded its slot to the
-#: fourth debut; its expressions stay swept via the v2/v3 datasheets
-#: and the full-oracle pytest run). The remaining 28 r6-cohort queries
+#: both iteration pipelines (kmeans bulk, sssp delta), one TPC-H heavy
+#: (q53), both temporal-table ops, and the dedup-representatives op
+#: (corpus_datasheet ceded its slot to the fourth debut; the
+#: second-batch debuts displaced adamic_adar / asm_vertex_degrees /
+#: average_clustering_coefficient_q / bipartite_projection /
+#: generator_hypercube / q51 — all expressions stay swept by the
+#: full-oracle pytest run). The remaining 34 r6-cohort queries
 #: head the r11 staleness queue.
 #: OUT — the entire r9 window's 50 green rows (all 1-round-fresh; rule
 #: 3 keeps them under the full-oracle pytest sweep at both SFs every
@@ -203,11 +208,24 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 WINDOW_KEEP_FRESH: dict[str, str] = {}
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — round-10 debuts (4) + the q49 oracle-gap close (1)
+    # rule 1 — round-10 debuts (4 + the 6-query second batch, total 10,
+    # at the round cap) + the q49 oracle-gap close (1). The second
+    # batch displaced 6 r6-cohort diversity picks whose families stay
+    # multiply covered in this window (adamic_adar / asm_vertex /
+    # avg-undirected-CC / bipartite / hypercube from the Gelly family —
+    # 5 directed-graph entries remain; q51 from TPC-H — q53 plus five
+    # r5-cohort TPC-H entries remain); the displaced six rejoin the
+    # r11 staleness queue with the rest of the r6 cohort.
     "multimodal_phash_neardup",
     "tokenizer_roundtrip_qa",
     "url_canonicalize_hostdedup",
     "bloom_decontaminate_screen",
+    "text_normalize_panel",
+    "ann_recall_panel",
+    "epoch_shuffle_contract",
+    "multimodal_frame_sample",
+    "phrase_search_topk",
+    "entity_resolution_blocking",
     "q49_approx_aggregates",
     # stalest: last green round 5 (26 — the whole cohort)
     "average_clustering_coefficient_directed_q",
@@ -244,14 +262,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cep_group_followed_by",
     "cep_not_next",
     "cep_one_or_more_until",
-    "adamic_adar_similarity",
-    "asm_vertex_degrees",
-    "average_clustering_coefficient_q",
-    "bipartite_projection_suppliers",
-    "generator_hypercube_degrees",
     "kmeans_pipeline",
     "sssp_pipeline",
-    "q51_tpch_q9",
     "q53_tpch_q2",
     "hypertable_rollup_events",
     "range_join_events",

@@ -6459,3 +6459,341 @@ SELECT na, nb, gap AS ks_stat, n_chars AS ks_at_length,
 FROM g
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 second batch (registry growth under the per-round cap).
+#
+# text_normalize_panel — Unicode/whitespace canonicalization, the very
+# first stage of every crawl-derived curation pipeline (C4/Gopher strip
+# control chars, fold typographic punctuation, collapse whitespace
+# BEFORE any hashing/dedup — otherwise byte-identical prose with curly
+# vs straight quotes defeats exact dedup). The fixture corpus is
+# already clean, so mess is INJECTED deterministically from doc_id
+# (the _MESSY_URL_SQL pattern): typographic quotes, NBSP, zero-width
+# space, a control char, tab/CRLF runs — and some doc_ids get NO mess,
+# so the `changed` flag is non-vacuous both ways.
+#
+# Shared dialect: the whole normalization is one translate() plus two
+# regexp_replace() per row. Character classes are built with chr()
+# concatenation instead of backslash escapes because the two engines
+# disagree on string-literal escape processing (Spark SQL processes
+# \xNN, DuckDB standard-conforming strings do not) while chr() folds to
+# the identical constant in both. DuckDB's regexp_replace needs an
+# explicit 'g' flag for global replacement (Spark is global by
+# default) — the only per-engine parameter.
+#
+# Plan / 100 TB: pure per-row JVM expressions inside whole-stage
+# codegen; ZERO shuffles. The panel is a scan.
+# ---------------------------------------------------------------------------
+_MESSY_TEXT_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(160) ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(8220) || text || chr(8221)"
+    " ELSE text END"
+    " || CASE WHEN doc_id % 2 = 0 THEN chr(9) || chr(13) || chr(10) || ' '"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(8203) || chr(1) ELSE '' END"
+)
+
+#: typographic chars folded to ASCII; trailing chars with no `to`
+#: counterpart (zero-width space) are DELETED — identical translate()
+#: semantics in Spark and DuckDB (pinned in tests/test_round10b_ops.py)
+_NORM_FROM = (
+    "chr(8216) || chr(8217) || chr(8220) || chr(8221)"
+    " || chr(8212) || chr(8211) || chr(160) || chr(8203)"
+)
+_NORM_TO = "chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' '"
+
+
+def _text_norm_sql(col: str, g: str) -> str:
+    """The normalization expression over messy column ``col``;
+    ``g`` = ", 'g'" for DuckDB (global regexp flag), "" for Spark."""
+    mapped = f"translate({col}, {_NORM_FROM}, {_NORM_TO})"
+    ctl = (
+        f"regexp_replace({mapped},"
+        f" '[' || chr(1) || '-' || chr(31) || chr(127) || ']', ' '{g})"
+    )
+    return f"trim(regexp_replace({ctl}, ' +', ' '{g}))"
+
+
+def text_normalize_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.expr(_MESSY_TEXT_SQL).alias("messy")
+    )
+    norm = F.expr(_text_norm_sql("messy", ""))
+    return docs.select(
+        "doc_id",
+        F.length("messy").cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        (F.length("messy") - F.length(norm)).cast("bigint").alias("shrunk"),
+        (norm != F.col("text")).alias("changed"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+_register(
+    text_normalize_panel,
+    f"""
+WITH raw AS (
+  SELECT doc_id, text, {_MESSY_TEXT_SQL} AS messy FROM documents
+), n AS (
+  SELECT doc_id, text, messy,
+         {_text_norm_sql("messy", ", 'g'")} AS norm
+  FROM raw
+)
+SELECT doc_id,
+       CAST(length(messy) AS BIGINT) AS n_chars_raw,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       CAST(length(messy) - length(norm) AS BIGINT) AS shrunk,
+       norm <> text AS changed,
+       md5(norm) AS norm_hash
+FROM n
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall panel — mechanism validation as a first-class query: the
+# recall@5 of the IVF 2-probe candidate path (similarity_ivf) against
+# the exact brute-force top-5 (similarity_topk), per query vector.
+# This is the number an ANN index is GRADED on; shipping it as a
+# registered operator means the recall claim in similarity_ivf's
+# docstring is recomputed (and driver-oracle-checked) on every sweep
+# instead of living in a test. Composes the two registered queries'
+# own DataFrames (the test_pipeline_e2e discipline: the panel cannot
+# drift from the operators it scores).
+#
+# Determinism: both engines compute both legs; the IVF leg's coarse
+# assignment margins sit ~10 orders above cross-engine float drift
+# (measured for similarity_ivf's own oracle), and recall is a ratio of
+# small integer counts — exact multiples of 1/5, hash-stable.
+#
+# Plan / 100 TB: the exact leg is a broadcast of the (bounded) query
+# set against the corpus — at production scale the exact leg runs on a
+# SAMPLE of queries (this is how FAISS/ScaNN recall is measured: a
+# fixed query benchmark, not all vectors), so the panel stays a
+# broadcast-join + two keyed counts; never all-pairs.
+# ---------------------------------------------------------------------------
+def ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = similarity_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "leftsemi")
+    n_ex = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        n_ex.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+_register(
+    ann_recall_panel,
+    f"""
+WITH exact_k AS (
+  SELECT query_id, neighbor_id FROM ({ORACLE["similarity_topk"]}) t
+), approx_k AS (
+  SELECT query_id, neighbor_id FROM ({ORACLE["similarity_ivf"]}) t
+), hits AS (
+  SELECT e.query_id, e.neighbor_id
+  FROM exact_k e JOIN approx_k a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+), n_ex AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM exact_k GROUP BY 1
+), n_hit AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit FROM hits GROUP BY 1
+)
+SELECT n_ex.query_id, n_exact,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       COALESCE(n_hit, 0) * 1.0 / n_exact AS recall_at_5
+FROM n_ex LEFT JOIN n_hit ON n_ex.query_id = n_hit.query_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle — reproducible training-data ORDER.
+# Training runs shuffle the corpus differently per epoch but must be
+# bit-reproducible for repro/debug (and for resuming mid-epoch at a
+# known position). Hash-based shuffles (xxhash64(seed, id)) are the
+# common trick but the two engines' hash functions differ; an AFFINE
+# PERMUTATION pos = (p*rank + 7919*epoch) mod n is reproducible,
+# oracle-exact, AND a guaranteed bijection: p is prime and coprime
+# with n, so multiplication by p permutes Z_n (every doc appears
+# exactly once per epoch — positions collide never, a property a
+# mere hash sort lacks).
+#
+# Mechanism, not constant: p = first prime in EPOCH_SHUFFLE_PRIMES
+# with n % p != 0, derived from the metadata-only corpus count (the
+# _phash_band_bits pattern). A corpus divisible by all five listed
+# primes would exceed 10^30 docs, so the chain is total in practice;
+# at every test SF (n <= 5000 < 10^6) the first prime wins, so the
+# static-constant oracle SQL is the exact twin. Overflow headroom:
+# p*rank < 10^6 * n stays inside int64 up to n ~ 9*10^12 docs.
+#
+# Rank mechanism: sorted_rank (operators/utils.py) — range-partitioned
+# parallel sort + broadcast partition offsets; a global-window
+# ROW_NUMBER would serialize the corpus into one partition. The oracle
+# reproduces it as ROW_NUMBER() OVER (ORDER BY doc_id) because ranks
+# by a key column are engine-independent.
+# ---------------------------------------------------------------------------
+EPOCH_SHUFFLE_PRIMES = (1000003, 1000033, 1000037, 1000039, 1000081)
+EPOCH_SHUFFLE_OFFSET = 7919
+EPOCH_SHUFFLE_EPOCHS = 2
+
+
+def _epoch_shuffle_prime(n_docs: int) -> int:
+    """Smallest listed prime coprime with the corpus size — the
+    multiplier of the affine permutation over Z_n."""
+    for p in EPOCH_SHUFFLE_PRIMES:
+        if n_docs % p != 0:
+            return p
+    raise ValueError(
+        f"corpus size {n_docs} divisible by every candidate prime"
+    )
+
+
+def epoch_shuffle_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.utils import sorted_rank
+
+    n = _corpus_count(spark, sf_dir, "documents")
+    p = _epoch_shuffle_prime(n)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    ranked = sorted_rank(docs, "doc_id", rank_col="rid")
+    return ranked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(EPOCH_SHUFFLE_EPOCHS - 1))
+        ).alias("epoch"),
+        "rid",
+    ).select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        (
+            (F.lit(p) * F.col("rid") + F.lit(EPOCH_SHUFFLE_OFFSET) * F.col("epoch"))
+            % F.lit(n)
+        ).cast("bigint").alias("pos"),
+    )
+
+
+# static twin: at every test SF n < 10^6, so the derived prime is the
+# list head — the same constant-vs-mechanism contract as the pHash
+# band width's 8-bit static oracle
+_register(
+    epoch_shuffle_contract,
+    f"""
+WITH ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+       CAST(({EPOCH_SHUFFLE_PRIMES[0]} * rid
+             + {EPOCH_SHUFFLE_OFFSET} * epoch) % n AS BIGINT) AS pos
+FROM ranked, LATERAL (SELECT unnest(range(0, {EPOCH_SHUFFLE_EPOCHS})) AS epoch)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling — the video leg of the multimodal
+# plumbing (binary_meta covers magic-byte typing, feature_extract the
+# image features, phash_neardup the image near-dup; frame SAMPLING is
+# how video enters a training pipeline: decode is far too expensive
+# for every frame, so a strided subset is extracted per clip).
+#
+# Same stub policy as operators/multimodal.py: the real
+# demux/decode is codec work (absent from this container); the
+# deterministic stand-in derives a frame COUNT from the blob id, maps
+# each sampled frame to its BYTE OFFSET in the blob, and computes a
+# locality-preserving checksum from a strided byte sample of the
+# frame's span (the dHash stand-in discipline — near-identical blobs
+# get near-identical frame checksums, so downstream frame-level dedup
+# over this output is semantically real). The Spark-side plumbing —
+# schema, explode shape, per-frame rows, offset math — is the real
+# deliverable and is exact.
+#
+# Plan / 100 TB: one scan, per-row explode of <= 6 sampled frame
+# indices (bounded fan-out), all integer arithmetic in whole-stage
+# codegen; ZERO shuffles.
+# ---------------------------------------------------------------------------
+FRAME_SAMPLE_MAX = 6
+_FRAME_MIN_LEN = 32
+
+
+def _frame_exprs(idiv: str) -> dict[str, str]:
+    """Shared frame arithmetic; ``idiv`` is the engine's integer-divide
+    operator ('div' for Spark, '//' for DuckDB)."""
+    n_frames = "(8 + doc_id % 25)"
+    stride = f"(({n_frames} + {FRAME_SAMPLE_MAX - 1}) {idiv} {FRAME_SAMPLE_MAX})"
+    span = f"(length(text) {idiv} {n_frames})"
+    return {"n_frames": n_frames, "stride": stride, "span": span}
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _frame_exprs("div")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= _FRAME_MIN_LEN
+    )
+    frames = docs.select(
+        "doc_id",
+        "text",
+        F.expr(e["n_frames"]).cast("int").alias("n_frames"),
+        F.expr(e["span"]).alias("span"),
+        F.explode(
+            F.expr(
+                f"sequence(0, {e['n_frames']} - 1, {e['stride']})"
+            )
+        ).alias("frame_idx"),
+    )
+    checksum = F.expr(
+        "aggregate(transform(sequence(0, 7), i ->"
+        " ascii(substring(text, 1 + frame_idx * span + (i * span) div 8, 1))"
+        " * (i + 1)), 0, (acc, x) -> acc + x)"
+    )
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx") * F.col("span")).cast("bigint").alias("frame_offset"),
+        checksum.cast("bigint").alias("frame_checksum"),
+    )
+
+
+_frame_d = _frame_exprs("//")
+
+_register(
+    multimodal_frame_sample,
+    f"""
+WITH frames AS (
+  SELECT doc_id, text,
+         {_frame_d["n_frames"]} AS n_frames,
+         {_frame_d["span"]} AS span,
+         unnest(range(0, {_frame_d["n_frames"]}, {_frame_d["stride"]}))
+           AS frame_idx
+  FROM documents
+  WHERE length(text) >= {_FRAME_MIN_LEN}
+)
+SELECT doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * span AS BIGINT) AS frame_offset,
+       CAST(list_sum(list_transform(range(0, 8), i ->
+            ascii(substr(text, CAST(1 + frame_idx * span + (i * span) // 8
+                                    AS INTEGER), 1))
+            * (i + 1))) AS BIGINT) AS frame_checksum
+FROM frames
+""",
+)

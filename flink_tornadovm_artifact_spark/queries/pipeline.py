@@ -1645,3 +1645,193 @@ SELECT doc_id, canon_url, host_key,
 FROM keyed
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search top-k — multi-token exact-phrase retrieval, the query
+# class BM25 (retrieval_bm25_topk) cannot express: unigram bag scoring
+# loses adjacency, so "new york" matches docs with the words far
+# apart. Classic engines answer phrases from POSITIONAL postings; the
+# Spark-native equivalent derives adjacent-bigram postings per row
+# (transform over the token array — ZERO self-join: the pos+1
+# adjacency is resolved inside the row before the explode) and joins
+# them against the query phrases.
+#
+# Query set: the corpus's own top-3 bigrams (count desc, phrase asc) —
+# self-contained and deterministic, no magic phrase constants.
+# Relationship to neighbors: text_pmi_bigrams / text_boilerplate_ngrams
+# compute corpus-level n-gram STATISTICS; this is per-query document
+# RETRIEVAL over the same postings shape.
+#
+# Plan / 100 TB: the bigram explode is corpus-linear with map-side
+# combine into (phrase, doc) partial counts; the query set arrives by
+# BROADCAST (3 rows); top-3 selection plans as TakeOrderedAndProject
+# (per-partition heap + k-merge, no global window); the only wide
+# shuffle keys on phrase — stopword-skewed in natural text, where the
+# salting path of the dedup family applies unchanged.
+# ---------------------------------------------------------------------------
+PHRASE_TOP_QUERIES = 3
+PHRASE_TOP_DOCS = 5
+
+
+def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    big = docs.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i ->"
+                " concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("phrase"),
+    )
+    top_q = (
+        big.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("corpus_freq"))
+        .orderBy(F.desc("corpus_freq"), F.asc("phrase"))
+        .limit(PHRASE_TOP_QUERIES)
+        .select("phrase")
+    )
+    per_doc = (
+        big.join(F.broadcast(top_q), "phrase")
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    w = W.partitionBy("phrase").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("doc_rank", F.row_number().over(w))
+        .filter(F.col("doc_rank") <= PHRASE_TOP_DOCS)
+        .select(
+            "phrase",
+            "doc_id",
+            "n_occurrences",
+            F.col("doc_rank").cast("int").alias("doc_rank"),
+        )
+    )
+
+
+_register(
+    phrase_search_topk,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(t) - 1),
+                               i -> t[i + 1] || ' ' || t[i + 2])) AS phrase
+  FROM toks WHERE len(t) >= 2
+), top_q AS (
+  SELECT phrase FROM big GROUP BY phrase
+  ORDER BY COUNT(*) DESC, phrase ASC LIMIT {PHRASE_TOP_QUERIES}
+), per_doc AS (
+  SELECT b.phrase, b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM big b JOIN top_q USING (phrase) GROUP BY 1, 2
+)
+SELECT phrase, doc_id, n_occurrences, CAST(rn AS INTEGER) AS doc_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY phrase
+                                   ORDER BY n_occurrences DESC, doc_id ASC)
+               AS rn
+      FROM per_doc)
+WHERE rn <= {PHRASE_TOP_DOCS}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution by blocked dictionary matching — canonicalize dirty
+# entity mentions against a clean reference dictionary (the record-
+# linkage primitive: product-catalog dedup, author normalization,
+# gazetteer matching). Deterministic typos are INJECTED into p_name by
+# p_partkey (the _MESSY_URL_SQL discipline — the fixture is clean):
+# duplicated char / dropped char / adjacent transposition, all
+# edit-distance <= 2 and all preserving the FIRST character.
+#
+# Two-stage shape every scalable ER system uses:
+# 1. BLOCKING — equi-join on a cheap robust key (first char) keeps the
+#    candidate space linear in the dictionary; the length band (+-1)
+#    prunes further. The dictionary (distinct entity names) is a
+#    dimension — broadcast, so blocking is a broadcast HASH join, not
+#    a nested loop.
+# 2. VERIFY — exact levenshtein only on blocked candidates; argmin per
+#    record, ties broken (lev asc, name asc). `is_correct` records
+#    honest collisions where a foreign dictionary entry ties or beats
+#    the true name — the precision accounting a real linkage run
+#    reports.
+#
+# Plan / 100 TB: one scan of the fact side; dictionary broadcast;
+# per-record argmin is a bounded window over the blocked candidates
+# (fan-out <= dictionary entries sharing the block key). No all-pairs:
+# candidates = records x avg-block-size, not records x dictionary.
+# ---------------------------------------------------------------------------
+_MESSY_NAME_SQL = """
+CASE p_partkey % 4
+  WHEN 0 THEN p_name
+  WHEN 1 THEN substr(p_name, 1, 3) || substr(p_name, 3)
+  WHEN 2 THEN substr(p_name, 1, 1) || substr(p_name, 3)
+  ELSE substr(p_name, 1, 1) || substr(p_name, 3, 1)
+       || substr(p_name, 2, 1) || substr(p_name, 4)
+END
+"""
+
+ER_LEV_MAX = 2
+
+
+def entity_resolution_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    src = part.select(
+        "p_partkey",
+        "p_name",
+        F.expr(_MESSY_NAME_SQL).alias("messy"),
+    ).withColumn("bkey", F.substring("messy", 1, 1))
+    dict_ = (
+        part.select(F.col("p_name").alias("cand"))
+        .distinct()
+        .withColumn("bkey", F.substring("cand", 1, 1))
+    )
+    cand = (
+        src.join(F.broadcast(dict_), "bkey")
+        .filter(F.abs(F.length("messy") - F.length("cand")) <= 1)
+        .withColumn("lev", F.levenshtein("messy", "cand"))
+        .filter(F.col("lev") <= ER_LEV_MAX)
+    )
+    w = W.partitionBy("p_partkey").orderBy(F.asc("lev"), F.asc("cand"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            F.col("messy").alias("messy_name"),
+            F.col("cand").alias("matched_name"),
+            F.col("lev").cast("int").alias("lev_dist"),
+            (F.col("cand") == F.col("p_name")).alias("is_correct"),
+        )
+    )
+
+
+_register(
+    entity_resolution_blocking,
+    f"""
+WITH src AS (
+  SELECT p_partkey, p_name, {_MESSY_NAME_SQL} AS messy FROM part
+), dict AS (
+  SELECT DISTINCT p_name AS cand FROM part
+), cand AS (
+  SELECT s.p_partkey, s.p_name, s.messy, d.cand,
+         levenshtein(s.messy, d.cand) AS lev
+  FROM src s JOIN dict d
+    ON substr(s.messy, 1, 1) = substr(d.cand, 1, 1)
+  WHERE abs(length(s.messy) - length(d.cand)) <= 1
+    AND levenshtein(s.messy, d.cand) <= {ER_LEV_MAX}
+)
+SELECT p_partkey, messy AS messy_name, cand AS matched_name,
+       CAST(lev AS INTEGER) AS lev_dist, cand = p_name AS is_correct
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                   ORDER BY lev ASC, cand ASC) AS rn
+      FROM cand)
+WHERE rn = 1
+""",
+)

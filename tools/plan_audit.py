@@ -85,6 +85,8 @@ NESTED_LOOP_ALLOWLIST = {
     "text_burstiness_panel": "1-row doc-count broadcast onto the token type table",
     # round-8 batch 17
     "text_ks_length_drift": "1-row group-totals broadcast onto the length-domain ECDF grid",
+    # round-10 second batch
+    "ann_recall_panel": "inherits similarity_topk's broadcast query side (small Q by design)",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
@@ -98,6 +100,10 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     # the per-PARTITION-count table (rows = #partitions, bounded by
     # cluster size, not data size — Flink DataSetUtils' own design)
     "zip_with_index_contract": "offset window over per-partition counts",
+    # sorted_rank (the zip_with_index mechanism ordered by a column):
+    # the cumulative-offset window again runs over the per-partition
+    # COUNT table, bounded by partition count, not corpus size
+    "epoch_shuffle_contract": "sorted_rank offset window over per-partition counts",
     # the KM risk-set and product windows run over the distinct-
     # DURATION grid (bounded by the observation span in minutes — a
     # TIME-bounded frame, not a corpus-bounded one; the survival curve
