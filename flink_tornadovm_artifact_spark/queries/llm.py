@@ -6475,33 +6475,37 @@ FROM g
 # so the `changed` flag is non-vacuous both ways.
 #
 # Shared dialect: the whole normalization is one translate() plus two
-# regexp_replace() per row. Character classes are built with chr()
-# concatenation instead of backslash escapes because the two engines
-# disagree on string-literal escape processing (Spark SQL processes
-# \xNN, DuckDB standard-conforming strings do not) while chr() folds to
-# the identical constant in both. DuckDB's regexp_replace needs an
-# explicit 'g' flag for global replacement (Spark is global by
-# default) — the only per-engine parameter.
+# regexp_replace() per row. Sub-256 characters (controls, quote/dash
+# ASCII targets) are built with chr() concatenation instead of
+# backslash escapes because the two engines disagree on string-literal
+# escape processing (Spark SQL processes \xNN, DuckDB
+# standard-conforming strings do not) while chr(n<256) folds to the
+# identical constant in both. Codepoints ABOVE 255 must instead be RAW
+# UTF-8 literals in the SQL text: Spark's chr() is mod-256 ("ASCII
+# character of expr % 256"), so chr(8216) is \x18 there while DuckDB
+# yields U+2018 — the one chr() divergence, caught by the hypothesis
+# recompute property (tests/test_round10b_properties.py); raw literals
+# involve no escape processing and parse to the same codepoints in
+# both dialects. DuckDB's regexp_replace needs an explicit 'g' flag
+# for global replacement (Spark is global by default) — the only
+# per-engine parameter.
 #
 # Plan / 100 TB: pure per-row JVM expressions inside whole-stage
 # codegen; ZERO shuffles. The panel is a scan.
 # ---------------------------------------------------------------------------
 _MESSY_TEXT_SQL = (
-    "CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(160) ELSE '' END"
-    " || CASE WHEN doc_id % 3 = 0 THEN chr(8220) || text || chr(8221)"
+    "CASE WHEN doc_id % 4 = 0 THEN ' \u00a0' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '\u201c' || text || '\u201d'"
     " ELSE text END"
     " || CASE WHEN doc_id % 2 = 0 THEN chr(9) || chr(13) || chr(10) || ' '"
     " ELSE '' END"
-    " || CASE WHEN doc_id % 5 = 0 THEN chr(8203) || chr(1) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN '\u200b' || chr(1) ELSE '' END"
 )
 
 #: typographic chars folded to ASCII; trailing chars with no `to`
 #: counterpart (zero-width space) are DELETED — identical translate()
 #: semantics in Spark and DuckDB (pinned in tests/test_round10b_ops.py)
-_NORM_FROM = (
-    "chr(8216) || chr(8217) || chr(8220) || chr(8221)"
-    " || chr(8212) || chr(8211) || chr(160) || chr(8203)"
-)
+_NORM_FROM = "'‘’“”—– ​'"
 _NORM_TO = "chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' '"
 
 
