@@ -6558,39 +6558,47 @@ FROM n
 
 # ---------------------------------------------------------------------------
 # ANN recall panel — mechanism validation as a first-class query: the
-# recall@5 of the IVF 2-probe candidate path (similarity_ivf) against
-# the exact brute-force top-5 (similarity_topk), per query vector.
-# This is the number an ANN index is GRADED on; shipping it as a
-# registered operator means the recall claim in similarity_ivf's
-# docstring is recomputed (and driver-oracle-checked) on every sweep
-# instead of living in a test. Composes the two registered queries'
-# own DataFrames (the test_pipeline_e2e discipline: the panel cannot
-# drift from the operators it scores).
+# recall@5 of BOTH approximate index paths (IVF 2-probe and
+# random-hyperplane LSH) against the exact brute-force top-5
+# (similarity_topk), per query vector and per method. This is the
+# number an ANN index is GRADED on; shipping it as a registered
+# operator means the REGIME claim the docstrings make — IVF recalls
+# general nearest neighbors on clustered data (~0.9 here), LSH only
+# recalls near-duplicates (cos ≳ 0.95) and scores 0.0 on this
+# corpus's general top-5 — is recomputed and driver-oracle-checked on
+# every sweep instead of living in prose. Composes the registered
+# queries' own DataFrames (the test_pipeline_e2e discipline: the panel
+# cannot drift from the operators it scores).
 #
-# Determinism: both engines compute both legs; the IVF leg's coarse
+# Determinism: both engines compute all legs; the IVF leg's coarse
 # assignment margins sit ~10 orders above cross-engine float drift
-# (measured for similarity_ivf's own oracle), and recall is a ratio of
-# small integer counts — exact multiples of 1/5, hash-stable.
+# (measured for similarity_ivf's own oracle), the LSH bucketing is
+# md5-derived, and recall is a ratio of small integer counts — exact
+# multiples of 1/5, hash-stable.
 #
 # Plan / 100 TB: the exact leg is a broadcast of the (bounded) query
 # set against the corpus — at production scale the exact leg runs on a
 # SAMPLE of queries (this is how FAISS/ScaNN recall is measured: a
-# fixed query benchmark, not all vectors), so the panel stays a
-# broadcast-join + two keyed counts; never all-pairs.
+# fixed query benchmark, not all vectors), so the panel stays
+# broadcast-joins + keyed counts; never all-pairs.
 # ---------------------------------------------------------------------------
 def ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = similarity_ivf(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "leftsemi")
     n_ex = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
-    n_hit = hits.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hit")
-    )
-    return (
-        n_ex.join(n_hit, "query_id", "left")
-        .select(
+
+    def leg(method: str, approx: DataFrame) -> DataFrame:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "leftsemi",
+        )
+        n_hit = hits.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+        return n_ex.join(n_hit, "query_id", "left").select(
+            F.lit(method).alias("method"),
             "query_id",
             "n_exact",
             F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
@@ -6598,7 +6606,31 @@ def ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")
             ).alias("recall_at_5"),
         )
+
+    ivf = leg("ivf", similarity_ivf(spark, sf_dir))
+    lsh = leg(
+        "lsh",
+        similarity_lsh_bucketed(spark, sf_dir).filter(F.col("query_id") < 5),
     )
+    return ivf.unionByName(lsh)
+
+
+def _ann_leg_sql(method: str, approx_sql: str) -> str:
+    return f"""
+SELECT '{method}' AS method, n_ex.query_id, n_exact,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       COALESCE(n_hit, 0) * 1.0 / n_exact AS recall_at_5
+FROM (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM exact_k GROUP BY 1
+) n_ex LEFT JOIN (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact_k e
+  JOIN ({approx_sql}) a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+) n_hit ON n_ex.query_id = n_hit.query_id
+"""
 
 
 _register(
@@ -6606,22 +6638,13 @@ _register(
     f"""
 WITH exact_k AS (
   SELECT query_id, neighbor_id FROM ({ORACLE["similarity_topk"]}) t
-), approx_k AS (
-  SELECT query_id, neighbor_id FROM ({ORACLE["similarity_ivf"]}) t
-), hits AS (
-  SELECT e.query_id, e.neighbor_id
-  FROM exact_k e JOIN approx_k a
-    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-), n_ex AS (
-  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
-  FROM exact_k GROUP BY 1
-), n_hit AS (
-  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit FROM hits GROUP BY 1
 )
-SELECT n_ex.query_id, n_exact,
-       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
-       COALESCE(n_hit, 0) * 1.0 / n_exact AS recall_at_5
-FROM n_ex LEFT JOIN n_hit ON n_ex.query_id = n_hit.query_id
+{_ann_leg_sql("ivf", ORACLE["similarity_ivf"])}
+UNION ALL
+{_ann_leg_sql(
+    "lsh",
+    f'SELECT * FROM ({ORACLE["similarity_lsh_bucketed"]}) l WHERE query_id < 5',
+)}
 """,
 )
 

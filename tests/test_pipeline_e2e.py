@@ -260,3 +260,80 @@ def test_crawl_and_tokenizer_stages_compose(spark, stages):
     assert released_sources <= set(qa)
     bar = 0.9  # release bar; fixture fidelity measured ~0.93 per source
     assert released_sources <= {s for s, f in qa.items() if f >= bar}
+
+
+def test_normalize_dedup_and_epoch_order_compose(spark, tmp_path_factory):
+    """Round-10 second-batch stages composed into the release flow:
+
+    normalize (stage ZERO — the registered _text_norm_sql expression
+    applied to the raw text) → exact dedup on the NORMALIZED hash →
+    deterministic epoch ordering of the survivors (the epoch-shuffle
+    operator's own pieces: sorted_rank + the affine permutation).
+
+    The corpus is built to defeat raw exact dedup the way real crawl
+    text does: the same sentence with NBSP / doubled-space / zero-width
+    variants hashes to 4 distinct md5s raw, but ONE normalized class —
+    the invariant that makes normalization a correctness stage, not
+    cosmetics. A curly-quoted variant stays a separate class (quotes
+    are folded to ASCII, not stripped), pinning that normalization is
+    conservative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tornadovm_artifact_spark.operators.utils import sorted_rank
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        _epoch_shuffle_prime,
+        _text_norm_sql,
+    )
+
+    texts = [
+        "hello world",
+        "hello\u00a0world",
+        "hello  world",
+        "hello world\u200b",
+        "totally different doc",
+        "“hello world”",
+    ]
+    d = tmp_path_factory.mktemp("e2e_norm")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    sf = str(d)
+    docs = load(spark, sf, "documents")
+
+    # raw exact dedup is DEFEATED: all six texts hash distinct
+    assert dedup_exact(spark, sf).collect()[0].n_distinct == len(texts)
+
+    normed = docs.select(
+        "doc_id", F.expr(_text_norm_sql("text", "")).alias("norm")
+    )
+    reps = normed.groupBy(F.md5("norm").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # normalized classes: the 4 whitespace variants collapse; the
+    # distinct doc and the quote-folded variant stay separate
+    assert reps.count() == 3
+    survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    assert {r.doc_id for r in survivors.select("doc_id").collect()} == {
+        0,
+        4,
+        5,
+    }
+
+    # epoch ordering over the SURVIVORS, from the operator's own parts
+    n = survivors.count()
+    p = _epoch_shuffle_prime(n)
+    ranked = sorted_rank(survivors.select("doc_id"), "doc_id", rank_col="rid")
+    rows = ranked.select(
+        "doc_id", ((F.lit(p) * F.col("rid")) % F.lit(n)).alias("pos")
+    ).collect()
+    assert sorted(r.pos for r in rows) == list(range(n))
