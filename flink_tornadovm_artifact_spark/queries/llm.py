@@ -6695,6 +6695,10 @@ def epoch_shuffle_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.utils import sorted_rank
 
     n = _corpus_count(spark, sf_dir, "documents")
+    if n == 0:
+        # empty corpus: nothing to order (the oracle's answer); without
+        # this, `% n` is undefined and the prime chain has no coprime
+        return spark.createDataFrame([], "doc_id long, epoch int, pos long")
     p = _epoch_shuffle_prime(n)
     docs = load(spark, sf_dir, "documents").select("doc_id")
     ranked = sorted_rank(docs, "doc_id", rank_col="rid")

@@ -337,3 +337,12 @@ def test_er_match_is_global_argmin(spark):
             dictionary, key=lambda c: (_lev(r["messy_name"], c), c)
         )
         assert r["matched_name"] == best
+
+
+def test_epoch_shuffle_empty_corpus(spark, tmp_path):
+    """n = 0 has no coprime prime and `% n` is undefined — the operator
+    must return the oracle's answer (no rows) instead of raising."""
+    sf = _write_docs(spark, tmp_path, [], "empty_docs")
+    out = epoch_shuffle_contract(spark, sf)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "epoch", "pos"]
