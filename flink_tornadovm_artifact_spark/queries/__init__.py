@@ -175,28 +175,30 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: claims exactly one slot (dedup_semantic) and the never-checked set
 #: claims 16; the remaining 33 go to age.
 #: Round-10 rotation (VERDICT r9 Next 1 + Next 5 — registry UNFROZEN
-#: with the per-round cap: 10 new operators, exactly at the 10-12
+#: with the per-round cap: 11 new operators, inside the 10-12
 #: ceiling):
-#: IN — FIRST the rule-1 set: the 10 round-10 debuts
+#: IN — FIRST the rule-1 set: the 11 round-10 debuts
 #: (multimodal_phash_neardup: banded dHash near-dup, the image analog
 #: of SimHash; tokenizer_roundtrip_qa: encode→decode fidelity + OOV
 #: panel over the WordPiece vocab; url_canonicalize_hostdedup: URL
 #: canonicalization + host-level dedup keys; bloom_decontaminate_screen;
 #: then the second batch: text_normalize_panel, ann_recall_panel,
 #: epoch_shuffle_contract, multimodal_frame_sample, phrase_search_topk,
-#: entity_resolution_blocking) and q49_approx_aggregates,
+#: entity_resolution_blocking, minhash_estimate_error_panel — the
+#: sketch-QA companion for the MinHash family) and q49_approx_aggregates,
 #: whose OUTPUT changed to the tolerance-banded boolean panel and which
 #: is now oracle-backed — the ledger's last never-green query (VERDICT
 #: r9 What's-wrong 1). THEN the full 26-query r5-stale cohort (the
-#: r9-designated staleness queue), then 13 of the 47-query r6 cohort
+#: r9-designated staleness queue), then 12 of the 47-query r6 cohort
 #: picked for family diversity: the 7-strong CEP completion family,
 #: both iteration pipelines (kmeans bulk, sssp delta), one TPC-H heavy
-#: (q53), both temporal-table ops, and the dedup-representatives op
-#: (corpus_datasheet ceded its slot to the fourth debut; the
-#: second-batch debuts displaced adamic_adar / asm_vertex_degrees /
-#: average_clustering_coefficient_q / bipartite_projection /
-#: generator_hypercube / q51 — all expressions stay swept by the
-#: full-oracle pytest run). The remaining 34 r6-cohort queries
+#: (q53), one temporal-table op (hypertable rollup), and the
+#: dedup-representatives op (corpus_datasheet ceded its slot to the
+#: fourth debut; the second-batch debuts displaced adamic_adar /
+#: asm_vertex_degrees / average_clustering_coefficient_q /
+#: bipartite_projection / generator_hypercube / q51 /
+#: range_join_events — all expressions stay swept by the
+#: full-oracle pytest run). The remaining 35 r6-cohort queries
 #: head the r11 staleness queue.
 #: OUT — the entire r9 window's 50 green rows (all 1-round-fresh; rule
 #: 3 keeps them under the full-oracle pytest sweep at both SFs every
@@ -226,6 +228,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_frame_sample",
     "phrase_search_topk",
     "entity_resolution_blocking",
+    "minhash_estimate_error_panel",
     "q49_approx_aggregates",
     # stalest: last green round 5 (26 — the whole cohort)
     "average_clustering_coefficient_directed_q",
@@ -266,7 +269,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sssp_pipeline",
     "q53_tpch_q2",
     "hypertable_rollup_events",
-    "range_join_events",
     "dedup_cluster_representatives",
 )
 

@@ -6828,3 +6828,108 @@ SELECT doc_id,
 FROM frames
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error panel — the sketch-QA companion the MinHash
+# family lacked: q49 audits HLL/percentile sketches against their
+# exact counterparts and ann_recall_panel audits the ANN indexes, but
+# nothing measured how well the k=8 chunked-md5 MinHash signature
+# actually ESTIMATES Jaccard. For every LSH candidate pair this emits
+# the signature estimate (fraction of agreeing minhash rows — the
+# number LSH banding thresholds are derived from), the exact
+# shingle-set Jaccard, and the absolute error. Composed entirely from
+# the registered operators' own pieces (_shingled/_minhash_sig/
+# dedup_minhash_lsh — the test_pipeline_e2e discipline).
+#
+# Determinism: minhash rows are md5-derived (both engines agree
+# bit-for-bit); the estimate is a multiple of 1/8 and the exact value
+# a ratio of ints, so the panel is hash-stable.
+#
+# Plan / 100 TB: candidates come from the banded LSH (never
+# all-pairs); the signature + shingle-set features join back by doc id
+# (two hash joins per side); per-pair work is 8 chunk comparisons and
+# one set intersection — the same bound as dedup_lsh_verified.
+# ---------------------------------------------------------------------------
+def minhash_estimate_error_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    shd = _shingled(spark, sf_dir)
+    feats = _minhash_sig(shd).join(
+        shd.select("doc_id", F.array_distinct("shingles").alias("sset")),
+        "doc_id",
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    fa = feats.select([F.col(c).alias(f"a_{c}") for c in feats.columns])
+    fb = feats.select([F.col(c).alias(f"b_{c}") for c in feats.columns])
+    j = pairs.join(fa, pairs.doc_a == F.col("a_doc_id")).join(
+        fb, pairs.doc_b == F.col("b_doc_id")
+    )
+    agree = sum(
+        F.when(F.col(f"a_mh{k}") == F.col(f"b_mh{k}"), 1).otherwise(0)
+        for k in range(_MINHASH_K)
+    )
+    est = agree / F.lit(float(_MINHASH_K))
+    inter = F.size(F.array_intersect("a_sset", "b_sset"))
+    union = F.size("a_sset") + F.size("b_sset") - inter
+    exact = inter / union
+    return j.select(
+        "doc_a",
+        "doc_b",
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        F.abs(est - exact).alias("abs_error"),
+    )
+
+
+_est_sql = (
+    "("
+    + " + ".join(
+        f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END"
+        for k in range(_MINHASH_K)
+    )
+    + f") / {float(_MINHASH_K)}"
+)
+_exact_sql = (
+    "len(list_intersect(a.sset, b.sset)) * 1.0"
+    " / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))"
+)
+
+_register(
+    minhash_estimate_error_panel,
+    f"""
+WITH pairs AS (
+{ORACLE["dedup_minhash_lsh"].strip()}
+), toks3 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled3 AS (
+  SELECT doc_id,
+         list_transform(range(0, len(t) - 2),
+                        i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+           AS shingles
+  FROM toks3
+), sh AS (
+  SELECT doc_id, list_distinct(shingles) AS sset FROM shingled3
+), hashed3 AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM shingled3
+), sig3 AS (
+  SELECT doc_id,
+         {", ".join(
+             f"list_min(list_transform(hs, h -> substr(h, {4 * k + 1}, 4)))"
+             f" AS mh{k}"
+             for k in range(_MINHASH_K)
+         )}
+  FROM hashed3
+)
+SELECT p.doc_a, p.doc_b,
+       {_est_sql} AS est_jaccard,
+       {_exact_sql} AS exact_jaccard,
+       abs({_est_sql} - {_exact_sql}) AS abs_error
+FROM pairs p
+JOIN sig3 sa ON p.doc_a = sa.doc_id
+JOIN sig3 sb ON p.doc_b = sb.doc_id
+JOIN sh a ON p.doc_a = a.doc_id
+JOIN sh b ON p.doc_b = b.doc_id
+""",
+)

@@ -346,3 +346,61 @@ def test_epoch_shuffle_empty_corpus(spark, tmp_path):
     out = epoch_shuffle_contract(spark, sf)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "epoch", "pos"]
+
+
+# ---------------------------------------------------------------------------
+# minhash_estimate_error_panel
+# ---------------------------------------------------------------------------
+def test_minhash_error_panel_matches_recompute(spark, tmp_path):
+    """The panel equals a Python recompute from first principles (md5
+    chunk signatures + exact shingle Jaccard) on a corpus with an
+    injected exact duplicate and a near duplicate: the duplicate pair
+    must score est == exact == 1 with zero error, and every estimate is
+    a multiple of 1/k."""
+    import hashlib
+
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        _MINHASH_K,
+        minhash_estimate_error_panel,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    rows = [(0, base), (1, base), (2, near)] + [
+        (i, f"unrelated filler text number {i} with several words")
+        for i in range(3, 10)
+    ]
+    sf = _write_docs(spark, tmp_path, rows, "mh_docs")
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in minhash_estimate_error_panel(spark, sf).collect()
+    }
+    assert (0, 1) in out, "exact duplicates must be LSH candidates"
+    dup = out[(0, 1)]
+    assert dup["est_jaccard"] == 1.0
+    assert dup["exact_jaccard"] == 1.0
+    assert dup["abs_error"] == 0.0
+
+    def shingles(t):
+        toks = t.split(" ")
+        return [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+
+    def sig(t):
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles(t)]
+        return [
+            min(h[4 * j : 4 * j + 4] for h in hs)
+            for j in range(_MINHASH_K)
+        ]
+
+    texts = dict(rows)
+    for (a, b), r in out.items():
+        sa, sb = sig(texts[a]), sig(texts[b])
+        est = sum(x == y for x, y in zip(sa, sb)) / _MINHASH_K
+        xa, xb = set(shingles(texts[a])), set(shingles(texts[b]))
+        exact = len(xa & xb) / len(xa | xb)
+        assert r["est_jaccard"] == est
+        assert abs(r["exact_jaccard"] - exact) < 1e-12
+        assert abs(r["abs_error"] - abs(est - exact)) < 1e-12
+        assert (est * _MINHASH_K) == int(est * _MINHASH_K)
