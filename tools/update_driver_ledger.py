@@ -77,7 +77,17 @@ def build() -> dict:
                 green.setdefault(name, []).append(rnd)
 
     current = (max(rounds) + 1) if rounds else 1
-    registered_asof = dict(prior.get("registered_asof", {}))
+    # Prune names no longer in the live registry (a query renamed before
+    # ever earning a driver row would otherwise leave a phantom row
+    # forever — the round-10 `dedup_bloom_ingest` slip). `green`/`checked`
+    # keep historical names because they mirror the CORRECTNESS files;
+    # `registered_asof` tracks only live names so the ledger count always
+    # equals len(queries()) (pinned by tests/test_driver_ledger.py).
+    registered_asof = {
+        name: rnd
+        for name, rnd in prior.get("registered_asof", {}).items()
+        if name in _ALL
+    }
     for name in _ALL:
         if name not in registered_asof:
             # first driver row bounds the registration round from above
