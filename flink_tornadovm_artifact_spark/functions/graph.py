@@ -416,28 +416,123 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return scores
 
 
+#: Spoke-pair group size for the salted wedge join below — the Spark
+#: analog of the reference's GROUP_SIZE = 64 (AdamicAdar.java:77 /
+#: JaccardIndex.java): each wedge center's spoke list is split into
+#: ~cap-sized buckets so no single join key carries a hub's quadratic
+#: pair fan-out. 1024 (vs the reference's 64) because a Spark task is
+#: far coarser than Flink's streamed group-reduce: 1024² ≈ 1M pairs
+#: per (center, bucket-pair) key is tens of MB of task output, large
+#: enough to amortize scheduling, small enough that a 10⁶-degree
+#: celebrity hub fans out over ~(d/cap)²/2 ≈ 476k independent keys
+#: instead of one straggler task.
+WEDGE_GROUP_SIZE = 1024
+
+
+def _wedge_pairs(spokes: DataFrame, cap: int = WEDGE_GROUP_SIZE) -> DataFrame:
+    """All unordered spoke pairs per wedge center, hub-skew-safe.
+
+    ``spokes`` holds one row per (center, spoke): columns ``x`` (center),
+    ``y`` (spoke, unique within a center), ``d`` (the center's degree =
+    its spoke count) plus any extra per-CENTER columns (identical across
+    the center's rows, e.g. AdamicAdar's 1/ln(d) weight). Returns one
+    row per (center, unordered spoke pair): ``x``, ``u`` < ``v``, and
+    the extra columns.
+
+    Mechanism (VERDICT r10 Next 5 — the registry's one unmechanized
+    100×-scale skew spot): a plain self-join on the center key routes a
+    degree-d hub's d(d−1)/2 candidate pairs through ONE join key = one
+    straggler task. The reference distributes exactly this skew with
+    its GenerateGroupSpans / GenerateGroups / GenerateGroupPairs chain
+    (AdamicAdar.java:146 implementation note, GROUP_SIZE=64 spans at
+    :77, mirrored in JaccardIndex.java); this is the Spark analog:
+
+    - centers with d <= cap keep the plain self-join (zero overhead for
+      the common case — no explode, no extra shuffle);
+    - heavier centers are split into nb = ceil(d/cap) hash buckets of
+      the spoke id (the reference's spans are exact 64-row chunks of
+      the sorted spoke list; hash buckets avoid the per-center sort and
+      are cap-sized in expectation). The left copy of a bucket-p row
+      serves bucket pairs (p, q) for q in p..nb-1, the right copy
+      (i, p) for i in 0..p, and the join key is (x, i, q) — so a pair
+      {a ∈ bucket i, b ∈ bucket j} meets exactly once, at key
+      (x, min(i,j), max(i,j)), and each key's output is ~cap² pairs
+      regardless of d. The diagonal key (i == j) filters y_l < y_r to
+      keep one orientation; off-diagonal keys need no filter and
+      canonicalize via least/greatest.
+
+    Both paths emit identical rows, so downstream aggregation by the
+    pair key is oblivious to the split (pinned by the property test in
+    tests/test_graph.py with a forced low cap and a hub fixture).
+    """
+    extra = [c for c in spokes.columns if c not in ("x", "y", "d")]
+    light = spokes.filter(F.col("d") <= cap)
+    a, b = light.alias("a"), light.alias("b")
+    light_pairs = a.join(
+        b, (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
+    ).select(
+        F.col("a.x").alias("x"),
+        F.col("a.y").alias("u"),
+        F.col("b.y").alias("v"),
+        *[F.col(f"a.{c}").alias(c) for c in extra],
+    )
+
+    heavy = (
+        spokes.filter(F.col("d") > cap)
+        .withColumn("nb", F.ceil(F.col("d") / F.lit(cap)).cast("int"))
+        .withColumn("p", F.pmod(F.xxhash64("y"), F.col("nb")).cast("int"))
+    )
+    hl = heavy.withColumn(
+        "qq", F.explode(F.sequence(F.col("p"), F.col("nb") - F.lit(1)))
+    ).alias("a")
+    hr = heavy.withColumn(
+        "ii", F.explode(F.sequence(F.lit(0), F.col("p")))
+    ).alias("b")
+    heavy_pairs = (
+        hl.join(
+            hr,
+            (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.p") == F.col("b.ii"))
+            & (F.col("a.qq") == F.col("b.p")),
+        )
+        .filter((F.col("a.p") != F.col("b.p")) | (F.col("a.y") < F.col("b.y")))
+        .select(
+            F.col("a.x").alias("x"),
+            F.least(F.col("a.y"), F.col("b.y")).alias("u"),
+            F.greatest(F.col("a.y"), F.col("b.y")).alias("v"),
+            *[F.col(f"a.{c}").alias(c) for c in extra],
+        )
+    )
+    return light_pairs.unionByName(heavy_pairs)
+
+
 def _shared_neighbors(
-    edges: DataFrame | None = None, und: DataFrame | None = None
+    edges: DataFrame | None = None,
+    und: DataFrame | None = None,
+    degrees: DataFrame | None = None,
+    cap: int = WEDGE_GROUP_SIZE,
 ) -> DataFrame:
     """(u, v, shared) for every vertex pair (u < v) of the undirected
     simple graph with at least one common neighbor — the wedge-join
-    core shared by JaccardIndex and AdamicAdar. One groupBy on the
-    pair key; wedge fan-out is Σ deg² on the wedge centers (the
-    reference bounds this with its group-size split; at Spark scale the
-    same bound comes from AQE skew splitting on the groupBy). Pass a
-    pre-persisted canonical edge set via ``und`` to share it with the
-    caller's degree aggregate."""
+    core shared by JaccardIndex and AdamicAdar, routed through the
+    hub-skew-safe ``_wedge_pairs`` split (see its docstring; the
+    reference's GenerateGroupSpans chain is the same mechanism). Pass a
+    pre-persisted canonical edge set via ``und`` and its degree table
+    via ``degrees`` to share both with the caller (the
+    UndirectedGraphBase persists each exactly once)."""
     und = und if und is not None else _undirect(edges)
     both = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
-    a, b = both.alias("a"), both.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+    if degrees is None:
+        degrees = (
+            both.groupBy(F.col("x").alias("vertex"))
+            .agg(F.count(F.lit(1)).alias("degree"))
         )
-        .groupBy(F.col("a.y").alias("u"), F.col("b.y").alias("v"))
+    deg = degrees.select(F.col("vertex").alias("x"), F.col("degree").alias("d"))
+    return (
+        _wedge_pairs(both.join(deg, "x"), cap=cap)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
 
