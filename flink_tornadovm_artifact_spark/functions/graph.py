@@ -559,7 +559,9 @@ def jaccard_index(
     deg = base.degrees.select(
         F.col("vertex").alias("x"), F.col("degree").alias("d")
     )
-    pairs = _shared_neighbors(und=und).filter(F.col("shared") >= min_shared)
+    pairs = _shared_neighbors(und=und, degrees=base.degrees).filter(
+        F.col("shared") >= min_shared
+    )
     return (
         pairs.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
@@ -579,15 +581,31 @@ def adamic_adar(
     edges: DataFrame | None = None,
     min_shared: int = 1,
     base: UndirectedGraphBase | None = None,
+    min_ratio: float = 0.0,
+    cap: int = WEDGE_GROUP_SIZE,
 ) -> DataFrame:
     """Adamic-Adar similarity (``flink-gelly/.../library/similarity/
     AdamicAdar.java``): for each vertex pair, Σ over common neighbors w
     of 1 / ln(deg(w)) — common neighbors weighted inversely by their
-    popularity. Pairs with ``shared < min_shared`` are filtered (the
-    reference's minimum-ratio option). Returns (u, v, shared, aa)
-    with u < v.
+    popularity. Pairs with ``shared < min_shared`` are filtered.
+    Returns (u, v, shared, aa) with u < v.
 
-    Edge set and degrees come off the shared persisted
+    ``min_ratio`` mirrors the reference's ``setMinimumRatio``
+    (AdamicAdar.java:108): filter out scores below ``min_ratio`` times
+    the mean score, where the mean is computed CLOSED-FORM from the
+    degree table alone — Σ over vertices of C(d,2)·(1/ln d) divided by
+    Σ C(d,2) (the reference's ComputeScoreFromVertex map + sum) — so
+    the pruning costs one degree-table aggregate broadcast back as a
+    1-row crossJoin, never a second pass over the pair set. This is the
+    documented output-pruning knob for graphs whose pair cardinality is
+    the binding cost at scale.
+
+    Hub skew: the spoke-pair enumeration routes through the
+    degree-capped salted ``_wedge_pairs`` split — the Spark analog of
+    the reference's own GenerateGroupSpans skew distribution
+    (AdamicAdar.java:77,146) — so a celebrity hub's quadratic pair
+    fan-out spreads over ~(d/cap)² join keys instead of one straggler
+    task. Edge set and degrees come off the shared persisted
     ``UndirectedGraphBase``; pass ``base=`` for deterministic cache
     cleanup (``base.unpersist()`` after the action).
     """
@@ -606,21 +624,35 @@ def adamic_adar(
     # division would crash if a plan change ever materialized this
     # projection before the join filters them out
     wb = both.join(deg, "x").select(
-        "x", "y", F.try_divide(F.lit(1.0), F.log(F.col("d"))).alias("w")
+        "x", "y", "d", F.try_divide(F.lit(1.0), F.log(F.col("d"))).alias("w")
     )
-    a, b = wb.alias("a"), wb.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
-        )
-        .groupBy(F.col("a.y").alias("u"), F.col("b.y").alias("v"))
+    scored = (
+        _wedge_pairs(wb, cap=cap)
+        .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("shared"),
-            F.sum(F.col("a.w")).alias("aa"),
+            F.sum("w").alias("aa"),
         )
         .filter(F.col("shared") >= min_shared)
     )
+    if min_ratio > 0.0:
+        # mean pair score from the degree table alone: each center of
+        # degree d contributes C(d,2) pairs, each carrying 1/ln(d)
+        mean = base.degrees.filter(F.col("degree") >= 2).agg(
+            F.try_divide(
+                F.sum(
+                    F.col("degree")
+                    * (F.col("degree") - 1)
+                    / F.lit(2.0)
+                    / F.log("degree")
+                ),
+                F.sum(F.col("degree") * (F.col("degree") - 1) / F.lit(2.0)),
+            ).alias("mean_score")
+        )
+        scored = scored.crossJoin(F.broadcast(mean)).filter(
+            F.col("aa") >= F.lit(min_ratio) * F.col("mean_score")
+        ).drop("mean_score")
+    return scored
 
 
 def clustering_coefficients(

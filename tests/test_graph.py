@@ -485,3 +485,82 @@ def test_kcore_oracle_unroll_is_fixpoint():
         )
         assert at == plus, f"{sf_dir}: unroll {_KCORE_UNROLL} not a fixpoint"
         con.close()
+
+
+def test_wedge_pair_salting_is_exact_under_hub_skew(spark):
+    """The degree-capped salted wedge join (graph._wedge_pairs — the
+    Spark analog of the reference's GenerateGroupSpans skew split,
+    AdamicAdar.java:77,146) must produce EXACTLY the plain self-join's
+    answers on a skew-adversarial graph: one celebrity hub whose degree
+    far exceeds the cap, plus a random background graph, with the cap
+    forced low (4) so the salted path actually executes and hub spokes
+    span many buckets. Both jaccard_index and adamic_adar are compared
+    field-by-field against cap=huge (all-light = the historical plain
+    plan)."""
+    import random
+
+    from flink_tornadovm_artifact_spark.functions.graph import (
+        _shared_neighbors,
+        adamic_adar,
+        undirected_graph_base,
+    )
+
+    rng = random.Random(11)
+    hub = 0
+    edges = [(hub, s) for s in range(1, 41)]  # hub degree 40 >> cap 4
+    edges += [
+        (rng.randrange(1, 60), rng.randrange(1, 60)) for _ in range(120)
+    ]
+    df = _edges_df(spark, [e for e in edges if e[0] != e[1]])
+
+    base = undirected_graph_base(df)
+    plain = {
+        (r.u, r.v): r.shared
+        for r in _shared_neighbors(
+            und=base.und, degrees=base.degrees, cap=1 << 30
+        ).collect()
+    }
+    salted = {
+        (r.u, r.v): r.shared
+        for r in _shared_neighbors(
+            und=base.und, degrees=base.degrees, cap=4
+        ).collect()
+    }
+    assert salted == plain
+    assert plain, "fixture produced no shared-neighbor pairs"
+
+    aa_plain = {
+        (r.u, r.v): (r.shared, round(r.aa, 12))
+        for r in adamic_adar(base=base, cap=1 << 30).collect()
+    }
+    base2 = undirected_graph_base(df)
+    aa_salted = {
+        (r.u, r.v): (r.shared, round(r.aa, 12))
+        for r in adamic_adar(base=base2, cap=4).collect()
+    }
+    assert aa_salted == aa_plain
+    base.unpersist()
+    base2.unpersist()
+
+
+def test_adamic_adar_minimum_ratio_matches_reference_semantics(spark):
+    """min_ratio mirrors AdamicAdar.java:108/:355-373: keep pairs with
+    aa >= ratio * mean, mean = Σ_v C(d_v,2)/ln(d_v) / Σ_v C(d_v,2)
+    over the degree table (ComputeScoreFromVertex + sum/andSum), never
+    a second pass over the pair set. Checked against a hand-derived
+    mean on the 4-edge fixture."""
+    import math
+
+    from flink_tornadovm_artifact_spark.functions.graph import adamic_adar
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4)]
+    df = _edges_df(spark, edges)
+    # degrees: 1->2, 2->3, 3->2, 4->1; pairs C(2,2)=1,C(3,2)=3,C(2,2)=1
+    mean = (1 / math.log(2) + 3 / math.log(3) + 1 / math.log(2)) / 5
+    full = {(r.u, r.v): r.aa for r in adamic_adar(df).collect()}
+    kept = {
+        (r.u, r.v): r.aa for r in adamic_adar(df, min_ratio=1.0).collect()
+    }
+    expect = {p: s for p, s in full.items() if s >= mean}
+    assert kept == expect
+    assert kept and kept != full, "ratio=1.0 should split this fixture"
