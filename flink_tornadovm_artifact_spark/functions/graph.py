@@ -429,15 +429,21 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
 WEDGE_GROUP_SIZE = 1024
 
 
-def _wedge_pairs(spokes: DataFrame, cap: int = WEDGE_GROUP_SIZE) -> DataFrame:
+def _wedge_pairs(
+    spokes: DataFrame,
+    degrees: DataFrame,
+    cap: int = WEDGE_GROUP_SIZE,
+    slim: DataFrame | None = None,
+) -> DataFrame:
     """All unordered spoke pairs per wedge center, hub-skew-safe.
 
     ``spokes`` holds one row per (center, spoke): columns ``x`` (center),
-    ``y`` (spoke, unique within a center), ``d`` (the center's degree =
-    its spoke count) plus any extra per-CENTER columns (identical across
-    the center's rows, e.g. AdamicAdar's 1/ln(d) weight). Returns one
-    row per (center, unordered spoke pair): ``x``, ``u`` < ``v``, and
-    the extra columns.
+    ``y`` (spoke, unique within a center) plus any extra per-CENTER
+    columns (identical across the center's rows, e.g. AdamicAdar's
+    1/ln(d) weight). ``degrees`` is the (vertex, degree) table — the
+    center's degree must equal its spoke count. Returns one row per
+    (center, unordered spoke pair): ``x``, ``u`` < ``v``, and the
+    extra columns.
 
     Mechanism (VERDICT r10 Next 5 — the registry's one unmechanized
     100×-scale skew spot): a plain self-join on the center key routes a
@@ -464,10 +470,35 @@ def _wedge_pairs(spokes: DataFrame, cap: int = WEDGE_GROUP_SIZE) -> DataFrame:
     Both paths emit identical rows, so downstream aggregation by the
     pair key is oblivious to the split (pinned by the property test in
     tests/test_graph.py with a forced low cap and a hub fixture).
+
+    The light/heavy split is routed through a broadcast anti/inner
+    join against the (tiny) HUB LIST rather than by carrying the
+    degree column on the join inputs: attaching ``d`` to both
+    self-join sides turns their plan-statistics from
+    "cached-union-sized" into "join-output-sized" and demoted the
+    whole light join from broadcast-hash to sort-merge (measured 2.0 s
+    → 9.1 s on the sf0.1 social graph — the r11 regression this
+    comment is the autopsy of). With the anti-join shape the right
+    side stays slim (x, y) and cache-estimated, so the planner keeps
+    the broadcast self-join wherever the spoke frame genuinely fits,
+    and falls back to shuffle joins at real scale exactly when it
+    should. ``spokes`` must NOT carry ``d``; pass the degree table
+    separately. Since only the LEFT copy's extra columns survive into
+    the output, a caller attaching per-center extras via a join (the
+    AdamicAdar weight) should pass the pre-join (x, y) frame as
+    ``slim`` — the pair join's build side then keeps the slim,
+    cache-estimated shape instead of the join-output shape Catalyst
+    cannot prune (column pruning can't drop an inner join).
     """
-    extra = [c for c in spokes.columns if c not in ("x", "y", "d")]
-    light = spokes.filter(F.col("d") <= cap)
-    a, b = light.alias("a"), light.alias("b")
+    extra = [c for c in spokes.columns if c not in ("x", "y")]
+    slim = slim if slim is not None else spokes.select("x", "y")
+    hubs = degrees.filter(F.col("degree") > cap).select(
+        F.col("vertex").alias("x"), F.col("degree").alias("d")
+    )
+    hub_keys = F.broadcast(hubs.select("x"))
+    light_left = spokes.join(hub_keys, "x", "left_anti")
+    light_right = slim.join(hub_keys, "x", "left_anti")
+    a, b = light_left.alias("a"), light_right.alias("b")
     light_pairs = a.join(
         b, (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
     ).select(
@@ -478,7 +509,7 @@ def _wedge_pairs(spokes: DataFrame, cap: int = WEDGE_GROUP_SIZE) -> DataFrame:
     )
 
     heavy = (
-        spokes.filter(F.col("d") > cap)
+        spokes.join(F.broadcast(hubs), "x")
         .withColumn("nb", F.ceil(F.col("d") / F.lit(cap)).cast("int"))
         .withColumn("p", F.pmod(F.xxhash64("y"), F.col("nb")).cast("int"))
     )
@@ -529,9 +560,8 @@ def _shared_neighbors(
             both.groupBy(F.col("x").alias("vertex"))
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-    deg = degrees.select(F.col("vertex").alias("x"), F.col("degree").alias("d"))
     return (
-        _wedge_pairs(both.join(deg, "x"), cap=cap)
+        _wedge_pairs(both, degrees, cap=cap)
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -624,10 +654,10 @@ def adamic_adar(
     # division would crash if a plan change ever materialized this
     # projection before the join filters them out
     wb = both.join(deg, "x").select(
-        "x", "y", "d", F.try_divide(F.lit(1.0), F.log(F.col("d"))).alias("w")
+        "x", "y", F.try_divide(F.lit(1.0), F.log(F.col("d"))).alias("w")
     )
     scored = (
-        _wedge_pairs(wb, cap=cap)
+        _wedge_pairs(wb, base.degrees, cap=cap, slim=both)
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("shared"),
