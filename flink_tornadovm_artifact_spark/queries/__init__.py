@@ -207,71 +207,96 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: count on the raw parquet); the derived width and the query plan are
 #: byte-identical at every SF, so no recently-green entry needs a
 #: rule-1 re-verify slot.
-WINDOW_KEEP_FRESH: dict[str, str] = {}
+#: Round-11 rotation (VERDICT r10 Next 2 + Next 6):
+#: IN — FIRST the rule-1 set: the 3 round-11 debuts
+#: (quality_classifier_score: logreg trained on the Gopher gates as
+#: weak labels, the fastText-quality-filter analog, with an
+#: unrolled-GD DuckDB twin; perplexity_decontaminate: KN bigram LM
+#: trained on the benchmark split scoring the exact screen's overlap
+#: candidates — the soft companion to text_decontaminate/Bloom;
+#: multimodal_audio_window_panel: the audio leg — windowed amplitude/
+#: checksum panel under the standing stubbed-codec policy) and
+#: ann_recall_panel (its ORACLE changed: n_hit is now COUNT(DISTINCT),
+#: ADVICE r10 — in WINDOW_KEEP_FRESH since it is 1-round green).
+#: THEN the FULL 35-query r6-stale cohort (the r10-designated
+#: staleness queue; jaccard_similarity and adamic_adar_similarity are
+#: in it AND plan-changed this round — the hub-skew salted wedge
+#: join, functions/graph.py:_wedge_pairs). THEN 11 of the 47-query r7
+#: cohort picked for family diversity: the three iteration pipelines
+#: (CC, PageRank, logreg — logreg doubly apt: the new classifier
+#: shares its kernel), dedup exact+minhash (dedup family), kcore
+#: (peel loop), q03/q56 (the two TPC-H bench outliers cleared as box
+#: noise this round — a fresh driver row re-pins their answers),
+#: q18 (IoT windows), q22 (interval join), sketch_hyperloglog_tokens
+#: (sketch family).
+#: OUT — the entire r10 window's 50 green rows (all 1-round-fresh;
+#: rule 3 keeps them under the full-oracle pytest sweep at both SFs
+#: every run). The remaining 36 r7-cohort queries head the r12
+#: staleness queue.
+WINDOW_KEEP_FRESH: dict[str, str] = {
+    "ann_recall_panel": (
+        "oracle n_hit subquery made COUNT(DISTINCT) (ADVICE r10) — the "
+        "twins must re-verify under the new oracle even though the row "
+        "is 1-round green"
+    ),
+}
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — round-10 debuts (4 + the 7-query second batch, total 11,
-    # at the round cap) + the q49 oracle-gap close (1). The second
-    # batch displaced 7 r6-cohort diversity picks whose families stay
-    # multiply covered in this window (adamic_adar / asm_vertex /
-    # avg-undirected-CC / bipartite / hypercube from the Gelly family —
-    # 5 directed-graph entries remain; q51 from TPC-H — q53 plus five
-    # r5-cohort TPC-H entries remain; range_join_events — the
-    # hypertable-rollup entry keeps the temporal family); the displaced
-    # seven rejoin the r11 staleness queue with the rest of the r6
-    # cohort.
-    "multimodal_phash_neardup",
-    "tokenizer_roundtrip_qa",
-    "url_canonicalize_hostdedup",
-    "bloom_decontaminate_screen",
-    "text_normalize_panel",
+    # rule 1 — round-11 debuts (3, inside the 10-12 cap) + the
+    # oracle-changed re-verify
+    "quality_classifier_score",
+    "perplexity_decontaminate",
+    "multimodal_audio_window_panel",
     "ann_recall_panel",
-    "epoch_shuffle_contract",
-    "multimodal_frame_sample",
-    "phrase_search_topk",
-    "entity_resolution_blocking",
-    "minhash_estimate_error_panel",
-    "q49_approx_aggregates",
-    # stalest: last green round 5 (26 — the whole cohort)
-    "average_clustering_coefficient_directed_q",
-    "cep_next",
-    "cep_not_followed_by",
-    "cep_one_or_more",
-    "cep_optional",
-    "cep_times",
-    "cep_times_range",
-    "dedup_ngram_jaccard",
-    "global_clustering_coefficient_directed_q",
-    "graph_summarization",
-    "hits_scores",
-    "label_propagation_communities",
-    "local_clustering_coefficient_directed_q",
-    "multimodal_feature_extract",
-    "q24_promo_revenue",
-    "q41_tpch_q16",
-    "q42_tpch_q17",
-    "q43_tpch_q19",
-    "q45_tpch_q7",
-    "q46_tpch_q8",
-    "sample_with_size_contract",
-    "text_decontaminate",
-    "triangle_listing_directed_q",
-    "vertex_metrics_directed_q",
-    "zip_with_index_contract",
-    "zip_with_unique_id_contract",
-    # last green round 6 — 20 diversity picks of the 47-query cohort
-    "cep_after_match_no_skip",
-    "cep_after_match_skip_to_last",
-    "cep_allow_combinations",
-    "cep_followed_by_any",
-    "cep_group_followed_by",
-    "cep_not_next",
-    "cep_one_or_more_until",
-    "kmeans_pipeline",
-    "sssp_pipeline",
-    "q53_tpch_q2",
-    "hypertable_rollup_events",
-    "dedup_cluster_representatives",
+    # stalest: last green round 6 (35 — the whole cohort; jaccard and
+    # adamic_adar are also rule-1 plan-changed this round)
+    "adamic_adar_similarity",
+    "asm_vertex_degrees",
+    "average_clustering_coefficient_q",
+    "bipartite_projection_suppliers",
+    "corpus_datasheet",
+    "corpus_datasheet_v2",
+    "corpus_datasheet_v3",
+    "dedup_embedding_cosine",
+    "edge_metrics_directed_q",
+    "edge_metrics_q",
+    "embedding_outlier_score",
+    "generator_hypercube_degrees",
+    "global_clustering_coefficient_q",
+    "jaccard_similarity",
+    "local_clustering_coefficient",
+    "q32_correlated_subquery",
+    "q44_tpch_q22",
+    "q48_tpch_q11",
+    "q51_tpch_q9",
+    "q54_tpch_q20",
+    "q55_tpch_q21",
+    "range_join_events",
+    "sketch_count_min_tokens",
+    "text_bigram_lm_score",
+    "text_boilerplate_ngrams",
+    "text_chunk_windows",
+    "text_importance_sample",
+    "text_length_histogram",
+    "text_quality_score",
+    "text_repetition_metrics",
+    "text_tfidf_keywords",
+    "triadic_census_directed_q",
+    "triadic_census_q",
+    "triangle_enum",
+    "vertex_metrics_q",
+    # last green round 7 — 11 diversity picks of the 47-query cohort
+    "connected_components_pipeline",
+    "pagerank_pipeline",
+    "logreg_pipeline",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "kcore_social",
+    "q03_tpch_q1",
+    "q56_tpch_q14",
+    "q18_iot_window_agg",
+    "q22_interval_join",
+    "sketch_hyperloglog_tokens",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

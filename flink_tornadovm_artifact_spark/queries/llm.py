@@ -6940,3 +6940,289 @@ JOIN sh a ON p.doc_a = a.doc_id
 JOIN sh b ON p.doc_b = b.doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-based decontamination (round 11) — the SOFT companion to
+# the exact shingle join (text_decontaminate) and the Bloom screen
+# (bloom_decontaminate_screen): score each benchmark-overlap CANDIDATE
+# document's perplexity under an interpolated Kneser-Ney bigram LM
+# trained on the BENCHMARK split itself (the lm_kn_bigram math,
+# Kneser & Ney 1995 / Chen & Goodman 1999). A doc that merely shares a
+# few formulaic shingles with the benchmark scores high perplexity and
+# survives; a doc that IS benchmark-like prose (paraphrased or
+# reformatted test data the exact join cannot see past) scores low and
+# is flagged — the same reasoning CCNet runs in reverse (there: keep
+# low-ppl under Wikipedia; here: drop low-ppl under the eval suite).
+#
+# Model mechanics: the benchmark's bigram-type table plus its keyed
+# marginals (c(w1), N1+(w1,·), N1+(·,w2), |types|) — the lm_kn_bigram
+# expressions verbatim, but trained on the benchmark split only and
+# WITHOUT the min-count head (a benchmark is small; every observed
+# type matters). Unseen mass backs off exactly as interpolated KN
+# does: pair unseen but w1 known → the w1 continuation weight times
+# Pcont(w2); w1 unknown but w2 seen → Pcont(w2); both unknown → the
+# mechanized floor 0.5/|types| (half of one type's continuation mass —
+# derived from the model size in BOTH engines, never a magic
+# constant).
+#
+# Determinism: every probability is a ratio of exact ints in fixed
+# expression order; per-doc avg log-p aggregates commute in the
+# driver's round(…,4) hash band (the corpus_datasheet precedent).
+#
+# Plan / 100 TB: a benchmark is eval-suite-sized, so the four model
+# tables are broadcast (the text_decontaminate scale note); only the
+# CANDIDATE docs (left-semi of the exact screen — a tiny fraction of
+# the corpus) are ever bigram-exploded and scored, so the scoring
+# shuffle is candidates-sized on token keys. No windows, no all-pairs,
+# nothing corpus² anywhere.
+# ---------------------------------------------------------------------------
+PPL_DECON_MAX = 40.0  # flag candidates at or below this perplexity
+
+
+def perplexity_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_docs = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+
+    toks = F.split("text", " ")
+    prs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p.w2.isNotNull(),
+    )
+    # benchmark bigram model (lm_kn_bigram expressions, no min-count head)
+    bc = (
+        bench_docs.select(F.explode(prs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    pre = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    types = bc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+
+    # candidates: the exact screen's flagged docs (>= 1 shared shingle)
+    flagged = text_decontaminate(spark, sf_dir)
+    cand = docs.join(flagged, "doc_id").select(
+        "doc_id", "text", "n_contaminated_shingles"
+    )
+    grams = cand.select(
+        "doc_id", "n_contaminated_shingles", F.explode(prs).alias("p")
+    ).select(
+        "doc_id",
+        "n_contaminated_shingles",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
+    D = KN_DISCOUNT
+    scored = (
+        grams.join(F.broadcast(bc), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(pre), "w2", "left")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            "n_contaminated_shingles",
+            F.when(
+                F.col("c").isNotNull(),
+                F.greatest(F.col("c") - D, F.lit(0.0)) / F.col("c1")
+                + (D * F.col("n1p") / F.col("c1"))
+                * (F.col("n_prec") / F.col("n_types")),
+            )
+            .when(
+                F.col("c1").isNotNull() & F.col("n_prec").isNotNull(),
+                (D * F.col("n1p") / F.col("c1"))
+                * (F.col("n_prec") / F.col("n_types")),
+            )
+            .when(
+                F.col("n_prec").isNotNull(),
+                F.col("n_prec") / F.col("n_types"),
+            )
+            .otherwise(F.lit(0.5) / F.col("n_types"))
+            .alias("p"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "n_contaminated_shingles")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.avg(F.log("p")).alias("avg_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_contaminated_shingles",
+            "n_bigrams",
+            "avg_logp",
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+            (F.exp(-F.col("avg_logp")) <= PPL_DECON_MAX).alias("flagged"),
+        )
+    )
+
+
+_register(
+    perplexity_decontaminate,
+    f"""
+WITH pr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(t) - 1),
+                               i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+bc AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c FROM pr
+  WHERE doc_id % {_DECON_MOD} = 0 GROUP BY 1, 2
+),
+ctx AS (SELECT w1, SUM(c) AS c1, COUNT(*) AS n1p FROM bc GROUP BY 1),
+pre AS (SELECT w2, COUNT(*) AS n_prec FROM bc GROUP BY 1),
+types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bc),
+flagged AS (
+{ORACLE["text_decontaminate"].strip()}
+),
+grams AS (
+  SELECT f.doc_id, f.n_contaminated_shingles, pr.p.w1 AS w1, pr.p.w2 AS w2
+  FROM flagged f JOIN pr ON pr.doc_id = f.doc_id
+),
+scored AS (
+  SELECT g.doc_id, g.n_contaminated_shingles,
+         CASE WHEN bc.c IS NOT NULL THEN
+                GREATEST(bc.c - {KN_DISCOUNT}, 0.0) / ctx.c1
+                + ({KN_DISCOUNT} * ctx.n1p / ctx.c1)
+                  * (pre.n_prec / types.n_types)
+              WHEN ctx.c1 IS NOT NULL AND pre.n_prec IS NOT NULL THEN
+                ({KN_DISCOUNT} * ctx.n1p / ctx.c1)
+                  * (pre.n_prec / types.n_types)
+              WHEN pre.n_prec IS NOT NULL THEN pre.n_prec / types.n_types
+              ELSE 0.5 / types.n_types END AS p
+  FROM grams g
+  LEFT JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+  LEFT JOIN ctx ON g.w1 = ctx.w1
+  LEFT JOIN pre ON g.w2 = pre.w2
+  CROSS JOIN types
+)
+SELECT doc_id, n_contaminated_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       AVG(ln(p)) AS avg_logp,
+       exp(-AVG(ln(p))) AS ppl,
+       exp(-AVG(ln(p))) <= {PPL_DECON_MAX} AS flagged
+FROM scored
+GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio leg (round 11) — windowed amplitude/checksum panel,
+# completing the modality trio (image: multimodal_phash_neardup +
+# multimodal_feature_extract; video: multimodal_frame_sample; audio:
+# this). The plumbing a real audio-curation pass needs — fixed-length
+# analysis WINDOWS over a PCM sample stream, per-window byte offsets,
+# amplitude statistics (the clipping / silence screens), and a
+# locality-preserving window checksum (the near-dup key) — is real and
+# oracle-checked; only the CODEC is stubbed, per the standing
+# multimodal policy (operators/multimodal.py:97 raises
+# NotImplementedError unless a decoder is importable; here the "PCM
+# byte stream" is the document text's byte values, the same honest
+# deterministic fake multimodal_frame_sample uses for video frames).
+#
+# Window arithmetic mirrors the frame leg: per doc, n_windows =
+# 4 + doc_id % 13 (a metadata-derived, engine-identical count), span =
+# len/n_windows samples per window, and a stride subsamples at most
+# AUDIO_WINDOW_MAX windows per doc — the bounded fan-out that keeps the
+# explode O(docs), never O(samples). Each emitted window probes 8
+# evenly-spaced samples: peak (the clipping screen), sum (the silence
+# screen: low total amplitude = near-silent window), and a
+# position-weighted checksum (locality-preserving — the audio analog of
+# the frame checksum).
+#
+# Plan / 100 TB: one scan, <= AUDIO_WINDOW_MAX-row bounded fan-out per
+# doc, zero shuffles, zero joins — the same all-expression shape as the
+# frame leg (whole-stage codegen end to end).
+# ---------------------------------------------------------------------------
+AUDIO_WINDOW_MAX = 8
+_AUDIO_MIN_LEN = 64
+
+
+def _audio_exprs(idiv: str) -> dict[str, str]:
+    """Shared window arithmetic; ``idiv`` is the engine's integer-divide
+    operator ('div' for Spark, '//' for DuckDB)."""
+    n_win = "(4 + doc_id % 13)"
+    stride = f"(({n_win} + {AUDIO_WINDOW_MAX - 1}) {idiv} {AUDIO_WINDOW_MAX})"
+    span = f"(length(text) {idiv} {n_win})"
+    return {"n_win": n_win, "stride": stride, "span": span}
+
+
+def multimodal_audio_window_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _audio_exprs("div")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= _AUDIO_MIN_LEN
+    )
+    wins = docs.select(
+        "doc_id",
+        "text",
+        F.expr(e["n_win"]).cast("int").alias("n_windows"),
+        F.expr(e["span"]).alias("span"),
+        F.explode(
+            F.expr(f"sequence(0, {e['n_win']} - 1, {e['stride']})")
+        ).alias("win_idx"),
+    )
+    probe = (
+        "transform(sequence(0, 7), i ->"
+        " ascii(substring(text, 1 + win_idx * span + (i * span) div 8, 1)))"
+    )
+    return wins.select(
+        "doc_id",
+        "n_windows",
+        F.col("win_idx").cast("int").alias("win_idx"),
+        (F.col("win_idx") * F.col("span")).cast("bigint").alias("win_offset"),
+        F.col("span").cast("bigint").alias("win_samples"),
+        F.expr(f"array_max({probe})").cast("int").alias("amp_peak"),
+        F.expr(f"aggregate({probe}, 0, (acc, x) -> acc + x)")
+        .cast("bigint")
+        .alias("amp_sum"),
+        F.expr(
+            f"aggregate(zip_with({probe}, sequence(1, 8), (x, i) -> x * i),"
+            " 0, (acc, x) -> acc + x)"
+        )
+        .cast("bigint")
+        .alias("win_checksum"),
+    )
+
+
+_audio_d = _audio_exprs("//")
+_probe_d = (
+    "list_transform(range(0, 8), i ->"
+    " ascii(substr(text, CAST(1 + win_idx * span + (i * span) // 8"
+    " AS INTEGER), 1)))"
+)
+
+_register(
+    multimodal_audio_window_panel,
+    f"""
+WITH wins AS (
+  SELECT doc_id, text,
+         {_audio_d["n_win"]} AS n_windows,
+         {_audio_d["span"]} AS span,
+         unnest(range(0, {_audio_d["n_win"]}, {_audio_d["stride"]})) AS win_idx
+  FROM documents
+  WHERE length(text) >= {_AUDIO_MIN_LEN}
+)
+SELECT doc_id,
+       CAST(n_windows AS INTEGER) AS n_windows,
+       CAST(win_idx AS INTEGER) AS win_idx,
+       CAST(win_idx * span AS BIGINT) AS win_offset,
+       CAST(span AS BIGINT) AS win_samples,
+       CAST(list_max({_probe_d}) AS INTEGER) AS amp_peak,
+       CAST(list_sum({_probe_d}) AS BIGINT) AS amp_sum,
+       CAST(list_sum(list_transform(range(0, 8), i ->
+            ascii(substr(text, CAST(1 + win_idx * span + (i * span) // 8
+                                    AS INTEGER), 1)) * (i + 1)))
+            AS BIGINT) AS win_checksum
+FROM wins
+""",
+)

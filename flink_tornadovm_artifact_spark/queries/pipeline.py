@@ -730,10 +730,12 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_DISTINCT_RATIO = 1.0 / 3.0
 
 
-def _gopher_flag_frame(docs: DataFrame) -> DataFrame:
-    """Per-doc rule flags for a (source, text) frame — ONE definition
-    shared by the batch panel and its streaming twin (the
-    datasheet_signals no-drift discipline)."""
+def _gopher_signal_cols() -> dict:
+    """The five per-doc quality SIGNALS (Columns over a ``text`` field)
+    and their rule flags — ONE definition shared by the batch panel,
+    its streaming twin, AND the round-11 weak-label classifier (the
+    datasheet_signals no-drift discipline: the classifier must be
+    trained on exactly the gates the panel reports)."""
     from .llm import _STOPWORDS
 
     toks = F.split("text", " ")
@@ -749,18 +751,32 @@ def _gopher_flag_frame(docs: DataFrame) -> DataFrame:
         F.filter(F.array_distinct(toks), lambda t: t.isin(*_STOPWORDS))
     )
     distinct_ratio = F.try_divide(F.size(F.array_distinct(toks)), n_tok)
-    f_wc = (n_tok < GOPHER_WC_MIN) | (n_tok > GOPHER_WC_MAX)
-    f_ml = (mean_len < GOPHER_MEANLEN_MIN) | (mean_len > GOPHER_MEANLEN_MAX)
-    f_al = alpha_frac < GOPHER_ALPHA_FRAC
-    f_st = n_stop_types < GOPHER_MIN_STOPWORDS
-    f_rp = distinct_ratio < GOPHER_DISTINCT_RATIO
+    return {
+        "n_tok": n_tok,
+        "mean_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "n_stop_types": n_stop_types,
+        "distinct_ratio": distinct_ratio,
+        "f_wc": (n_tok < GOPHER_WC_MIN) | (n_tok > GOPHER_WC_MAX),
+        "f_ml": (mean_len < GOPHER_MEANLEN_MIN)
+        | (mean_len > GOPHER_MEANLEN_MAX),
+        "f_al": alpha_frac < GOPHER_ALPHA_FRAC,
+        "f_st": n_stop_types < GOPHER_MIN_STOPWORDS,
+        "f_rp": distinct_ratio < GOPHER_DISTINCT_RATIO,
+    }
+
+
+def _gopher_flag_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc rule flags for a (source, text) frame — selects from the
+    shared :func:`_gopher_signal_cols` definition."""
+    s = _gopher_signal_cols()
     return docs.select(
         "source",
-        f_wc.cast("int").alias("f_wc"),
-        f_ml.cast("int").alias("f_ml"),
-        f_al.cast("int").alias("f_al"),
-        f_st.cast("int").alias("f_st"),
-        f_rp.cast("int").alias("f_rp"),
+        s["f_wc"].cast("int").alias("f_wc"),
+        s["f_ml"].cast("int").alias("f_ml"),
+        s["f_al"].cast("int").alias("f_al"),
+        s["f_st"].cast("int").alias("f_st"),
+        s["f_rp"].cast("int").alias("f_rp"),
     )
 
 
@@ -1835,3 +1851,182 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
 WHERE rn = 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Weak-label quality classifier (round 11) — the fastText-quality-filter
+# analog (Joulin et al. 2017; the CommonCrawl "is this page
+# Wikipedia-grade?" filter of GPT-3/CCNet lineage, distilled here from
+# the corpus's OWN rule gates): logistic regression trained on the
+# Gopher rule panel's pass/fail verdict as the weak label, over six
+# cheap per-doc signals, then the whole corpus is scored with the
+# learned soft probability. The panel gives binary gates; the
+# classifier gives the RANKING a curation pass thresholds or
+# importance-samples against (and generalizes the gates to documents
+# near the boundaries). Signals and gates are the SHARED
+# _gopher_signal_cols definition — the classifier trains on exactly
+# what quality_gopher_rules reports, by construction.
+#
+# Training: functions/logreg.py's full-batch GD kernel (the reference's
+# LogisticRegression.java:71-88 SGD loop re-expressed as Arrow-batched
+# partial-gradient passes) — QC_ITERS distributed passes, each an
+# Arrow kernel per partition + a (dim)-float driver reduce. The DuckDB
+# oracle trains ITS OWN twin by unrolling the same GD recurrence as
+# chained CTEs (the logreg_pipeline discipline; measured cross-engine
+# weight drift there: ~2e-18, far below the driver's round(…,4) hash).
+#
+# Plan / 100 TB: the feature frame is one pure-expression scan
+# (persisted by the kernel for the training passes); each GD iteration
+# is scan + map-side partial gradients (no shuffle — the reduce is
+# dim+1 floats to the driver); scoring is one more expression pass
+# with the weights as literals. Nothing vocabulary- or pair-shaped.
+# ---------------------------------------------------------------------------
+QC_DIM = 6
+QC_ITERS = 20
+QC_LR = 2.0
+
+
+def _qc_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, features array<double>, label double): bias plus the
+    five signals Z-SCORED against the corpus (population moments via a
+    1-row aggregate broadcast back with a crossJoin — full-batch GD on
+    the raw scales needed ~10× the iterations for the same fit, and
+    the oracle's unrolled recurrence is depth-bounded by DuckDB's
+    binder, so conditioning the features is the mechanism, not a
+    bigger iteration count). Label = passes ALL five Gopher gates."""
+    s = _gopher_signal_cols()
+    raw = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            F.log(F.lit(1.0) + s["n_tok"]).alias("s1"),
+            s["mean_len"].alias("s2"),
+            s["alpha_frac"].alias("s3"),
+            s["n_stop_types"].cast("double").alias("s4"),
+            s["distinct_ratio"].alias("s5"),
+            (
+                ~(s["f_wc"] | s["f_ml"] | s["f_al"] | s["f_st"] | s["f_rp"])
+            )
+            .cast("double")
+            .alias("label"),
+        )
+    )
+    stats = raw.agg(
+        *[F.avg(f"s{i}").alias(f"mu{i}") for i in range(1, 6)],
+        *[F.stddev_pop(f"s{i}").alias(f"sd{i}") for i in range(1, 6)],
+    )
+
+    def z(i: int):
+        sd = F.when(F.col(f"sd{i}") == 0.0, F.lit(1.0)).otherwise(
+            F.col(f"sd{i}")
+        )
+        return (F.col(f"s{i}") - F.col(f"mu{i}")) / sd
+
+    return raw.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.array(F.lit(1.0), z(1), z(2), z(3), z(4), z(5)).alias("features"),
+        "label",
+    )
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.logreg import train
+
+    data = _qc_data(spark, sf_dir)
+    w = train(data, dim=QC_DIM, iterations=QC_ITERS, lr=QC_LR)
+    wlit = F.array(*[F.lit(float(x)) for x in w])
+    dot = F.aggregate(
+        F.zip_with("features", wlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    return data.select(
+        "doc_id",
+        F.col("label").cast("int").alias("weak_pass"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("pred_pass"),
+    )
+
+
+def _qc_oracle_sql() -> str:
+    """The GD loop as a RECURSIVE CTE carrying (iteration, weight list)
+    — NOT the logreg_pipeline unrolled-CTE chain: each unrolled step
+    binds ~6 scalar-subquery levels deep, and DuckDB's binder caps
+    recursion at 128, so the unroll tops out near 20 iterations. The
+    recursive form has CONSTANT binder depth at any iteration count
+    and reproduces the kernel's recurrence to 1 ulp (prototyped: max
+    |Δw| = 1.1e-16 vs NumPy at 20 iterations)."""
+    from .llm import _STOPWORDS
+
+    stop_in = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS mean_len,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+           / len(t) AS alpha_frac,
+         len(list_filter(list_distinct(t), x -> x IN ({stop_in})))
+           AS n_stop_types,
+         len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), raw AS (
+  SELECT doc_id,
+         ln(1.0 + n_tok) AS s1,
+         mean_len AS s2,
+         alpha_frac AS s3,
+         CAST(n_stop_types AS DOUBLE) AS s4,
+         distinct_ratio AS s5,
+         CASE WHEN (n_tok < {GOPHER_WC_MIN} OR n_tok > {GOPHER_WC_MAX})
+                OR (mean_len < {GOPHER_MEANLEN_MIN}
+                    OR mean_len > {GOPHER_MEANLEN_MAX})
+                OR alpha_frac < {GOPHER_ALPHA_FRAC}
+                OR n_stop_types < {GOPHER_MIN_STOPWORDS}
+                OR distinct_ratio < {GOPHER_DISTINCT_RATIO}
+              THEN 0.0 ELSE 1.0 END AS y
+  FROM m
+), stats AS (
+  SELECT {", ".join(f"AVG(s{i}) AS mu{i}, stddev_pop(s{i}) AS sd{i}" for i in range(1, 6))}
+  FROM raw
+), data AS (
+  SELECT doc_id,
+         [1.0,
+          {", ".join(
+              f"(s{i} - mu{i}) / (CASE WHEN sd{i} = 0.0 THEN 1.0 ELSE sd{i} END)"
+              for i in range(1, 6)
+          )}] AS f,
+         y
+  FROM raw CROSS JOIN stats
+),
+nn AS (SELECT COUNT(*) AS cnt FROM data),
+dims AS (SELECT range AS d FROM range(0, {QC_DIM})),
+gd(it, w) AS (
+  SELECT 0, list_transform(range(0, {QC_DIM}), d -> CAST(0.0 AS DOUBLE))
+  UNION ALL
+  SELECT it + 1,
+         (SELECT list(nw ORDER BY d) FROM (
+            SELECT dims.d AS d,
+                   gd.w[dims.d + 1]
+                   - ({QC_LR} * SUM((1.0 / (1.0
+                        + exp(-list_dot_product(gd.w, data.f))) - data.y)
+                        * data.f[dims.d + 1]))
+                     / (SELECT cnt FROM nn) AS nw
+            FROM data CROSS JOIN dims
+            GROUP BY dims.d
+         ))
+  FROM gd WHERE it < {QC_ITERS}
+),
+wfinal AS (SELECT w FROM gd WHERE it = {QC_ITERS})
+SELECT doc_id,
+       CAST(y AS INTEGER) AS weak_pass,
+       1.0 / (1.0 + exp(-list_dot_product((SELECT w FROM wfinal), f)))
+         AS quality_score,
+       1.0 / (1.0 + exp(-list_dot_product((SELECT w FROM wfinal), f))) >= 0.5
+         AS pred_pass
+FROM data
+"""
+
+
+_register(quality_classifier_score, _qc_oracle_sql())
