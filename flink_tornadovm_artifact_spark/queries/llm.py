@@ -1264,8 +1264,22 @@ _DECON_MOD = 23
 
 
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir).select(
-        "doc_id", F.array_distinct("shingles").alias("sset")
+    # PERSISTED (round 11; the bloom-screen discipline, measured there
+    # 10.5 s → 6.5 s and here 8.5 s → ~1 s standalone at sf0.1): the
+    # frame feeds BOTH the benchmark and corpus branches, and without
+    # the persist the explode-implied size/isnotnull predicates push
+    # below the projection and inline the whole shingle transform into
+    # a Filter re-evaluated per corpus row on each branch. Inside the
+    # full bench pass the cost was masked by CacheManager plan-dedup
+    # onto bloom_decontaminate_screen's persisted twin of this exact
+    # frame; standalone (and under perplexity_decontaminate, which
+    # composes this query) nothing was cached.
+    from pyspark import StorageLevel
+
+    sh = (
+        _shingled(spark, sf_dir)
+        .select("doc_id", F.array_distinct("shingles").alias("sset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bench = (
         sh.filter(F.col("doc_id") % _DECON_MOD == 0)
@@ -6993,11 +7007,18 @@ def perplexity_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda p: p.w2.isNotNull(),
     )
-    # benchmark bigram model (lm_kn_bigram expressions, no min-count head)
+    # benchmark bigram model (lm_kn_bigram expressions, no min-count
+    # head). PERSISTED (the bloom-screen discipline): the type table
+    # feeds FOUR consumers (the pair join + the three marginals), and
+    # without the persist each one re-executes the benchmark explode +
+    # groupBy from the scan.
+    from pyspark import StorageLevel
+
     bc = (
         bench_docs.select(F.explode(prs).alias("p"))
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ctx = bc.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p")

@@ -87,6 +87,9 @@ NESTED_LOOP_ALLOWLIST = {
     "text_ks_length_drift": "1-row group-totals broadcast onto the length-domain ECDF grid",
     # round-10 second batch
     "ann_recall_panel": "inherits similarity_topk's broadcast query side (small Q by design)",
+    # round-11
+    "quality_classifier_score": "1-row feature-moments (mu/sd) broadcast onto the feature frame",
+    "perplexity_decontaminate": "1-row bigram-type-count broadcast (the lm_kn_bigram Pcont normalizer shape)",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
