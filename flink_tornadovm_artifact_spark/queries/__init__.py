@@ -231,7 +231,7 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: (sketch family).
 #: OUT — the entire r10 window's 50 green rows (all 1-round-fresh;
 #: rule 3 keeps them under the full-oracle pytest sweep at both SFs
-#: every run). The remaining 36 r7-cohort queries head the r12
+#: every run). The remaining 38 r7-cohort queries head the r12
 #: staleness queue.
 WINDOW_KEEP_FRESH: dict[str, str] = {
     "ann_recall_panel": (
@@ -242,11 +242,23 @@ WINDOW_KEEP_FRESH: dict[str, str] = {
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — round-11 debuts (3, inside the 10-12 cap) + the
-    # oracle-changed re-verify
+    # rule 1 — round-11 debuts (5, inside the 10-12 cap) + the
+    # oracle-changed re-verify. The second debut batch
+    # (quality_calibration_panel — the classifier's reliability/ECE
+    # table, the estimator-QA series' fourth member;
+    # decontaminate_verdict_panel — the three contamination screens
+    # fused into the per-doc audit a release publishes) displaced two
+    # r7 diversity picks whose families stay multiply covered
+    # (q18_iot_window_agg — the entry() flagship, smoke-checked by the
+    # driver every round, with q22 keeping the event-time family;
+    # sketch_hyperloglog_tokens — the sketch-QA surface is held by the
+    # q49 verdict panel's HLL leg); both rejoin the r12 staleness
+    # queue.
     "quality_classifier_score",
     "perplexity_decontaminate",
     "multimodal_audio_window_panel",
+    "quality_calibration_panel",
+    "decontaminate_verdict_panel",
     "ann_recall_panel",
     # stalest: last green round 6 (35 — the whole cohort; jaccard and
     # adamic_adar are also rule-1 plan-changed this round)
@@ -285,7 +297,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "triadic_census_q",
     "triangle_enum",
     "vertex_metrics_q",
-    # last green round 7 — 11 diversity picks of the 47-query cohort
+    # last green round 7 — 9 diversity picks of the 47-query cohort
     "connected_components_pipeline",
     "pagerank_pipeline",
     "logreg_pipeline",
@@ -294,9 +306,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "kcore_social",
     "q03_tpch_q1",
     "q56_tpch_q14",
-    "q18_iot_window_agg",
     "q22_interval_join",
-    "sketch_hyperloglog_tokens",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -7247,3 +7247,80 @@ SELECT doc_id,
 FROM wins
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination verdict fusion (round 11) — the three contamination
+# screens as ONE per-document audit table, the composition a release
+# actually publishes (the test_pipeline_e2e discipline: the panel is
+# built from the registered operators' own frames, so it cannot drift
+# from them). For every document any screen flags:
+#   - the Bloom bitset screen (one-sided: no false negatives, ~1e-3
+#     fp) supplies the candidate superset + containment share;
+#   - the exact shingle join supplies ground truth overlap counts;
+#   - the benchmark-LM perplexity supplies the SOFT read on whether
+#     the overlap is benchmark-like prose or formulaic coincidence.
+# Verdict ladder: 'confirmed' (exact overlap AND benchmark-like ppl),
+# 'overlap' (exact overlap, high ppl — shared boilerplate), and
+# 'screen_fp' (Bloom-only — the screen's false positive, the row an
+# fp-budget audit counts). A Bloom-only doc has NO exact hits by the
+# one-sided invariant, so n_exact_hits coalesces to 0 and ppl to NULL
+# honestly (nothing was scored).
+#
+# Plan / 100 TB: all three inputs share the persisted distinct-shingle
+# frame (CacheManager plan-dedup); the fusion is two doc_id-keyed hash
+# joins on the candidates-sized frames. Nothing corpus² anywhere.
+# ---------------------------------------------------------------------------
+def decontaminate_verdict_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bloom = bloom_decontaminate_screen(spark, sf_dir)
+    exact = text_decontaminate(spark, sf_dir)
+    ppl = perplexity_decontaminate(spark, sf_dir).select("doc_id", "ppl", "flagged")
+    fused = (
+        bloom.join(exact, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            "bloom_containment",
+            F.coalesce("n_contaminated_shingles", F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+            "ppl",
+            F.when(
+                F.col("n_contaminated_shingles").isNotNull()
+                & F.col("flagged"),
+                "confirmed",
+            )
+            .when(F.col("n_contaminated_shingles").isNotNull(), "overlap")
+            .otherwise("screen_fp")
+            .alias("verdict"),
+        )
+    )
+    return fused
+
+
+_register(
+    decontaminate_verdict_panel,
+    f"""
+WITH bloom AS (
+{ORACLE["bloom_decontaminate_screen"].strip()}
+), exact AS (
+{ORACLE["text_decontaminate"].strip()}
+), ppl AS (
+{ORACLE["perplexity_decontaminate"].strip()}
+)
+SELECT bloom.doc_id, bloom.n_shingles, bloom.bloom_hits,
+       bloom.bloom_containment,
+       CAST(COALESCE(exact.n_contaminated_shingles, 0) AS BIGINT)
+         AS n_exact_hits,
+       ppl.ppl,
+       CASE WHEN exact.n_contaminated_shingles IS NOT NULL AND ppl.flagged
+              THEN 'confirmed'
+            WHEN exact.n_contaminated_shingles IS NOT NULL THEN 'overlap'
+            ELSE 'screen_fp' END AS verdict
+FROM bloom
+LEFT JOIN exact ON bloom.doc_id = exact.doc_id
+LEFT JOIN ppl ON bloom.doc_id = ppl.doc_id
+""",
+)

@@ -2030,3 +2030,96 @@ FROM data
 
 
 _register(quality_classifier_score, _qc_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration panel (round 11) — the estimator-QA companion
+# for quality_classifier_score, in the series q49 (HLL/percentile
+# sketches) → ann_recall_panel (ANN indexes) → minhash_estimate_error
+# (MinHash) → this (the weak-label classifier): a reliability table
+# (Guo et al. 2017's ECE binning) over the classifier's own scores.
+# Scores are binned into QC_CAL_BINS equal-width probability bins; per
+# bin: doc count, mean predicted probability, empirical weak-pass
+# rate, and the |confidence − accuracy| gap — plus the corpus-level
+# expected calibration error as the count-weighted gap mean, the
+# number a threshold-picking curation pass actually needs (a
+# mis-calibrated 0.9 is not a 90% precision gate).
+#
+# Each engine trains and scores its OWN classifier twin and bins its
+# own scores (the q49 discipline); bin ids are floor(score·B) clamped
+# to B-1, and the measured cross-engine score drift (~1e-16, the
+# logreg_pipeline bound) sits 11 orders below a 0.1-wide bin edge.
+#
+# Plan / 100 TB: one expression pass over the scored frame into a
+# B-row keyed aggregate, plus a 1-row total for the weights — nothing
+# beyond the classifier's own cost.
+# ---------------------------------------------------------------------------
+QC_CAL_BINS = 10
+
+
+def quality_calibration_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = quality_classifier_score(spark, sf_dir)
+    b = F.least(
+        F.floor(F.col("quality_score") * QC_CAL_BINS).cast("int"),
+        F.lit(QC_CAL_BINS - 1),
+    )
+    bins = (
+        scored.select(
+            b.alias("bin"),
+            "quality_score",
+            F.col("weak_pass").cast("double").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg("quality_score").alias("mean_confidence"),
+            F.avg("y").alias("empirical_pass_rate"),
+        )
+    )
+    # ECE as a second 1-row aggregate riding back via crossJoin
+    # broadcast — NOT a global window (the bins frame is only B rows,
+    # but the repo bans unpartitioned Window nodes outside the audited
+    # allowlist; the 1-row-aggregate shape is the standing idiom)
+    ece = bins.agg(
+        (
+            F.sum(
+                F.col("n_docs")
+                * F.abs(
+                    F.col("mean_confidence") - F.col("empirical_pass_rate")
+                )
+            )
+            / F.sum("n_docs")
+        ).alias("ece")
+    )
+    return bins.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        "n_docs",
+        "mean_confidence",
+        "empirical_pass_rate",
+        F.abs(
+            F.col("mean_confidence") - F.col("empirical_pass_rate")
+        ).alias("calibration_gap"),
+        "ece",
+    )
+
+
+_register(
+    quality_calibration_panel,
+    f"""
+WITH scored AS (
+{ORACLE["quality_classifier_score"].strip()}
+), bins AS (
+  SELECT CAST(LEAST(CAST(FLOOR(quality_score * {QC_CAL_BINS}) AS INTEGER),
+                    {QC_CAL_BINS - 1}) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         AVG(quality_score) AS mean_confidence,
+         AVG(CAST(weak_pass AS DOUBLE)) AS empirical_pass_rate
+  FROM scored GROUP BY 1
+)
+SELECT bin, n_docs, mean_confidence, empirical_pass_rate,
+       ABS(mean_confidence - empirical_pass_rate) AS calibration_gap,
+       (SELECT SUM(n_docs * ABS(mean_confidence - empirical_pass_rate))
+               / SUM(n_docs) FROM bins) AS ece
+FROM bins
+""",
+)

@@ -179,3 +179,76 @@ def test_audio_short_docs_are_excluded(spark):
         if len(r.text) < _AUDIO_MIN_LEN
     }
     assert not short & {r.doc_id for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# quality_calibration_panel
+# ---------------------------------------------------------------------------
+def test_calibration_panel_recomputes_from_scores(spark):
+    """The reliability table must be an exact re-binning of the
+    classifier's own scored frame: bins partition the corpus, per-bin
+    means match a Python recompute, and the single ECE value equals the
+    count-weighted gap mean of the emitted rows."""
+    from flink_tornadovm_artifact_spark.queries.pipeline import (
+        QC_CAL_BINS,
+        quality_calibration_panel,
+    )
+
+    scored = quality_classifier_score(spark, SF_ORACLE).collect()
+    panel = quality_calibration_panel(spark, SF_ORACLE).collect()
+    assert sum(r.n_docs for r in panel) == len(scored)
+    by_bin = defaultdict(list)
+    for r in scored:
+        b = min(int(r.quality_score * QC_CAL_BINS), QC_CAL_BINS - 1)
+        by_bin[b].append(r)
+    assert {r.bin for r in panel} == set(by_bin)
+    for r in panel:
+        docs = by_bin[r.bin]
+        assert r.n_docs == len(docs)
+        assert abs(r.mean_confidence - sum(d.quality_score for d in docs) / len(docs)) < 1e-9
+        assert abs(r.empirical_pass_rate - sum(d.weak_pass for d in docs) / len(docs)) < 1e-9
+        assert abs(r.calibration_gap - abs(r.mean_confidence - r.empirical_pass_rate)) < 1e-12
+    ece = sum(r.n_docs * r.calibration_gap for r in panel) / sum(
+        r.n_docs for r in panel
+    )
+    for r in panel:
+        assert abs(r.ece - ece) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_verdict_panel
+# ---------------------------------------------------------------------------
+def test_verdict_panel_fuses_the_three_screens(spark):
+    """The fusion must preserve each screen's own rows: the doc set is
+    exactly the Bloom superset, every exact hit appears with its count
+    and a confirmed/overlap verdict, and Bloom-only rows are honest
+    screen_fp rows (zero exact hits, NULL perplexity — nothing was
+    scored)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        PPL_DECON_MAX,
+        bloom_decontaminate_screen,
+        decontaminate_verdict_panel,
+    )
+
+    panel = {r.doc_id: r for r in decontaminate_verdict_panel(spark, SF_ORACLE).collect()}
+    bloom = {r.doc_id for r in bloom_decontaminate_screen(spark, SF_ORACLE).collect()}
+    exact = {
+        r.doc_id: r.n_contaminated_shingles
+        for r in text_decontaminate(spark, SF_ORACLE).collect()
+    }
+    ppl = {r.doc_id: r for r in perplexity_decontaminate(spark, SF_ORACLE).collect()}
+    assert set(panel) == bloom
+    assert set(exact) <= bloom  # the one-sided no-false-negative invariant
+    for doc_id, r in panel.items():
+        if doc_id in exact:
+            assert r.n_exact_hits == exact[doc_id]
+            assert r.ppl is not None
+            want = (
+                "confirmed" if ppl[doc_id].ppl <= PPL_DECON_MAX else "overlap"
+            )
+            assert r.verdict == want, (doc_id, r.verdict, want)
+        else:
+            assert r.n_exact_hits == 0
+            assert r.ppl is None
+            assert r.verdict == "screen_fp"
+    assert any(r.verdict == "confirmed" for r in panel.values())

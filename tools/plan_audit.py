@@ -90,6 +90,8 @@ NESTED_LOOP_ALLOWLIST = {
     # round-11
     "quality_classifier_score": "1-row feature-moments (mu/sd) broadcast onto the feature frame",
     "perplexity_decontaminate": "1-row bigram-type-count broadcast (the lm_kn_bigram Pcont normalizer shape)",
+    "quality_calibration_panel": "inherits the classifier's 1-row moments broadcast + a 1-row ECE broadcast onto the 10-bin table",
+    "decontaminate_verdict_panel": "inherits perplexity_decontaminate's 1-row type-count broadcast",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
