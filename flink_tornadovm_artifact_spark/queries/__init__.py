@@ -224,14 +224,14 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: join, functions/graph.py:_wedge_pairs). THEN 11 of the 47-query r7
 #: cohort picked for family diversity: the three iteration pipelines
 #: (CC, PageRank, logreg — logreg doubly apt: the new classifier
-#: shares its kernel), dedup exact+minhash (dedup family), kcore
+#: shares its kernel), dedup_minhash_lsh (dedup family), kcore
 #: (peel loop), q03/q56 (the two TPC-H bench outliers cleared as box
 #: noise this round — a fresh driver row re-pins their answers),
 #: q18 (IoT windows), q22 (interval join), sketch_hyperloglog_tokens
 #: (sketch family).
 #: OUT — the entire r10 window's 50 green rows (all 1-round-fresh;
 #: rule 3 keeps them under the full-oracle pytest sweep at both SFs
-#: every run). The remaining 38 r7-cohort queries head the r12
+#: every run). The remaining 39 r7-cohort queries head the r12
 #: staleness queue.
 WINDOW_KEEP_FRESH: dict[str, str] = {
     "ann_recall_panel": (
@@ -242,23 +242,28 @@ WINDOW_KEEP_FRESH: dict[str, str] = {
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — round-11 debuts (5, inside the 10-12 cap) + the
+    # rule 1 — round-11 debuts (6, inside the 10-12 cap) + the
     # oracle-changed re-verify. The second debut batch
     # (quality_calibration_panel — the classifier's reliability/ECE
     # table, the estimator-QA series' fourth member;
     # decontaminate_verdict_panel — the three contamination screens
-    # fused into the per-doc audit a release publishes) displaced two
-    # r7 diversity picks whose families stay multiply covered
-    # (q18_iot_window_agg — the entry() flagship, smoke-checked by the
-    # driver every round, with q22 keeping the event-time family;
-    # sketch_hyperloglog_tokens — the sketch-QA surface is held by the
-    # q49 verdict panel's HLL leg); both rejoin the r12 staleness
-    # queue.
+    # fused into the per-doc audit a release publishes;
+    # decontaminate_overlap_runs — the GPT-3-style longest-consecutive-
+    # overlap depth metric, the positional companion to the count-based
+    # screens) displaced three r7 diversity picks whose families stay
+    # multiply covered (q18_iot_window_agg — the entry() flagship,
+    # smoke-checked by the driver every round, with q22 keeping the
+    # event-time family; sketch_hyperloglog_tokens — the sketch-QA
+    # surface is held by the q49 verdict panel's HLL leg; dedup_exact —
+    # minhash holds the dedup slot and the in-window datasheet
+    # compositions re-exercise the exact-digest keep-set); all three
+    # rejoin the r12 staleness queue.
     "quality_classifier_score",
     "perplexity_decontaminate",
     "multimodal_audio_window_panel",
     "quality_calibration_panel",
     "decontaminate_verdict_panel",
+    "decontaminate_overlap_runs",
     "ann_recall_panel",
     # stalest: last green round 6 (35 — the whole cohort; jaccard and
     # adamic_adar are also rule-1 plan-changed this round)
@@ -297,11 +302,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "triadic_census_q",
     "triangle_enum",
     "vertex_metrics_q",
-    # last green round 7 — 9 diversity picks of the 47-query cohort
+    # last green round 7 — 8 diversity picks of the 47-query cohort
     "connected_components_pipeline",
     "pagerank_pipeline",
     "logreg_pipeline",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "kcore_social",
     "q03_tpch_q1",

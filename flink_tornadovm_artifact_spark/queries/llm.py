@@ -7324,3 +7324,105 @@ LEFT JOIN exact ON bloom.doc_id = exact.doc_id
 LEFT JOIN ppl ON bloom.doc_id = ppl.doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Contamination overlap RUNS (round 11, sixth debut) — the positional
+# depth metric the count-based screens lack: text_decontaminate counts
+# HOW MANY shingles a candidate shares with the benchmark, but a
+# 13-gram-style decontamination policy (GPT-3 appendix C; Brown et al.
+# 2020) keys on the LONGEST CONSECUTIVE overlap — 40 scattered
+# formulaic shingles are noise, one unbroken 40-shingle run is a
+# verbatim benchmark passage. Per exact-screen candidate: the number
+# of marked shingle positions, the number of maximal consecutive runs
+# (gaps-and-islands), the longest run in shingles, and that run's
+# token span (run + 2 for word 3-shingles — the contiguous verbatim
+# token count a redaction pass would cut).
+#
+# Mechanics: the shingle stream keeps its POSITION (posexplode of the
+# _shingled array); candidate positions are marked by a broadcast
+# LEFT SEMI join against the benchmark's distinct shingle set; runs
+# are the classic islands grouping key pos − ROW_NUMBER() inside each
+# doc. Determinism: pure integer arithmetic.
+#
+# Plan / 100 TB: the posexplode is corpus-token-linear (the screen
+# family's irreducible scan); the benchmark set broadcasts
+# (eval-suite-sized); the islands windows are partitioned BY DOC over
+# only the MARKED positions (candidates' overlap shingles — orders of
+# magnitude below corpus scale), never a global window.
+# ---------------------------------------------------------------------------
+def decontaminate_overlap_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted for the same reason as text_decontaminate's frame (two
+    # consumers: the benchmark branch and the positional explode;
+    # uncached, the explode-implied predicates inline the shingle
+    # transform per row — measured 5.45 s → ~1 s at sf0.1)
+    from pyspark import StorageLevel
+
+    sh = _shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode(F.array_distinct("shingles")).alias("s"))
+        .distinct()
+    )
+    pos = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id", F.posexplode("shingles").alias("pos", "s")
+    )
+    marked = pos.join(F.broadcast(bench), "s", "left_semi")
+    grp = (
+        F.col("pos")
+        - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("pos")
+        )
+    ).alias("grp")
+    runs = (
+        marked.select("doc_id", "pos", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("doc_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_marked_shingles"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        (F.max("run_len") + 2).cast("bigint").alias("longest_run_tokens"),
+    )
+
+
+_register(
+    decontaminate_overlap_runs,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled AS (
+  SELECT doc_id,
+         list_transform(range(0, len(t) - 2),
+                        i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS shingles
+  FROM toks
+), bench AS (
+  SELECT DISTINCT UNNEST(list_distinct(shingles)) AS s
+  FROM shingled WHERE doc_id % {_DECON_MOD} = 0
+), pos AS (
+  SELECT doc_id, u.p.pos AS pos, u.p.s AS s
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, len(shingles)),
+                      i -> {{'pos': i, 's': shingles[i + 1]}})) AS p
+        FROM shingled WHERE doc_id % {_DECON_MOD} <> 0) u
+), marked AS (
+  SELECT doc_id, pos FROM pos WHERE s IN (SELECT s FROM bench)
+), runs AS (
+  SELECT doc_id, grp, COUNT(*) AS run_len
+  FROM (SELECT doc_id,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM marked)
+  GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_marked_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       CAST(MAX(run_len) + 2 AS BIGINT) AS longest_run_tokens
+FROM runs
+GROUP BY doc_id
+""",
+)

@@ -252,3 +252,69 @@ def test_verdict_panel_fuses_the_three_screens(spark):
             assert r.ppl is None
             assert r.verdict == "screen_fp"
     assert any(r.verdict == "confirmed" for r in panel.values())
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_overlap_runs
+# ---------------------------------------------------------------------------
+def test_overlap_runs_gaps_and_islands(spark, tmp_path):
+    """Hand-built fixture: a candidate embedding one verbatim 10-token
+    benchmark passage (→ an 8-shingle run) plus one isolated shared
+    shingle far away must report exactly two runs with longest_run 8
+    (10 tokens); a scatter-only candidate reports longest_run 1. The
+    depth metric must distinguish these even though the count-based
+    screen sees similar totals."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        decontaminate_overlap_runs,
+    )
+
+    bench_words = [f"b{i}" for i in range(10)]  # the benchmark passage
+    bench = " ".join(bench_words + ["tail1 tail2 tail3"])
+    # candidate 1: filler, the verbatim 10-token passage, filler,
+    # then ONE isolated benchmark shingle (b0 b1 b2) surrounded by junk
+    cand1 = (
+        "x1 x2 x3 x4 "
+        + " ".join(bench_words)
+        + " y1 y2 y3 y4 y5 b0 b1 b2 z1 z2"
+    )
+    # candidate 2: the same shared shingles but all scattered
+    cand2 = " ".join(
+        f"{w} junk{i}a junk{i}b" for i, w in enumerate(["b0 b1 b2"] * 2)
+    )
+    docs = [(0, bench), (1, cand1), (2, cand2)]
+    d = tmp_path / "runs_docs"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in decontaminate_overlap_runs(spark, str(d)).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1.longest_run == 8  # 10 verbatim tokens = 8 word-3-shingles
+    assert r1.longest_run_tokens == 10
+    assert r1.n_runs == 2
+    assert r1.n_marked_shingles == 9
+    r2 = got[2]
+    assert r2.longest_run == 1
+    assert r2.n_runs == r2.n_marked_shingles
+
+
+def test_overlap_runs_cover_exact_screen_candidates(spark):
+    """Every exact-screen candidate has a runs row (same semi-join
+    universe), marked totals match the screen's counts, and the run
+    decomposition is internally consistent."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        decontaminate_overlap_runs,
+    )
+
+    runs = {r.doc_id: r for r in decontaminate_overlap_runs(spark, SF_ORACLE).collect()}
+    screen = {
+        r.doc_id: r.n_contaminated_shingles
+        for r in text_decontaminate(spark, SF_ORACLE).collect()
+    }
+    assert set(runs) == set(screen)
+    for doc_id, r in runs.items():
+        assert r.longest_run <= r.n_marked_shingles
+        assert r.n_runs <= r.n_marked_shingles
+        assert r.longest_run_tokens == r.longest_run + 2
