@@ -428,6 +428,19 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
 #: instead of one straggler task.
 WEDGE_GROUP_SIZE = 1024
 
+#: Salting TRIGGER, decoupled from bucket size (round-11 probe): a
+#: center is salted only above ``WEDGE_SALT_TRIGGER * cap`` spokes.
+#: Below it, even a shuffle join's single-key task emits at most
+#: (4·cap)²/2 = 8·cap² ≈ 8M pairs — minutes of slack, not a straggler
+#: — and the measured salt premium (pair enumeration ~2×, and the
+#: heavy leg's aggregation loses the probe-side spread that gives the
+#: plain path map-side combine locality: 29.5 s vs 3.1 s end-to-end on
+#: a deg-8000 fixture whose frame still broadcasts) is not worth
+#: paying. Above the trigger the premium IS the insurance: at deg 10⁶
+#: a shuffle join routes 5·10¹¹ pairs through one task (days) while
+#: the salted form spreads them over ~(d/cap)²/2 ≈ 476k keys.
+WEDGE_SALT_TRIGGER = 4
+
 
 def _wedge_pairs(
     spokes: DataFrame,
@@ -492,9 +505,9 @@ def _wedge_pairs(
     """
     extra = [c for c in spokes.columns if c not in ("x", "y")]
     slim = slim if slim is not None else spokes.select("x", "y")
-    hubs = degrees.filter(F.col("degree") > cap).select(
-        F.col("vertex").alias("x"), F.col("degree").alias("d")
-    )
+    hubs = degrees.filter(
+        F.col("degree") > WEDGE_SALT_TRIGGER * cap
+    ).select(F.col("vertex").alias("x"), F.col("degree").alias("d"))
     hub_keys = F.broadcast(hubs.select("x"))
     light_left = spokes.join(hub_keys, "x", "left_anti")
     light_right = slim.join(hub_keys, "x", "left_anti")
