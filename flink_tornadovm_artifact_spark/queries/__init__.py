@@ -265,6 +265,29 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "decontaminate_verdict_panel",
     "decontaminate_overlap_runs",
     "ann_recall_panel",
+    # rule 1 — the THIRD round-11 debut batch (4 more, total 10 of the
+    # 10-12 cap: winnowing_fingerprint_panel — the Schleimer/Wilkerson/
+    # Aiken MOSS fingerprint selection, the order-sensitive sketch the
+    # rolling-hash family lacked; pii_redact_transform — the audit's
+    # action leg, idempotence-pinned placeholder rewrite over the
+    # fixture-injected leaky column; dedup_impact_panel — the per-
+    # (source, lang) removed-mass rollup off the cluster keep-set, the
+    # release-audit companion to the datasheets; stream_dedup_events —
+    # the at-least-once ingest dedup twin whose streaming leg is
+    # dropDuplicatesWithinWatermark, the exactly-once stage the four
+    # stateful twins assume). They displace four more r7 diversity
+    # picks whose families stay multiply covered (connected_components_
+    # pipeline + kcore_social — the iteration surface keeps logreg_
+    # pipeline in-window and the r6 cohort's graph analytics exercise
+    # the same shared UndirectedGraphBase; pagerank_pipeline — same
+    # family, sssp/hits/label-propagation all r10-green; dedup_minhash_
+    # lsh — dedup_impact_panel's verify chain re-runs the LSH pipeline
+    # end-to-end INSIDE the window, and dedup_embedding_cosine keeps a
+    # direct dedup slot); all four rejoin the r12 staleness queue.
+    "winnowing_fingerprint_panel",
+    "pii_redact_transform",
+    "dedup_impact_panel",
+    "stream_dedup_events",
     # stalest: last green round 6 (35 — the whole cohort; jaccard and
     # adamic_adar are also rule-1 plan-changed this round)
     "adamic_adar_similarity",
@@ -302,12 +325,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "triadic_census_q",
     "triangle_enum",
     "vertex_metrics_q",
-    # last green round 7 — 8 diversity picks of the 47-query cohort
-    "connected_components_pipeline",
-    "pagerank_pipeline",
+    # last green round 7 — 4 diversity picks of the 47-query cohort
+    # (was 8; the third debut batch displaced 4, see rule-1 note above)
     "logreg_pipeline",
-    "dedup_minhash_lsh",
-    "kcore_social",
     "q03_tpch_q1",
     "q56_tpch_q14",
     "q22_interval_join",

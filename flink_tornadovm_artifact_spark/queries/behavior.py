@@ -2369,3 +2369,95 @@ SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
        CAST(SUM(q * q) AS DOUBLE) / CAST(SUM(q) * SUM(q) AS DOUBLE) AS hhi
 FROM per_supp GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest dedup twin (round 11) — exactly-once event view over
+# an at-least-once delivery feed, the stage every streaming ingest runs
+# before any stateful analytics (the four KeyedProcessFunction twins
+# above all assume it). The STREAMING leg is Structured Streaming's
+# dropDuplicatesWithinWatermark on event_id (state TTL'd by the
+# watermark — state size is bounded by arrival-rate x delay, not by
+# stream length; the analog of Flink's state-TTL dedup on a KeyedStream,
+# reference contract exercised by the kafka-shaped source's
+# exactly-once replay tests, sources/kafka_shaped.py). This batch twin
+# is the registered query: the driver checks its accounting against
+# DuckDB, and tests/test_round11b_ops.py replays the SAME injected feed
+# through the streaming leg and pins row-for-row agreement with the
+# twin (the Markov/cohort/funnel/CDC discipline).
+#
+# Duplicate deliveries are injected deterministically (the fixture
+# discipline of _MESSY_TEXT_SQL / _PII_LEAKY_SQL): every
+# DUP_MOD-th event is delivered twice, byte-identical — event-time ts
+# does not change on redelivery, only arrival time does, so the
+# exactly-once view is independent of WHICH copy survives and the twin
+# is deterministic without an arrival-order contract.
+#
+# Plan / 100 TB: one union of the scan with its filtered self (no
+# shuffle), then ONE event_type-keyed aggregate with map-side combine;
+# the dedup itself is count-distinct bookkeeping, never a corpus-wide
+# sort. The streaming leg's state is per-event_id keyed state with
+# watermark eviction.
+# ---------------------------------------------------------------------------
+STREAM_DEDUP_MOD = 7  # every 7th event_id gets a second delivery
+STREAM_DEDUP_DELAY = "60 seconds"  # the streaming leg's watermark TTL
+
+
+def _dedup_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The injected at-least-once feed: events plus the byte-identical
+    re-delivery of every STREAM_DEDUP_MOD-th event."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # copy_no tags the injected second delivery: the copies are
+    # byte-identical on every real column, so "the dropped copy's
+    # value" is well-defined no matter which copy the dedup keeps
+    return ev.withColumn("copy_no", F.lit(0)).unionAll(
+        ev.filter(F.col("event_id") % STREAM_DEDUP_MOD == 0).withColumn(
+            "copy_no", F.lit(1)
+        )
+    )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = _dedup_arrivals(spark, sf_dir)
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arrivals"),
+        F.countDistinct("event_id").cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("bigint")
+        .alias("n_dup_dropped"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("event_id"))
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        F.sum(
+            F.when(F.col("copy_no") == 1, F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("dup_value_at_risk"),
+    )
+
+
+QUERIES["stream_dedup_events"] = stream_dedup_events
+ORACLE["stream_dedup_events"] = f"""
+WITH arrivals AS (
+  SELECT event_id, ts, user_id, event_type, value, 0 AS copy_no FROM events
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value, 1 AS copy_no FROM events
+  WHERE event_id % {STREAM_DEDUP_MOD} = 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dup_dropped,
+       (COUNT(*) - COUNT(DISTINCT event_id)) * 1.0 / COUNT(*) AS dup_rate,
+       CAST(SUM(CASE WHEN copy_no = 1
+                THEN CAST(value AS DECIMAL(18,4))
+                ELSE CAST(0.0 AS DECIMAL(18,4)) END)
+            AS DOUBLE) AS dup_value_at_risk
+FROM arrivals
+GROUP BY event_type
+"""

@@ -7426,3 +7426,288 @@ FROM runs
 GROUP BY doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint panel (round 11) — the Schleimer/Wilkerson/Aiken
+# SIGMOD'03 local document fingerprinting algorithm (the MOSS detector):
+# k-gram rolling hashes (the exact token-code + polynomial discipline of
+# text_rolling_hash above), then from every window of WINNOW_W
+# consecutive k-gram hashes select the minimum — RIGHTMOST position on
+# ties, the paper's robust-winnowing rule — and keep the distinct
+# selected positions as the document's fingerprints. The guarantee the
+# panel audits: any shared substring of length >= WINNOW_K + WINNOW_W - 1
+# tokens is caught by at least one shared fingerprint, at an expected
+# density of 2/(WINNOW_W + 1) — the order-of-magnitude sketch that makes
+# corpus-scale plagiarism/duplication detection affordable where full
+# rolling-hash indexing is not. Per doc: k-gram count, selected
+# fingerprint count, density (vs the 2/(w+1) bound), distinct
+# fingerprint hashes, and how many of those hashes appear in >= 2
+# documents (the dup-detection signal).
+#
+# Plan / 100 TB: selection is pure row-local array math (nested
+# higher-order transforms, zero shuffles); the sharing pass explodes
+# only the SELECTED fingerprints (~2/(w+1) of the k-grams), aggregates
+# on the hash key (cardinality bounded by the _RH_P modulus, 1e6), and
+# the hash->doc_freq table rides back as one hash join on the same key.
+# Docs shorter than WINNOW_K + WINNOW_W - 1 tokens have no full window
+# and are excluded in BOTH engines (stated contract).
+# ---------------------------------------------------------------------------
+WINNOW_K = 4  # tokens per k-gram (the text_rolling_hash window)
+WINNOW_W = 4  # k-gram hashes per winnowing window; density bound 2/(w+1)
+
+
+def winnowing_fingerprint_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    codes_expr = F.transform(
+        F.split("text", " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        % _RH_P,
+    )
+
+    def kgram_hash(codes: Column, i: Column) -> Column:
+        h = F.get(codes, i)
+        for k in range(1, WINNOW_K):
+            h = h * _RH_B + F.get(codes, i + k)
+        return h % _RH_P
+
+    # rightmost argmin per window j (0-based window start): the largest
+    # i in [j, j+W) whose hash equals the window minimum
+    def rightmost_min(hs: Column, j: Column) -> Column:
+        m = F.array_min(F.slice(hs, j + 1, WINNOW_W))
+        return F.array_max(
+            F.transform(
+                F.sequence(j, j + WINNOW_W - 1),
+                lambda i: F.when(F.get(hs, i) == m, i).otherwise(F.lit(-1)),
+            )
+        )
+
+    # codes, hs and sp are LET-BOUND via the single-element-transform
+    # idiom (_phash_bands_expr's trick): each is an O(n_tokens)
+    # expression referenced O(n) times downstream, and CollapseProject
+    # would otherwise inline the md5-chain into every window reference
+    # — the same multiplicative re-evaluation that cost pHash 230 s
+    # (measured here: the unbound form never finished 500 docs; this
+    # form is sub-second).
+    res = F.element_at(
+        F.transform(
+            F.array(codes_expr),
+            lambda codes: F.element_at(
+                F.transform(
+                    F.array(
+                        F.transform(
+                            F.sequence(
+                                F.lit(0), F.size(codes) - WINNOW_K
+                            ),
+                            lambda i: kgram_hash(codes, i),
+                        )
+                    ),
+                    lambda hs: F.element_at(
+                        F.transform(
+                            F.array(
+                                F.array_distinct(
+                                    F.transform(
+                                        F.sequence(
+                                            F.lit(0),
+                                            F.size(hs) - WINNOW_W,
+                                        ),
+                                        lambda j: rightmost_min(hs, j),
+                                    )
+                                )
+                            ),
+                            lambda sp: F.struct(
+                                F.size(hs)
+                                .cast("bigint")
+                                .alias("n_kgrams"),
+                                F.size(sp)
+                                .cast("bigint")
+                                .alias("n_fingerprints"),
+                                F.array_distinct(
+                                    F.transform(
+                                        sp, lambda p: F.get(hs, p)
+                                    )
+                                ).alias("fph"),
+                            ),
+                        ),
+                        1,
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+    from pyspark import StorageLevel
+
+    # persisted: the frame feeds BOTH the sharing explode and the final
+    # join — without it the whole selection expression runs twice (the
+    # text_decontaminate discipline)
+    per_doc = (
+        docs.filter(
+            F.size(F.split("text", " ")) >= WINNOW_K + WINNOW_W - 1
+        )
+        .select("doc_id", res.alias("w"))
+        .select(
+            "doc_id",
+            F.col("w.n_kgrams").alias("n_kgrams"),
+            F.col("w.n_fingerprints").alias("n_fingerprints"),
+            F.col("w.fph").alias("fph"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = per_doc.select("doc_id", F.explode("fph").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    shared = (
+        ex.join(freq.filter(F.col("nd") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+    )
+    return (
+        per_doc.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_fingerprints",
+            (F.col("n_fingerprints") / F.col("n_kgrams")).alias("density"),
+            F.size("fph").cast("bigint").alias("n_fp_hashes"),
+            F.coalesce("n_shared_fp", F.lit(0)).alias("n_shared_fp"),
+        )
+    )
+
+
+_winnow_poly = " + ".join(
+    f"c[i + {k + 1}] * {_RH_B ** (WINNOW_K - 1 - k)}" for k in range(WINNOW_K)
+)
+
+_register(
+    winnowing_fingerprint_panel,
+    f"""
+WITH coded AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_RH_P}) AS c
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(range(0, len(c) - {WINNOW_K - 1}),
+                        i -> ({_winnow_poly}) % {_RH_P}) AS hs
+  FROM coded
+  WHERE len(c) >= {WINNOW_K + WINNOW_W - 1}
+), sel AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(
+           range(0, len(hs) - {WINNOW_W - 1}),
+           j -> list_max(list_transform(
+                  range(j, j + {WINNOW_W}),
+                  i -> CASE WHEN hs[i + 1] = list_min(list_slice(hs, j + 1, j + {WINNOW_W}))
+                       THEN i ELSE -1 END)))) AS sp
+  FROM hashed
+), per_doc AS (
+  SELECT doc_id,
+         CAST(len(hs) AS BIGINT) AS n_kgrams,
+         sp,
+         list_distinct(list_transform(sp, p -> hs[p + 1])) AS fph
+  FROM sel
+), ex AS (
+  SELECT doc_id, unnest(fph) AS h FROM per_doc
+), freq AS (
+  SELECT h, COUNT(*) AS nd FROM ex GROUP BY h
+), shared AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+  FROM ex e JOIN freq f ON e.h = f.h
+  WHERE f.nd >= 2
+  GROUP BY e.doc_id
+)
+SELECT p.doc_id, p.n_kgrams,
+       CAST(len(p.sp) AS BIGINT) AS n_fingerprints,
+       len(p.sp) * 1.0 / p.n_kgrams AS density,
+       CAST(len(p.fph) AS BIGINT) AS n_fp_hashes,
+       COALESCE(s.n_shared_fp, 0) AS n_shared_fp
+FROM per_doc p LEFT JOIN shared s ON p.doc_id = s.doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact panel (round 11) — what the near-dup pass REMOVED, by
+# (source, lang): the release-audit table a curation run publishes next
+# to its datasheet ("dedup cut src3/en by 9%") and the number
+# mixture-weight decisions are re-checked against after dedup shifts
+# the per-source token mass. Composed from the registered pipeline's
+# own keep-set — dedup_cluster_representatives' is_representative flag
+# (LSH candidates -> exact-Jaccard verify -> connected components ->
+# min-doc_id representative) — joined back to the corpus and rolled up.
+#
+# Plan / 100 TB: the cluster pass's cost is the LSH family's (bucketed,
+# never all-pairs; the CC iterates only over verified pairs); the panel
+# adds ONE doc_id hash join and a tiny-cardinality (source, lang)
+# aggregate. Fractions are exact ratios of counts, identical in both
+# engines.
+# ---------------------------------------------------------------------------
+def dedup_impact_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = dedup_cluster_representatives(spark, sf_dir).select(
+        "doc_id", "is_representative"
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    removed = (~F.col("is_representative")).cast("int")
+    return (
+        docs.join(reps, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(removed).cast("bigint").alias("n_removed"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n_tok") * removed)
+            .cast("bigint")
+            .alias("tokens_removed"),
+            (F.sum(removed) / F.count(F.lit(1))).alias("removed_doc_frac"),
+            (F.sum(F.col("n_tok") * removed) / F.sum("n_tok")).alias(
+                "removed_token_frac"
+            ),
+        )
+    )
+
+
+_register(
+    dedup_impact_panel,
+    f"""
+WITH RECURSIVE verified AS (
+{ORACLE["dedup_lsh_verified"].strip()}
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+r(vertex, reach) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT r.vertex, e.dst FROM r JOIN und e ON r.reach = e.src
+),
+cc AS (SELECT vertex, MIN(reach) AS comp FROM r GROUP BY vertex),
+flagged AS (
+  SELECT d.doc_id, d.source, d.lang,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         CASE WHEN COALESCE(cc.comp, d.doc_id) = d.doc_id
+              THEN 0 ELSE 1 END AS removed
+  FROM documents d
+  LEFT JOIN cc ON d.doc_id = cc.vertex
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(removed) AS BIGINT) AS n_removed,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tok * removed) AS BIGINT) AS tokens_removed,
+       SUM(removed) * 1.0 / COUNT(*) AS removed_doc_frac,
+       SUM(n_tok * removed) * 1.0 / SUM(n_tok) AS removed_token_frac
+FROM flagged
+GROUP BY source, lang
+""",
+)

@@ -151,6 +151,104 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# PII redaction TRANSFORM (round 11) — the audit's action leg: rewrite
+# the text with typed placeholders (<EMAIL>/<PHONE>/<IP>) and account
+# for what was removed, the scrubbing pass a release actually applies
+# before publication (pii_pattern_audit only counts). The corpus is
+# synthetic and contains no real PII, so — exactly the
+# text_normalize_panel fixture-injection discipline (llm.py
+# _MESSY_TEXT_SQL) — a deterministic "leaky" column is derived in BOTH
+# engines from doc_id via the shared _PII_LEAKY_SQL expression (email /
+# phone / IPv4 shaped spans on modular doc_id classes), then redacted
+# by the shared pattern chain. Patterns are RE2-safe AND
+# backslash-free-literal-safe: the Spark side applies them through the
+# DataFrame API (no SQL string escaping), the DuckDB side interpolates
+# the same Python constants into standard single-quoted literals
+# (DuckDB does not process backslash escapes there). Idempotence —
+# redact(redact(x)) == redact(x), i.e. placeholders never re-match —
+# is emitted as a per-row boolean so the driver hash pins it.
+#
+# Plan / 100 TB: pure per-row regexp expressions inside whole-stage
+# codegen; ZERO shuffles. The transform is a scan.
+# ---------------------------------------------------------------------------
+PII_PHONE_PATTERN = "\\(555\\) [0-9]{3}-[0-9]{4}"
+PII_IP_PATTERN = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+#: deterministic synthetic-PII injection (fixture, marked as such):
+#: identical SQL text in Spark (F.expr) and DuckDB — string concat of
+#: integers is an implicit cast in both dialects, and no backslash
+#: appears so literal parsing cannot diverge.
+_PII_LEAKY_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id"
+    "      || '@mail.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call (555) 867-'"
+    "      || lpad('' || (doc_id % 10000), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)"
+    "      || '.0.' || (doc_id % 200 + 1) ELSE '' END"
+)
+
+
+def _pii_redact(col):  # Spark-side chain, DataFrame API (no SQL escaping)
+    r = F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>")
+    r = F.regexp_replace(r, PII_PHONE_PATTERN, "<PHONE>")
+    return F.regexp_replace(r, PII_IP_PATTERN, "<IP>")
+
+
+def pii_redact_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_LEAKY_SQL).alias("leaky")
+    )
+    red = _pii_redact(F.col("leaky"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count("leaky", F.lit(PII_EMAIL_PATTERN))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count("leaky", F.lit(PII_PHONE_PATTERN))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count("leaky", F.lit(PII_IP_PATTERN))
+        .cast("bigint")
+        .alias("n_ips"),
+        (F.length("leaky") - F.length(red))
+        .cast("bigint")
+        .alias("chars_removed"),
+        (_pii_redact(red) == red).alias("idempotent"),
+        F.md5(red).alias("redacted_hash"),
+    )
+
+
+def _pii_redact_sql(col: str) -> str:  # DuckDB twin of _pii_redact
+    r = f"regexp_replace({col}, '{PII_EMAIL_PATTERN}', '<EMAIL>', 'g')"
+    r = f"regexp_replace({r}, '{PII_PHONE_PATTERN}', '<PHONE>', 'g')"
+    return f"regexp_replace({r}, '{PII_IP_PATTERN}', '<IP>', 'g')"
+
+
+_register(
+    pii_redact_transform,
+    f"""
+WITH leaky AS (
+  SELECT doc_id, {_PII_LEAKY_SQL} AS leaky FROM documents
+), red AS (
+  SELECT doc_id, leaky, {_pii_redact_sql("leaky")} AS r FROM leaky
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(leaky, '{PII_EMAIL_PATTERN}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(leaky, '{PII_PHONE_PATTERN}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(leaky, '{PII_IP_PATTERN}')) AS BIGINT)
+         AS n_ips,
+       CAST(length(leaky) - length(r) AS BIGINT) AS chars_removed,
+       {_pii_redact_sql("r")} = r AS idempotent,
+       md5(r) AS redacted_hash
+FROM red
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
 # document with the corpus's own Kneser-Ney bigram model
 # (lm_kn_bigram), then split each language into head/middle/tail
@@ -1930,11 +2028,27 @@ def _qc_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: learned weights memoized per corpus (the _corpus_count discipline,
+#: llm.py:_CORPUS_N_CACHE): the vector is a pure function of the
+#: (sf_dir, QC_* constants) pair, and the calibration panel rebuilds
+#: the scored frame — without the memo every panel build re-pays the
+#: QC_ITERS distributed GD passes (measured: the panel dropped from
+#: the registry's most expensive query to roughly the classifier's
+#: single-scan scoring cost once the second training run went away).
+_QC_W_CACHE: dict[str, tuple[float, ...]] = {}
+
+
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.logreg import train
 
     data = _qc_data(spark, sf_dir)
-    w = train(data, dim=QC_DIM, iterations=QC_ITERS, lr=QC_LR)
+    w = _QC_W_CACHE.get(sf_dir)
+    if w is None:
+        w = tuple(
+            float(x)
+            for x in train(data, dim=QC_DIM, iterations=QC_ITERS, lr=QC_LR)
+        )
+        _QC_W_CACHE[sf_dir] = w
     wlit = F.array(*[F.lit(float(x)) for x in w])
     dot = F.aggregate(
         F.zip_with("features", wlit, lambda a, b: a * b),
