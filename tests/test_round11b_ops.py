@@ -25,8 +25,6 @@ import hashlib
 import re
 from collections import defaultdict
 
-import pytest
-
 from flink_tornadovm_artifact_spark.queries.behavior import (
     STREAM_DEDUP_DELAY,
     STREAM_DEDUP_MOD,
