@@ -897,25 +897,42 @@ _RH_B = 131  # polynomial base
 _RH_N = 4  # tokens per window
 
 
-def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    codes = F.transform(
-        F.split("text", " "),
+def _token_codes_expr(col: str = "text") -> Column:
+    """md5-prefix token codes mod _RH_P — the hashing contract's ONE
+    home, shared by text_rolling_hash and winnowing_fingerprint_panel
+    (and their pure-Python test twins)."""
+    return F.transform(
+        F.split(col, " "),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
         % _RH_P,
     )
-    df = docs.select("doc_id", codes.alias("codes")).filter(
-        F.size("codes") >= _RH_N
+
+
+def _kgram_hash(codes, i: Column, k: int) -> Column:
+    """Polynomial hash of the k tokens starting at (0-based) ``i`` over
+    ``codes`` (column name or bound lambda variable)."""
+    h = F.get(codes, i)
+    for j in range(1, k):
+        h = h * _RH_B + F.get(codes, i + j)
+    return h % _RH_P
+
+
+def _poly_terms_sql(k: int) -> str:
+    """DuckDB twin of _kgram_hash's polynomial (1-based list ``c``,
+    0-based position ``i``)."""
+    return " + ".join(
+        f"c[i + {j + 1}] * {_RH_B ** (k - 1 - j)}" for j in range(k)
     )
 
-    def window_hash(i: Column) -> Column:
-        h = F.get("codes", i)
-        for k in range(1, _RH_N):
-            h = h * _RH_B + F.get("codes", i + k)
-        return h % _RH_P
 
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id", _token_codes_expr().alias("codes")
+    ).filter(F.size("codes") >= _RH_N)
     hashes = F.transform(
-        F.sequence(F.lit(0), F.size("codes") - _RH_N), window_hash
+        F.sequence(F.lit(0), F.size("codes") - _RH_N),
+        lambda i: _kgram_hash("codes", i, _RH_N),
     )
     return df.select(
         "doc_id",
@@ -925,9 +942,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_rh_terms = " + ".join(
-    f"c[i + {k + 1}] * {_RH_B ** (_RH_N - 1 - k)}" for k in range(_RH_N)
-)
+_rh_terms = _poly_terms_sql(_RH_N)
 
 _register(
     text_rolling_hash,
@@ -1915,15 +1930,14 @@ def dedup_cluster_representatives(
 
 _verified_sql = ORACLE["dedup_lsh_verified"].strip()
 
-_register(
-    dedup_cluster_representatives,
-    # the verified-pair SQL nests wholesale as a CTE body; the closure
-    # is the same recursive-CTE technique as connected_components_pipeline
-    f"""
-WITH RECURSIVE verified AS (
-{_verified_sql}
-),
-und AS (
+#: the verified-pairs -> undirected edges -> recursive closure ->
+#: min-reach representative CTE chain (assumes a preceding
+#: ``WITH RECURSIVE verified AS (...)``). ONE home for the keep-set
+#: rule: dedup_cluster_representatives, corpus_datasheet_v3 and
+#: dedup_impact_panel all interpolate this fragment, so a change to
+#: the representative rule (tie-break, closure form) cannot diverge
+#: the three oracles.
+_CC_KEEPSET_SQL = """und AS (
   SELECT doc_a AS src, doc_b AS dst FROM verified
   UNION
   SELECT doc_b, doc_a FROM verified
@@ -1933,7 +1947,17 @@ r(vertex, reach) AS (
   UNION
   SELECT r.vertex, e.dst FROM r JOIN und e ON r.reach = e.src
 ),
-cc AS (SELECT vertex, MIN(reach) AS comp FROM r GROUP BY vertex)
+cc AS (SELECT vertex, MIN(reach) AS comp FROM r GROUP BY vertex)"""
+
+_register(
+    dedup_cluster_representatives,
+    # the verified-pair SQL nests wholesale as a CTE body; the closure
+    # is the same recursive-CTE technique as connected_components_pipeline
+    f"""
+WITH RECURSIVE verified AS (
+{_verified_sql}
+),
+{_CC_KEEPSET_SQL}
 SELECT d.doc_id,
        COALESCE(cc.comp, d.doc_id) AS cluster_rep,
        COALESCE(cc.comp, d.doc_id) = d.doc_id AS is_representative
@@ -2236,23 +2260,14 @@ def corpus_datasheet_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register(
     corpus_datasheet_v3,
-    # the recursive-CTE closure is the dedup_cluster_representatives
-    # oracle verbatim; the datasheet CTEs are the shared v2 fragment
+    # the recursive-CTE closure is the shared _CC_KEEPSET_SQL fragment
+    # (the dedup_cluster_representatives rule); the datasheet CTEs are
+    # the shared v2 fragment
     f"""
 WITH RECURSIVE verified AS (
 {_verified_sql}
 ),
-und AS (
-  SELECT doc_a AS src, doc_b AS dst FROM verified
-  UNION
-  SELECT doc_b, doc_a FROM verified
-),
-r(vertex, reach) AS (
-  SELECT DISTINCT src, src FROM und
-  UNION
-  SELECT r.vertex, e.dst FROM r JOIN und e ON r.reach = e.src
-),
-cc AS (SELECT vertex, MIN(reach) AS comp FROM r GROUP BY vertex),
+{_CC_KEEPSET_SQL},
 {_DATASHEET_CTES}
 SELECT {_DATASHEET_SELECT},
        AVG(CASE WHEN COALESCE(cc.comp, p.doc_id) <> p.doc_id
@@ -7461,17 +7476,7 @@ def winnowing_fingerprint_panel(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    codes_expr = F.transform(
-        F.split("text", " "),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
-        % _RH_P,
-    )
-
-    def kgram_hash(codes: Column, i: Column) -> Column:
-        h = F.get(codes, i)
-        for k in range(1, WINNOW_K):
-            h = h * _RH_B + F.get(codes, i + k)
-        return h % _RH_P
+    codes_expr = _token_codes_expr()
 
     # rightmost argmin per window j (0-based window start): the largest
     # i in [j, j+W) whose hash equals the window minimum
@@ -7501,7 +7506,7 @@ def winnowing_fingerprint_panel(
                             F.sequence(
                                 F.lit(0), F.size(codes) - WINNOW_K
                             ),
-                            lambda i: kgram_hash(codes, i),
+                            lambda i: _kgram_hash(codes, i, WINNOW_K),
                         )
                     ),
                     lambda hs: F.element_at(
@@ -7577,9 +7582,7 @@ def winnowing_fingerprint_panel(
     )
 
 
-_winnow_poly = " + ".join(
-    f"c[i + {k + 1}] * {_RH_B ** (WINNOW_K - 1 - k)}" for k in range(WINNOW_K)
-)
+_winnow_poly = _poly_terms_sql(WINNOW_K)
 
 _register(
     winnowing_fingerprint_panel,
@@ -7677,21 +7680,13 @@ def dedup_impact_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register(
     dedup_impact_panel,
+    # keep-set closure = the shared _CC_KEEPSET_SQL fragment (the
+    # dedup_cluster_representatives rule the Spark side composes)
     f"""
 WITH RECURSIVE verified AS (
-{ORACLE["dedup_lsh_verified"].strip()}
+{_verified_sql}
 ),
-und AS (
-  SELECT doc_a AS src, doc_b AS dst FROM verified
-  UNION
-  SELECT doc_b, doc_a FROM verified
-),
-r(vertex, reach) AS (
-  SELECT DISTINCT src, src FROM und
-  UNION
-  SELECT r.vertex, e.dst FROM r JOIN und e ON r.reach = e.src
-),
-cc AS (SELECT vertex, MIN(reach) AS comp FROM r GROUP BY vertex),
+{_CC_KEEPSET_SQL},
 flagged AS (
   SELECT d.doc_id, d.source, d.lang,
          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,

@@ -1,4 +1,4 @@
-"""Semantic pins for the round-11 SECOND debut batch (the driver
+"""Semantic pins for the round-11 THIRD debut batch (the driver
 differential checks Spark == DuckDB; these check the operators mean
 what they claim):
 
@@ -16,7 +16,11 @@ what they claim):
 - stream_dedup_events: the STREAMING leg — Structured Streaming
   dropDuplicatesWithinWatermark over the same injected at-least-once
   feed — reproduces the batch twin row-for-row (exactly-once view ==
-  the original events), including across micro-batch boundaries.
+  the original events), including across micro-batch boundaries;
+  plus kill-and-restart checkpoint recovery (dedup state resumed, not
+  replayed) and the watermark contract boundary (a duplicate arriving
+  after the watermark passed its event time is dropped as late data,
+  not doubled).
 """
 
 from __future__ import annotations
@@ -239,26 +243,13 @@ def test_stream_dedup_panel_accounting(spark):
         assert r.dup_value_at_risk > 0.0
 
 
-def test_stream_dedup_streaming_leg_matches_twin(spark, tmp_path):
-    """Replay the injected feed (ts-ordered, split across micro-batch
-    files so original and redelivery can straddle batch boundaries)
-    through withWatermark + dropDuplicatesWithinWatermark and require
-    the drained rows to be EXACTLY the original events — the
-    exactly-once view the batch twin accounts for."""
+def _write_dedup_chunks(feed, chunks):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    arrivals = (
-        _dedup_arrivals(spark, SF_SMOKE)
-        .orderBy("ts", "event_id", "copy_no")
-        .collect()
-    )
-    feed = tmp_path / "feed"
-    feed.mkdir()
-    n_chunks = 8
-    size = (len(arrivals) + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        part = arrivals[i * size : (i + 1) * size]
+    feed.mkdir(exist_ok=True)
+    existing = len(list(feed.glob("b*.parquet")))
+    for i, part in enumerate(chunks, start=existing):
         if not part:
             continue
         pq.write_table(
@@ -283,7 +274,10 @@ def test_stream_dedup_streaming_leg_matches_twin(spark, tmp_path):
             ),
             str(feed / f"b{i:02d}.parquet"),
         )
-    stream = (
+
+
+def _dedup_stream(spark, feed):
+    return (
         spark.readStream.schema(
             "ts timestamp, event_id bigint, user_id bigint, "
             "event_type string, value double"
@@ -293,6 +287,9 @@ def test_stream_dedup_streaming_leg_matches_twin(spark, tmp_path):
         .withWatermark("ts", STREAM_DEDUP_DELAY)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+
+
+def _drain(stream, ckpt):
     out = []
 
     def sink(batch_df, _epoch):
@@ -300,7 +297,7 @@ def test_stream_dedup_streaming_leg_matches_twin(spark, tmp_path):
 
     q = (
         stream.writeStream.outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("checkpointLocation", str(ckpt))
         .foreachBatch(sink)
         .start()
     )
@@ -308,6 +305,31 @@ def test_stream_dedup_streaming_leg_matches_twin(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    return out
+
+
+def _arrival_chunks(spark, n_chunks=8):
+    arrivals = (
+        _dedup_arrivals(spark, SF_SMOKE)
+        .orderBy("ts", "event_id", "copy_no")
+        .collect()
+    )
+    size = (len(arrivals) + n_chunks - 1) // n_chunks
+    return arrivals, [
+        arrivals[i * size : (i + 1) * size] for i in range(n_chunks)
+    ]
+
+
+def test_stream_dedup_streaming_leg_matches_twin(spark, tmp_path):
+    """Replay the injected feed (ts-ordered, split across micro-batch
+    files so original and redelivery can straddle batch boundaries)
+    through withWatermark + dropDuplicatesWithinWatermark and require
+    the drained rows to be EXACTLY the original events — the
+    exactly-once view the batch twin accounts for."""
+    arrivals, chunks = _arrival_chunks(spark)
+    feed = tmp_path / "feed"
+    _write_dedup_chunks(feed, chunks)
+    out = _drain(_dedup_stream(spark, feed), tmp_path / "ckpt")
 
     base = load(spark, SF_SMOKE, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -324,3 +346,66 @@ def test_stream_dedup_streaming_leg_matches_twin(spark, tmp_path):
     panel = stream_dedup_events(spark, SF_SMOKE).collect()
     assert sum(p.n_dup_dropped for p in panel) == n_dupes
     assert sum(p.n_unique for p in panel) == len(base)
+
+
+def test_stream_dedup_recovers_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart durability (the twins' discipline): run over
+    the first micro-batch file only, stop, add the rest, restart from
+    the SAME checkpoint — the union of both runs' emissions equals the
+    uninterrupted exactly-once view (dedup state resumed, not
+    replayed: a duplicate whose original emitted before the kill must
+    NOT re-emit after the restart)."""
+    arrivals, chunks = _arrival_chunks(spark)
+    feed = tmp_path / "grow_feed"
+    _write_dedup_chunks(feed, chunks[:1])
+    first = _drain(_dedup_stream(spark, feed), tmp_path / "ckpt")
+    assert first
+    _write_dedup_chunks(feed, chunks[1:])
+    second = _drain(_dedup_stream(spark, feed), tmp_path / "ckpt")
+    assert second
+    base = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).collect()
+    got = sorted(
+        (r.event_id, r.ts, r.user_id, r.event_type, r.value)
+        for r in first + second
+    )
+    assert got == sorted(
+        (b.event_id, b.ts, b.user_id, b.event_type, b.value) for b in base
+    )
+
+
+def test_stream_dedup_late_duplicate_is_dropped_not_doubled(spark, tmp_path):
+    """The contract BOUNDARY, pinned honestly: a duplicate delivered
+    after the watermark has passed its event time is late data — the
+    engine drops it before the dedup operator, so the exactly-once
+    view still holds (dropped-as-late, not deduped-by-state; beyond
+    the delay the state may be gone, and this is why)."""
+    import datetime as dt
+
+    base = (
+        load(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    max_ts = max(r.ts for r in base)
+    sentinel = type(base[0])(
+        event_id=10_000_001,
+        ts=max_ts + dt.timedelta(days=2),
+        user_id=-1,
+        event_type="sentinel",
+        value=0.0,
+    )
+    late_dups = [r for r in base if r.event_id % STREAM_DEDUP_MOD == 0][:50]
+    feed = tmp_path / "late_feed"
+    # batch 1: originals; batch 2: far-future sentinel advances the
+    # GLOBAL watermark past every original + delay; batch 3: the
+    # duplicates arrive — now late
+    _write_dedup_chunks(feed, [base, [sentinel], late_dups])
+    out = _drain(_dedup_stream(spark, feed), tmp_path / "ckpt")
+    ids = [r.event_id for r in out]
+    assert len(ids) == len(set(ids))  # nothing doubled
+    assert sorted(ids) == sorted(
+        [b.event_id for b in base] + [sentinel.event_id]
+    )

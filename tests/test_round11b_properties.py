@@ -49,12 +49,26 @@ _tokens = st.lists(
 
 
 @settings(max_examples=60, deadline=None, derandomize=True)
-@given(_tokens, _tokens, st.lists(st.sampled_from(["a", "b", "c", "ab", "q", "zz"]), min_size=_T, max_size=_T + 4))
-def test_winnowing_shared_run_guarantee(prefix_a, prefix_b, shared):
-    """Both docs embed the same >= t-token run at different offsets =>
-    their fingerprint hash sets intersect."""
-    doc_a = _winnow_py(" ".join(prefix_a + shared))
-    doc_b = _winnow_py(" ".join(prefix_b + shared))
+@given(
+    _tokens,
+    _tokens,
+    _tokens,
+    _tokens,
+    st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "q", "zz"]),
+        min_size=_T,
+        max_size=_T + 4,
+    ),
+)
+def test_winnowing_shared_run_guarantee(
+    prefix_a, suffix_a, prefix_b, suffix_b, shared
+):
+    """Both docs embed the same >= t-token run MID-document at
+    different offsets (independent prefixes AND suffixes, so windows
+    straddling both edges of the run are exercised) => their
+    fingerprint hash sets intersect."""
+    doc_a = _winnow_py(" ".join(prefix_a + shared + suffix_a))
+    doc_b = _winnow_py(" ".join(prefix_b + shared + suffix_b))
     assert doc_a is not None and doc_b is not None
     assert doc_a["fph"] & doc_b["fph"], (prefix_a, prefix_b, shared)
 
