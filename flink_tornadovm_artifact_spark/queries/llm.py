@@ -4361,10 +4361,12 @@ KN_DISCOUNT = 0.75
 KN_MIN_COUNT = 5
 
 
-def lm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("text")
-    toks = F.split("text", " ")
-    prs = F.filter(
+def _bigram_pairs_expr(col: str = "text") -> Column:
+    """(w1, w2) struct array over adjacent tokens — the KN math's ONE
+    pair definition, shared by lm_kn_bigram and perplexity_decontaminate
+    (both the model build and the candidate scoring explode)."""
+    toks = F.split(col, " ")
+    return F.filter(
         F.zip_with(
             toks,
             F.slice(toks, 2, F.size(toks)),
@@ -4372,17 +4374,67 @@ def lm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda p: p.w2.isNotNull(),
     )
+
+
+def _kn_model_tables(docs: DataFrame, persist: bool = False):
+    """The four interpolated-KN model tables over ``docs`` (must carry
+    a text column): bigram counts bc(w1, w2, c), context marginals
+    ctx(w1, c1, n1p), continuation counts pre(w2, n_prec), and the
+    1-row type total. ``persist`` pins bc when it feeds more than the
+    three marginals (perplexity_decontaminate's pair join)."""
     bc = (
-        docs.select(F.explode(prs).alias("p"))
+        docs.select(F.explode(_bigram_pairs_expr()).alias("p"))
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        bc = bc.persist(StorageLevel.MEMORY_AND_DISK)
     ctx = bc.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p")
     )
     pre = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
     types = bc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    return bc, ctx, pre, types
+
+
+def _kn_seen_prob() -> Column:
+    """p_kn(w2|w1) for a SEEN pair, over joined (c, c1, n1p, n_prec,
+    n_types) columns — the discount/continuation formula's one home."""
     D = KN_DISCOUNT
+    return F.greatest(F.col("c") - D, F.lit(0.0)) / F.col("c1") + (
+        D * F.col("n1p") / F.col("c1")
+    ) * (F.col("n_prec") / F.col("n_types"))
+
+
+#: DuckDB twins of the shared pieces (parameterized on column refs so
+#: each oracle keeps its own qualification style)
+_KN_PAIRS_LT = (
+    "list_transform(range(0, len(t) - 1),"
+    " i -> {'w1': t[i + 1], 'w2': t[i + 2]})"
+)
+_KN_MARGINALS_SQL = """ctx AS (SELECT w1, SUM(c) AS c1, COUNT(*) AS n1p FROM bc GROUP BY 1),
+pre AS (SELECT w2, COUNT(*) AS n_prec FROM bc GROUP BY 1),
+types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bc)"""
+
+
+def _kn_seen_prob_sql(
+    c: str = "bc.c",
+    c1: str = "ctx.c1",
+    n1p: str = "ctx.n1p",
+    n_prec: str = "pre.n_prec",
+    n_types: str = "types.n_types",
+) -> str:
+    return (
+        f"GREATEST({c} - {KN_DISCOUNT}, 0.0) / {c1}"
+        f" + ({KN_DISCOUNT} * {n1p} / {c1}) * ({n_prec} / {n_types})"
+    )
+
+
+def lm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("text")
+    bc, ctx, pre, types = _kn_model_tables(docs)
     return (
         bc.filter(F.col("c") >= KN_MIN_COUNT)
         .join(ctx, "w1")
@@ -4392,11 +4444,7 @@ def lm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("c").cast("bigint").alias("pair_count"),
-            (
-                F.greatest(F.col("c") - D, F.lit(0.0)) / F.col("c1")
-                + (D * F.col("n1p") / F.col("c1"))
-                * (F.col("n_prec") / F.col("n_types"))
-            ).alias("p_kn"),
+            _kn_seen_prob().alias("p_kn"),
         )
     )
 
@@ -4406,21 +4454,15 @@ _register(
     f"""
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 pr AS (
-  SELECT unnest(list_transform(range(0, len(t) - 1),
-                               i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS p
+  SELECT unnest({_KN_PAIRS_LT}) AS p
   FROM toks
 ),
 bc AS (
   SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c FROM pr GROUP BY 1, 2
 ),
-ctx AS (
-  SELECT w1, SUM(c) AS c1, COUNT(*) AS n1p FROM bc GROUP BY 1
-),
-pre AS (SELECT w2, COUNT(*) AS n_prec FROM bc GROUP BY 1),
-types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bc)
+{_KN_MARGINALS_SQL}
 SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS pair_count,
-       GREATEST(bc.c - {KN_DISCOUNT}, 0.0) / ctx.c1
-         + ({KN_DISCOUNT} * ctx.n1p / ctx.c1) * (pre.n_prec / types.n_types)
+       {_kn_seen_prob_sql()}
          AS p_kn
 FROM bc JOIN ctx ON bc.w1 = ctx.w1 JOIN pre ON bc.w2 = pre.w2, types
 WHERE bc.c >= {KN_MIN_COUNT}
@@ -7013,33 +7055,13 @@ def perplexity_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     bench_docs = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
 
-    toks = F.split("text", " ")
-    prs = F.filter(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.size(toks)),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-        lambda p: p.w2.isNotNull(),
-    )
-    # benchmark bigram model (lm_kn_bigram expressions, no min-count
-    # head). PERSISTED (the bloom-screen discipline): the type table
-    # feeds FOUR consumers (the pair join + the three marginals), and
-    # without the persist each one re-executes the benchmark explode +
-    # groupBy from the scan.
-    from pyspark import StorageLevel
-
-    bc = (
-        bench_docs.select(F.explode(prs).alias("p"))
-        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ctx = bc.groupBy("w1").agg(
-        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p")
-    )
-    pre = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
-    types = bc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    # benchmark bigram model — the SHARED _kn_model_tables construction
+    # (lm_kn_bigram's, no min-count head). bc PERSISTED (the
+    # bloom-screen discipline): the type table feeds FOUR consumers
+    # (the pair join + the three marginals), and without the persist
+    # each one re-executes the benchmark explode + groupBy from the
+    # scan.
+    bc, ctx, pre, types = _kn_model_tables(bench_docs, persist=True)
 
     # candidates: the exact screen's flagged docs (>= 1 shared shingle)
     flagged = text_decontaminate(spark, sf_dir)
@@ -7047,7 +7069,9 @@ def perplexity_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_contaminated_shingles"
     )
     grams = cand.select(
-        "doc_id", "n_contaminated_shingles", F.explode(prs).alias("p")
+        "doc_id",
+        "n_contaminated_shingles",
+        F.explode(_bigram_pairs_expr()).alias("p"),
     ).select(
         "doc_id",
         "n_contaminated_shingles",
@@ -7063,12 +7087,7 @@ def perplexity_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_contaminated_shingles",
-            F.when(
-                F.col("c").isNotNull(),
-                F.greatest(F.col("c") - D, F.lit(0.0)) / F.col("c1")
-                + (D * F.col("n1p") / F.col("c1"))
-                * (F.col("n_prec") / F.col("n_types")),
-            )
+            F.when(F.col("c").isNotNull(), _kn_seen_prob())
             .when(
                 F.col("c1").isNotNull() & F.col("n_prec").isNotNull(),
                 (D * F.col("n1p") / F.col("c1"))
@@ -7104,17 +7123,14 @@ _register(
     f"""
 WITH pr AS (
   SELECT doc_id,
-         unnest(list_transform(range(0, len(t) - 1),
-                               i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS p
+         unnest({_KN_PAIRS_LT}) AS p
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 ),
 bc AS (
   SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c FROM pr
   WHERE doc_id % {_DECON_MOD} = 0 GROUP BY 1, 2
 ),
-ctx AS (SELECT w1, SUM(c) AS c1, COUNT(*) AS n1p FROM bc GROUP BY 1),
-pre AS (SELECT w2, COUNT(*) AS n_prec FROM bc GROUP BY 1),
-types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bc),
+{_KN_MARGINALS_SQL},
 flagged AS (
 {ORACLE["text_decontaminate"].strip()}
 ),
@@ -7125,9 +7141,7 @@ grams AS (
 scored AS (
   SELECT g.doc_id, g.n_contaminated_shingles,
          CASE WHEN bc.c IS NOT NULL THEN
-                GREATEST(bc.c - {KN_DISCOUNT}, 0.0) / ctx.c1
-                + ({KN_DISCOUNT} * ctx.n1p / ctx.c1)
-                  * (pre.n_prec / types.n_types)
+                {_kn_seen_prob_sql()}
               WHEN ctx.c1 IS NOT NULL AND pre.n_prec IS NOT NULL THEN
                 ({KN_DISCOUNT} * ctx.n1p / ctx.c1)
                   * (pre.n_prec / types.n_types)

@@ -2039,9 +2039,17 @@ _QC_W_CACHE: dict[str, tuple[float, ...]] = {}
 
 
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from ..functions.logreg import train
 
-    data = _qc_data(spark, sf_dir)
+    # persisted across train + score: train() persists only its own
+    # (features, label) projection and unpersists it before the scoring
+    # pass runs, which would otherwise re-execute the full feature
+    # build (corpus scan + the 1-row z-score moments aggregate); the
+    # calibration panel's rebuild also reuses this frame via
+    # CacheManager plan-dedup
+    data = _qc_data(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     w = _QC_W_CACHE.get(sf_dir)
     if w is None:
         w = tuple(

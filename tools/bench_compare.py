@@ -63,13 +63,24 @@ def main() -> None:
     common = sorted(set(so) & set(sn))
     to = sum(so[q]["best"] for q in common)
     tn = sum(sn[q]["best"] for q in common)
-    if not common or to == 0:
+    mo = sum(so[q]["median"] for q in common)
+    mn = sum(sn[q]["median"] for q in common)
+    if not common or to == 0 or mo == 0:
         sys.exit("no common queries to compare (or old total is 0.0)")
     print(
-        f"common {len(common)} queries: {to:.1f}s -> {tn:.1f}s "
-        f"({100 * (tn - to) / to:+.1f}%)  [n_old={old.get('n')} "
+        f"common {len(common)} queries: best {to:.1f}s -> {tn:.1f}s "
+        f"({100 * (tn - to) / to:+.1f}%), median {mo:.1f}s -> {mn:.1f}s "
+        f"({100 * (mn - mo) / mo:+.1f}%)  [n_old={old.get('n')} "
         f"n_new={new.get('n')} sf={new.get('sf')}]"
     )
+    # the SCALE.md claim line, ready to paste (tests/test_bench_claim.py
+    # recomputes these exact fields from the two files)
+    if not args[0].startswith("git:") and not args[1].startswith("git:"):
+        print(
+            f"    bench-delta: {args[0]} -> {args[1]} "
+            f"common={len(common)} best={100 * (tn - to) / to:+.1f}% "
+            f"median={100 * (mn - mo) / mo:+.1f}%"
+        )
     movers = [
         (q, so[q]["best"], sn[q]["best"])
         for q in common
