@@ -1908,20 +1908,46 @@ HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
 # iteration cost is independent of corpus size; the final join is one
 # shuffle on doc_id.
 # ---------------------------------------------------------------------------
+#: (session applicationId, sf_dir) -> persisted (doc_id, component)
+#: map of the verified near-dup match graph. The cluster map is the
+#: dedup pass's OUTPUT artifact: a production pipeline materializes it
+#: once and every downstream consumer (the representatives view, the
+#: datasheet, the impact panel, the release filter) reads the
+#: materialized table — this memo is that materialization's in-process
+#: analog (the _QC_W_CACHE discipline, but holding a session-bound
+#: persisted frame, hence the applicationId in the key: a new session
+#: can never see another session's frame). Without it every consumer
+#: re-pays the full LSH -> exact-verify -> CC-iteration chain.
+_CC_COMP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _verified_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    comp = _CC_COMP_CACHE.get(key)
+    if comp is None:
+        from pyspark import StorageLevel
+
+        from ..functions.graph import connected_components
+
+        pairs = dedup_lsh_verified(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        comp = (
+            connected_components(pairs, max_iterations=20)
+            .select(F.col("vertex").alias("doc_id"), "component")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _CC_COMP_CACHE[key] = comp
+    return comp
+
+
 def dedup_cluster_representatives(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..functions.graph import connected_components
-
-    pairs = dedup_lsh_verified(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comp = connected_components(pairs, max_iterations=20)
+    comp = _verified_components(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id")
     rep = F.coalesce("component", F.col("doc_id"))
-    return docs.join(
-        comp, docs.doc_id == comp.vertex, "left"
-    ).select(
+    return docs.join(comp, "doc_id", "left").select(
         "doc_id",
         rep.alias("cluster_rep"),
         (rep == F.col("doc_id")).alias("is_representative"),
@@ -2226,19 +2252,13 @@ GROUP BY source, lang
 # so the added cost at 100 TB is one keyed join, not a new corpus pass.
 # ---------------------------------------------------------------------------
 def corpus_datasheet_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.graph import connected_components
-
     # join the CLUSTER MAP (one row per vertex of the verified match
     # graph — tiny relative to the corpus, broadcastable) straight onto
     # the per-doc frame, not dedup_cluster_representatives' output: its
     # docs⋈comp materialization would make this a corpus×corpus
-    # shuffle join at 100 TB for columns v3 can derive with a coalesce
-    pairs = dedup_lsh_verified(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comp = connected_components(pairs, max_iterations=20).select(
-        F.col("vertex").alias("doc_id"), "component"
-    )
+    # shuffle join at 100 TB for columns v3 can derive with a coalesce.
+    # The map itself is the shared persisted _verified_components frame.
+    comp = _verified_components(spark, sf_dir)
     is_rep = F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
     return (
         _datasheet_per_doc(spark, sf_dir)
