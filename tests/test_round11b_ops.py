@@ -18,9 +18,10 @@ what they claim):
   feed — reproduces the batch twin row-for-row (exactly-once view ==
   the original events), including across micro-batch boundaries;
   plus kill-and-restart checkpoint recovery (dedup state resumed, not
-  replayed) and the watermark contract boundary (a duplicate arriving
+  replayed), the watermark contract boundary (a duplicate arriving
   after the watermark passed its event time is dropped as late data,
-  not doubled).
+  not doubled), and the RocksDB state-store provider pin (the 100 TB
+  provider, extended from the four stateful twins).
 """
 
 from __future__ import annotations
@@ -409,3 +410,42 @@ def test_stream_dedup_late_duplicate_is_dropped_not_doubled(spark, tmp_path):
     assert sorted(ids) == sorted(
         [b.event_id for b in base] + [sentinel.event_id]
     )
+
+
+def test_stream_dedup_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state-store provider pin, extended from the four
+    stateful twins to the dedup leg: dropDuplicatesWithinWatermark's
+    keyed dedup state must run under RocksDB and emit the same
+    exactly-once view as the default provider."""
+    import glob
+
+    arrivals, chunks = _arrival_chunks(spark)
+    feed = tmp_path / "feed"
+    _write_dedup_chunks(feed, chunks)
+
+    baseline = _drain(_dedup_stream(spark, feed), tmp_path / "base_ckpt")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        emitted = _drain(_dedup_stream(spark, feed), tmp_path / "rks_ckpt")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    k = lambda r: (r.event_id, r.ts, r.user_id, r.event_type, r.value)
+    assert sorted(map(k, emitted)) == sorted(map(k, baseline))
+    assert emitted
+    rocks_files = glob.glob(
+        str(tmp_path / "rks_ckpt" / "state" / "**" / "*.zip"), recursive=True
+    ) + glob.glob(
+        str(tmp_path / "rks_ckpt" / "state" / "**" / "*.changelog"),
+        recursive=True,
+    )
+    assert rocks_files, "no RocksDB snapshot artifacts under the checkpoint"
