@@ -239,6 +239,12 @@ WINDOW_KEEP_FRESH: dict[str, str] = {
         "twins must re-verify under the new oracle even though the row "
         "is 1-round green"
     ),
+    "dedup_cluster_representatives": (
+        "plan changed late in round 11 — the verified cluster map became "
+        "the shared persisted _verified_components frame (session×corpus "
+        "memo), re-routing this query's join; the driver answer must "
+        "re-verify under the new plan even though the row is 1-round green"
+    ),
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
@@ -288,6 +294,16 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pii_redact_transform",
     "dedup_impact_panel",
     "stream_dedup_events",
+    # rule 1 — plan changed late in round 11: the verified cluster map
+    # became the shared persisted _verified_components frame (the
+    # session×corpus memo), re-routing this query's join; its driver
+    # answer must re-verify under the new plan. Displaces
+    # q22_interval_join (the event-time family stays covered in-window
+    # by range_join_events and stream_dedup_events; q22 rejoins the
+    # r12 staleness queue). corpus_datasheet_v3 and dedup_impact_panel
+    # — the other two consumers of the shared frame — are already
+    # in-window above.
+    "dedup_cluster_representatives",
     # stalest: last green round 6 (35 — the whole cohort; jaccard and
     # adamic_adar are also rule-1 plan-changed this round)
     "adamic_adar_similarity",
@@ -325,12 +341,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "triadic_census_q",
     "triangle_enum",
     "vertex_metrics_q",
-    # last green round 7 — 4 diversity picks of the 47-query cohort
-    # (was 8; the third debut batch displaced 4, see rule-1 note above)
+    # last green round 7 — 3 diversity picks of the 47-query cohort
+    # (was 8; the third debut batch displaced 4 and the late
+    # plan-changed cluster-representatives re-verify displaced q22,
+    # see the rule-1 notes above)
     "logreg_pipeline",
     "q03_tpch_q1",
     "q56_tpch_q14",
-    "q22_interval_join",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
