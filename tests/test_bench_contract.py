@@ -46,6 +46,7 @@ def test_contract_line_bounded_forever():
         "unit": "sec",
         "nq": len(bench.HEADLINE),
         "baseline20_sec": 99999.999,
+        "baseline20_snap_sec": 99999.999,
         "queries": {name: 99999.999 for name in bench.BASELINE_20},
         "sf": 0.1,
         "n": 99,

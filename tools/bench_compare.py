@@ -74,13 +74,22 @@ def main() -> None:
         f"n_new={new.get('n')} sf={new.get('sf')}]"
     )
     # the SCALE.md claim line, ready to paste (tests/test_bench_claim.py
-    # recomputes these exact fields from the two files)
+    # recomputes these exact fields from the two files). Paths are
+    # normalized repo-relative (ADVICE r11): an absolute or ./-prefixed
+    # argv path would satisfy CLAIM_RE but only resolve on this machine
+    # via os.path.join's absolute-path passthrough — not repo-portable.
+    # Suppressed when a path escapes the repo (nothing portable to say).
     if not args[0].startswith("git:") and not args[1].startswith("git:"):
-        print(
-            f"    bench-delta: {args[0]} -> {args[1]} "
-            f"common={len(common)} best={100 * (tn - to) / to:+.1f}% "
-            f"median={100 * (mn - mo) / mo:+.1f}%"
-        )
+        import os
+
+        repo_root = os.path.dirname(os.path.abspath(os.path.dirname(__file__)))
+        rels = [os.path.relpath(os.path.abspath(a), repo_root) for a in args]
+        if not any(r.startswith("..") for r in rels):
+            print(
+                f"    bench-delta: {rels[0]} -> {rels[1]} "
+                f"common={len(common)} best={100 * (tn - to) / to:+.1f}% "
+                f"median={100 * (mn - mo) / mo:+.1f}%"
+            )
     movers = [
         (q, so[q]["best"], sn[q]["best"])
         for q in common
