@@ -233,121 +233,89 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: rule 3 keeps them under the full-oracle pytest sweep at both SFs
 #: every run). The remaining 39 r7-cohort queries head the r12
 #: staleness queue.
-WINDOW_KEEP_FRESH: dict[str, str] = {
-    "ann_recall_panel": (
-        "oracle n_hit subquery made COUNT(DISTINCT) (ADVICE r10) — the "
-        "twins must re-verify under the new oracle even though the row "
-        "is 1-round green"
-    ),
-    "dedup_cluster_representatives": (
-        "plan changed late in round 11 — the verified cluster map became "
-        "the shared persisted _verified_components frame (session×corpus "
-        "memo), re-routing this query's join; the driver answer must "
-        "re-verify under the new plan even though the row is 1-round green"
-    ),
-}
+#: Round-12 rotation (VERDICT r11 Next 1 + Next 2):
+#: IN — FIRST the rule-1 set: the 6 round-12 debuts
+#: (stream_neardup_ingest: the incremental MinHash-LSH admission gate
+#: a crawl ingest runs — first-writer-wins on band buckets, with the
+#: streaming leg in streaming/neardup.py pinned by replay/restart
+#: tests; exact_substring_spans / exact_substring_removal /
+#: dup_ngram_exposure: the Lee-et-al-2022 token-granular ExactSubstr
+#: family composed from k-gram fingerprints + islands run extension,
+#: never a corpus suffix array; epoch_repetition_budget /
+#: mixture_epoch_schedule: the data-constrained-scaling release
+#: planners off the dedup keep-set mass). THEN the FULL 44-query
+#: r7-stale cohort — the r11-designated staleness queue (the 47-query
+#: r7 slice minus logreg/q03/q56, re-greened r11), including the four
+#: displaced diversity picks (CC/PageRank/kcore/minhash-lsh), the
+#: relational q04-q52 core slice, and the release-mechanics set.
+#: 6 + 44 = 50 exactly: VERDICT r11 Next 1's "fill the remaining 6
+#: slots from the r8 cohort" is realized as the 6 debut slots rule 1
+#: mandates (the r11 precedent — debuts displace fill picks; the r8
+#: cohort heads the r13 staleness queue untouched).
+#: dedup_minhash_lsh is in the cohort AND rule-1 apt: its oracle was
+#: refactored onto the shared _LSH_BANDS_CTE this round (semantically
+#: identical, but the text changed — a fresh driver row re-pins it).
+#: OUT — the entire r11 window's 50 green rows (all 1-round-fresh;
+#: rule 3 keeps them under the full-oracle pytest sweep at both SFs
+#: every run). WINDOW_KEEP_FRESH is EMPTY this round: no
+#: recently-green entry has an oracle or plan change pending
+#: re-verify (the memo-eviction rework in _util.py touches lookup
+#: hygiene only — same keys, same frames, byte-identical plans).
+WINDOW_KEEP_FRESH: dict[str, str] = {}
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — round-11 debuts (6, inside the 10-12 cap) + the
-    # oracle-changed re-verify. The second debut batch
-    # (quality_calibration_panel — the classifier's reliability/ECE
-    # table, the estimator-QA series' fourth member;
-    # decontaminate_verdict_panel — the three contamination screens
-    # fused into the per-doc audit a release publishes;
-    # decontaminate_overlap_runs — the GPT-3-style longest-consecutive-
-    # overlap depth metric, the positional companion to the count-based
-    # screens) displaced three r7 diversity picks whose families stay
-    # multiply covered (q18_iot_window_agg — the entry() flagship,
-    # smoke-checked by the driver every round, with q22 keeping the
-    # event-time family; sketch_hyperloglog_tokens — the sketch-QA
-    # surface is held by the q49 verdict panel's HLL leg; dedup_exact —
-    # minhash holds the dedup slot and the in-window datasheet
-    # compositions re-exercise the exact-digest keep-set); all three
-    # rejoin the r12 staleness queue.
-    "quality_classifier_score",
-    "perplexity_decontaminate",
-    "multimodal_audio_window_panel",
-    "quality_calibration_panel",
-    "decontaminate_verdict_panel",
-    "decontaminate_overlap_runs",
-    "ann_recall_panel",
-    # rule 1 — the THIRD round-11 debut batch (4 more, total 10 of the
-    # 10-12 cap: winnowing_fingerprint_panel — the Schleimer/Wilkerson/
-    # Aiken MOSS fingerprint selection, the order-sensitive sketch the
-    # rolling-hash family lacked; pii_redact_transform — the audit's
-    # action leg, idempotence-pinned placeholder rewrite over the
-    # fixture-injected leaky column; dedup_impact_panel — the per-
-    # (source, lang) removed-mass rollup off the cluster keep-set, the
-    # release-audit companion to the datasheets; stream_dedup_events —
-    # the at-least-once ingest dedup twin whose streaming leg is
-    # dropDuplicatesWithinWatermark, the exactly-once stage the four
-    # stateful twins assume). They displace four more r7 diversity
-    # picks whose families stay multiply covered (connected_components_
-    # pipeline + kcore_social — the iteration surface keeps logreg_
-    # pipeline in-window and the r6 cohort's graph analytics exercise
-    # the same shared UndirectedGraphBase; pagerank_pipeline — same
-    # family, sssp/hits/label-propagation all r10-green; dedup_minhash_
-    # lsh — dedup_impact_panel's verify chain re-runs the LSH pipeline
-    # end-to-end INSIDE the window, and dedup_embedding_cosine keeps a
-    # direct dedup slot); all four rejoin the r12 staleness queue.
-    "winnowing_fingerprint_panel",
-    "pii_redact_transform",
-    "dedup_impact_panel",
-    "stream_dedup_events",
-    # rule 1 — plan changed late in round 11: the verified cluster map
-    # became the shared persisted _verified_components frame (the
-    # session×corpus memo), re-routing this query's join; its driver
-    # answer must re-verify under the new plan. Displaces
-    # q22_interval_join (the event-time family stays covered in-window
-    # by range_join_events and stream_dedup_events; q22 rejoins the
-    # r12 staleness queue). corpus_datasheet_v3 and dedup_impact_panel
-    # — the other two consumers of the shared frame — are already
-    # in-window above.
-    "dedup_cluster_representatives",
-    # stalest: last green round 6 (35 — the whole cohort; jaccard and
-    # adamic_adar are also rule-1 plan-changed this round)
-    "adamic_adar_similarity",
-    "asm_vertex_degrees",
-    "average_clustering_coefficient_q",
-    "bipartite_projection_suppliers",
-    "corpus_datasheet",
-    "corpus_datasheet_v2",
-    "corpus_datasheet_v3",
-    "dedup_embedding_cosine",
-    "edge_metrics_directed_q",
-    "edge_metrics_q",
-    "embedding_outlier_score",
-    "generator_hypercube_degrees",
-    "global_clustering_coefficient_q",
-    "jaccard_similarity",
-    "local_clustering_coefficient",
-    "q32_correlated_subquery",
-    "q44_tpch_q22",
-    "q48_tpch_q11",
-    "q51_tpch_q9",
-    "q54_tpch_q20",
-    "q55_tpch_q21",
-    "range_join_events",
-    "sketch_count_min_tokens",
-    "text_bigram_lm_score",
-    "text_boilerplate_ngrams",
-    "text_chunk_windows",
-    "text_importance_sample",
-    "text_length_histogram",
-    "text_quality_score",
-    "text_repetition_metrics",
-    "text_tfidf_keywords",
-    "triadic_census_directed_q",
-    "triadic_census_q",
-    "triangle_enum",
-    "vertex_metrics_q",
-    # last green round 7 — 3 diversity picks of the 47-query cohort
-    # (was 8; the third debut batch displaced 4 and the late
-    # plan-changed cluster-representatives re-verify displaced q22,
-    # see the rule-1 notes above)
-    "logreg_pipeline",
-    "q03_tpch_q1",
-    "q56_tpch_q14",
+    # rule 1 — the 6 round-12 debuts
+    "stream_neardup_ingest",
+    "exact_substring_spans",
+    "exact_substring_removal",
+    "dup_ngram_exposure",
+    "epoch_repetition_budget",
+    "mixture_epoch_schedule",
+    # the full 44-query r7-stale cohort (last driver-green round 7)
+    "connected_components_pipeline",
+    "corpus_mixture_weights",
+    "corpus_train_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_covariance_panel",
+    "embedding_quantize_int8",
+    "kcore_social",
+    "pagerank_pipeline",
+    "q04_tpch_q3",
+    "q05_outer_join",
+    "q06_broadcast_join",
+    "q07_semi_anti",
+    "q08_cogroup",
+    "q09_cross",
+    "q11_maxby",
+    "q12_topk_per_group",
+    "q13_union_distinct",
+    "q14_rollup",
+    "q15_over_windows",
+    "q17_iot_global_reduce",
+    "q18_iot_window_agg",
+    "q21_session_window",
+    "q22_interval_join",
+    "q25_intersect_except",
+    "q27_sql_api",
+    "q28_pandas_udaf",
+    "q31_tpch_q18",
+    "q35_percentiles",
+    "q37_tpch_q4",
+    "q39_tpch_q12",
+    "q40_tpch_q13",
+    "q47_tpch_q15",
+    "q50_cube_grouping_id",
+    "q52_from_json_struct",
+    "release_shard_manifest",
+    "sample_stratified_lang",
+    "sketch_hyperloglog_tokens",
+    "source_overlap_matrix",
+    "split_leakage_audit",
+    "text_domain_cap",
+    "text_duplicate_passages",
+    "text_pmi_bigrams",
+    "text_vocab_coverage",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -50,6 +50,36 @@ def davg_sql(expr: str) -> str:
     )
 
 
+def evict_stale_session_entries(cache: dict, spark) -> None:
+    """Drop session-scoped memo entries from other (stopped) sessions.
+
+    The cross-query work-sharing memos are keyed ``(applicationId,
+    sf_dir, ...)`` so a new session can never read another session's
+    state — but without eviction the dict itself leaks: entries from
+    stopped sessions accumulate for the life of the Python process, and
+    any persisted DataFrames they hold keep their CacheManager entries
+    pinned for as long as that (possibly still-running) session lives.
+    Called at every memo lookup: one dict scan, no Spark jobs.
+
+    Values may be a DataFrame or a tuple/list containing DataFrames;
+    each is unpersisted on eviction (best-effort — a frame whose
+    session already stopped has no cache left to free, and unpersist
+    on a dead context raises, hence the swallow).
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    app = spark.sparkContext.applicationId
+    for key in [k for k in cache if k[0] != app]:
+        val = cache.pop(key)
+        frames = val if isinstance(val, (tuple, list)) else (val,)
+        for f in frames:
+            if isinstance(f, _DF):
+                try:
+                    f.unpersist(blocking=False)
+                except Exception:
+                    pass
+
+
 def twin_batch(pdfs, key, last_ts_us: int, last_eid: int):
     """Materialize one keyed group's micro-batch for a streaming twin and
     enforce the family's ordering contract as a MECHANISM, not prose.

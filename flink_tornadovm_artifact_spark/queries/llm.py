@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load
+from ._util import evict_stale_session_entries as _evict_stale_session_entries
 
 ORACLE: dict[str, str] = {}
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -119,11 +120,12 @@ def _minhash_sig(df: DataFrame) -> DataFrame:
     return hashed.select("doc_id", *mh)
 
 
-def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
-) -> DataFrame:
-    sig = _minhash_sig(_shingled(spark, sf_dir, docs))
-    bands = sig.select(
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — one row per LSH band per doc; the
+    shared band-explosion consumed by the batch pair-emitter
+    (dedup_minhash_lsh) and the streaming ingest gate
+    (stream_neardup_ingest)."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -139,6 +141,13 @@ def dedup_minhash_lsh(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    sig = _minhash_sig(_shingled(spark, sf_dir, docs))
+    bands = _lsh_bands(sig)
     # Group docs per (band_id, band_key) bucket and emit i<j pairs from
     # each bucket array — ONE pass over the signatures (a band self-join
     # would compute the md5 pipeline twice; Catalyst does not reuse the
@@ -177,10 +186,11 @@ _band_sql = "\n    UNION ALL\n".join(
     for b in range(_BANDS)
 )
 
-_register(
-    dedup_minhash_lsh,
-    f"""
-WITH toks AS (
+#: the shingle -> md5 signature -> band-explosion CTE chain, shared by
+#: the dedup_minhash_lsh oracle and the stream_neardup_ingest oracle
+#: (one home for the LSH signature definition — a band-width or
+#: shingle-size change cannot diverge the two).
+_LSH_BANDS_CTE = f"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE len(string_split(text, ' ')) >= 3
 ), shingled AS (
@@ -196,7 +206,12 @@ WITH toks AS (
   FROM hashed
 ), bands AS (
 {_band_sql}
-)
+)"""
+
+_register(
+    dedup_minhash_lsh,
+    f"""
+{_LSH_BANDS_CTE}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1922,6 +1937,7 @@ _CC_COMP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _verified_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_stale_session_entries(_CC_COMP_CACHE, spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     comp = _CC_COMP_CACHE.get(key)
     if comp is None:
@@ -7738,5 +7754,409 @@ SELECT source, lang,
        SUM(n_tok * removed) * 1.0 / SUM(n_tok) AS removed_token_frac
 FROM flagged
 GROUP BY source, lang
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest gate (round 12) — the stage a 100 TB crawl
+# actually runs: stream_dedup_events (behavior.py) replays EXACT
+# event_id duplicates; this is its NEAR-DUP analog over documents,
+# the incremental MinHash-LSH admission decision made at ingest time.
+# Policy: first-writer-wins on LSH band buckets — state is
+# band_key -> min doc_id over ALL arrivals (admitted or not, so a
+# third copy matching the second-but-not-first is still caught), and
+# a document is ADMITTED iff it owns the minimum on EVERY one of its
+# _BANDS band keys; otherwise it is evicted by the earliest colliding
+# document. Because the state update is a monotone MIN, the verdict
+# set is independent of arrival order — the streaming leg
+# (streaming/neardup.py: applyInPandasWithState keyed on the band
+# bucket) converges to exactly this batch twin's answer under replay,
+# reordering, and kill-restart, which is what the tests pin (the
+# stream_dedup_events discipline; reference contract: keyed
+# ValueState dedup on a KeyedStream, FT/flink-streaming-java
+# KeyedStream.java + state TTL).
+#
+# Docs too short to shingle (< 3 tokens) have no bands and are
+# admitted trivially.
+#
+# Plan / 100 TB: ONE pass over the signature pipeline (the bucket
+# collect_list formulation of dedup_minhash_lsh — a bands-to-buckets
+# self-join would run the md5 chain twice), one shuffle on the band
+# key, one on doc_id, then a broadcast-able left join back to the
+# corpus row set. State size in the streaming leg is one (band_key,
+# min_id) pair per DISTINCT band bucket — corpus-sublinear, and
+# TTL-able by watermark exactly like the event dedup's.
+# ---------------------------------------------------------------------------
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig(_shingled(spark, sf_dir))
+    bands = _lsh_bands(sig)
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    ex = buckets.select(
+        F.array_min("ids").alias("first_doc"),
+        F.explode("ids").alias("doc_id"),
+    )
+    stale = F.col("first_doc") < F.col("doc_id")
+    coll = ex.groupBy("doc_id").agg(
+        F.min(F.when(stale, F.col("first_doc"))).alias("evicted_by"),
+        F.sum(stale.cast("int")).cast("int").alias("n_stale_bands"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.join(coll, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.col("evicted_by").isNull().alias("admitted"),
+        "evicted_by",
+        F.coalesce("n_stale_bands", F.lit(0)).cast("int").alias(
+            "n_stale_bands"
+        ),
+    )
+
+
+_register(
+    stream_neardup_ingest,
+    f"""
+{_LSH_BANDS_CTE},
+buckets AS (
+  SELECT band_id, band_key, MIN(doc_id) AS first_doc
+  FROM bands GROUP BY band_id, band_key
+),
+coll AS (
+  SELECT b.doc_id,
+         MIN(CASE WHEN k.first_doc < b.doc_id THEN k.first_doc END)
+           AS evicted_by,
+         CAST(SUM(CASE WHEN k.first_doc < b.doc_id THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_stale_bands
+  FROM bands b
+  JOIN buckets k ON b.band_id = k.band_id AND b.band_key = k.band_key
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, d.source,
+       c.evicted_by IS NULL AS admitted,
+       c.evicted_by,
+       COALESCE(c.n_stale_bands, 0) AS n_stale_bands
+FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication family (round 12) — the token-granular
+# suffix-array-method accounting of Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better", ExactSubstr), composed
+# from grouped shared k-gram fingerprints + position-anchored run
+# extension — NEVER a suffix array over the corpus (the paper builds
+# one; at 100 TB the equivalent signal is exactly this: corpus-linear
+# k-gram explosion, one hash-keyed aggregate, per-doc islands windows).
+#
+# Shared base: _exsub_occ emits (doc_id, pos, h) for every EXSUB_K-token
+# k-gram (md5 of the space-joined window — 128-bit, so cross-doc
+# equality is exact in practice, unlike the 1e6-modulus rolling hashes
+# the winnowing sketch uses for RELATIVE density). A maximal run of L
+# consecutive positions whose k-gram recurs corpus-wide is a shared
+# token span of L + EXSUB_K - 1 tokens; spans >= EXSUB_MIN_TOKENS are
+# the family's match unit (the paper's 50-token rule, scaled to the
+# fixture's ~56-token docs).
+#
+# The occ frame is persisted (MEMORY_AND_DISK): three registered
+# consumers (spans / removal / exposure) share it within a session via
+# CacheManager plan-dedup — the _corpus_count memo discipline, with the
+# cold cost visible in first-execution spreads (SCALE.md row).
+# ---------------------------------------------------------------------------
+EXSUB_K = 8  # tokens per k-gram fingerprint
+EXSUB_MIN_TOKENS = 20  # minimum shared-span length that counts as a match
+#: lexicographic (doc_id, pos) encoded as one BIGINT for the keep-first
+#: rule; pos < 1e6 holds for any realistic document (fixture max ~1e2).
+#: At doc_id > 9.2e12 the product would overflow int64 — a 100 TB
+#: deploy re-keys on a struct/int128 ordinal instead.
+_EXSUB_ORD = 1_000_000
+
+
+def _exsub_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, h): one row per k-gram position; pos is int32
+    (posexplode's native width — the oracle casts to match)."""
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= EXSUB_K
+    )
+    hs = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - EXSUB_K),
+        lambda i: F.md5(
+            F.array_join(F.slice("toks", i + 1, F.lit(EXSUB_K)), " ")
+        ),
+    )
+    return d.select("doc_id", F.posexplode(hs).alias("pos", "h")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
+#: the shared occ CTE (DuckDB twin of _exsub_occ)
+_EXSUB_OCC_CTE = f"""occ AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(t[i + 1 : i + {EXSUB_K}], ' ')) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {EXSUB_K}),
+       UNNEST(range(0, len(t) - {EXSUB_K - 1})) AS u(i)
+)"""
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection leg: every maximal duplicated token span >=
+    EXSUB_MIN_TOKENS, per doc — (doc_id, span_id, start_tok,
+    span_tokens). Duplication is corpus-wide recurrence of the k-gram
+    (same-doc repeats included, exactly as a suffix array would see
+    them)."""
+    occ = _exsub_occ(spark, sf_dir)
+    freq = occ.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    marked = (
+        occ.join(freq, "h")
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    grp = (
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    ).alias("grp")
+    runs = (
+        marked.select("doc_id", "pos", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.count(F.lit(1)) + F.lit(EXSUB_K - 1))
+            .cast("int")
+            .alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= EXSUB_MIN_TOKENS)
+    )
+    return runs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("start_tok"))
+        .cast("int")
+        .alias("span_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        "span_tokens",
+    )
+
+
+_register(
+    exact_substring_spans,
+    f"""
+WITH {_EXSUB_OCC_CTE},
+freq AS (SELECT h, COUNT(*) AS c FROM occ GROUP BY h),
+marked AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN freq f ON o.h = f.h WHERE f.c >= 2
+),
+runs AS (
+  SELECT doc_id, grp,
+         CAST(MIN(pos) AS INTEGER) AS start_tok,
+         CAST(COUNT(*) + {EXSUB_K - 1} AS INTEGER) AS span_tokens
+  FROM (SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM marked)
+  GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_tok)
+            AS INTEGER) AS span_id,
+       start_tok, span_tokens
+FROM runs WHERE span_tokens >= {EXSUB_MIN_TOKENS}
+""",
+)
+
+
+def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal leg (keep-first): a position is removal-marked iff its
+    k-gram has a strictly earlier occurrence in (doc_id, pos) order —
+    the paper's keep-one-occurrence rule with the deterministic
+    earliest-copy canonical. Qualifying runs (span >= EXSUB_MIN_TOKENS)
+    become token intervals [start, start + span - 1]; overlapping
+    intervals are MERGED (two qualifying runs < EXSUB_K - 1 positions
+    apart share covered tokens) so tokens_removed is the exact union
+    length, never double-counted. All windows are partitioned by doc.
+    Emits per-doc accounting over the WHOLE corpus (docs with nothing
+    removed included)."""
+    occ = _exsub_occ(spark, sf_dir)
+    ordc = F.col("doc_id") * _EXSUB_ORD + F.col("pos")
+    firsts = occ.groupBy("h").agg(
+        F.min(F.col("doc_id") * _EXSUB_ORD + F.col("pos")).alias("first_ord")
+    )
+    marked = (
+        occ.join(firsts, "h")
+        .filter(ordc > F.col("first_ord"))
+        .select("doc_id", "pos")
+    )
+    grp = (
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    ).alias("grp")
+    runs = (
+        marked.select("doc_id", "pos", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.min("pos") + F.count(F.lit(1)) + F.lit(EXSUB_K - 2)).alias(
+                "e"
+            ),
+            (F.count(F.lit(1)) + F.lit(EXSUB_K - 1)).alias("span"),
+        )
+        .filter(F.col("span") >= EXSUB_MIN_TOKENS)
+    )
+    wo = W.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        wo.rowsBetween(W.unboundedPreceding, -1)
+    )
+    merged = (
+        runs.withColumn(
+            "new_iv",
+            (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
+        )
+        .withColumn(
+            "iv", F.sum("new_iv").over(wo.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "iv")
+        .agg((F.max("e") - F.min("s") + 1).alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans_removed"),
+            F.sum("tok").cast("bigint").alias("tokens_removed"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    return docs.join(merged, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce("n_spans_removed", F.lit(0)).cast("bigint").alias(
+            "n_spans_removed"
+        ),
+        F.coalesce("tokens_removed", F.lit(0)).cast("bigint").alias(
+            "tokens_removed"
+        ),
+        (F.coalesce("tokens_removed", F.lit(0)) / F.col("n_tok")).alias(
+            "frac_removed"
+        ),
+    )
+
+
+_register(
+    exact_substring_removal,
+    f"""
+WITH {_EXSUB_OCC_CTE},
+firsts AS (
+  SELECT h, MIN(doc_id * {_EXSUB_ORD} + pos) AS first_ord FROM occ GROUP BY h
+),
+marked AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN firsts f ON o.h = f.h
+  WHERE o.doc_id * {_EXSUB_ORD} + o.pos > f.first_ord
+),
+runs AS (
+  SELECT doc_id, grp, MIN(pos) AS s,
+         MIN(pos) + COUNT(*) + {EXSUB_K - 2} AS e,
+         COUNT(*) + {EXSUB_K - 1} AS span
+  FROM (SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM marked)
+  GROUP BY doc_id, grp
+),
+q AS (SELECT doc_id, s, e FROM runs WHERE span >= {EXSUB_MIN_TOKENS}),
+iv0 AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM q
+),
+iv AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN s > COALESCE(pm, -1) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+           AS grp
+  FROM iv0
+),
+per_iv AS (
+  SELECT doc_id, grp, MAX(e) - MIN(s) + 1 AS tok FROM iv GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_removed,
+         CAST(SUM(tok) AS BIGINT) AS tokens_removed
+  FROM per_iv GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       COALESCE(p.n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(p.tokens_removed, 0) AS tokens_removed,
+       COALESCE(p.tokens_removed, 0) * 1.0
+         / len(string_split(d.text, ' ')) AS frac_removed
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+)
+
+
+def dup_ngram_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's headline statistic (the paper reports it as "% of
+    tokens in duplicated 50-grams"): per source, the fraction of k-gram
+    positions whose fingerprint recurs corpus-wide, plus how many docs
+    carry any duplication at all. One hash-keyed aggregate + one
+    source-keyed rollup over the shared occ frame."""
+    occ = _exsub_occ(spark, sf_dir)
+    freq = occ.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        occ.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum((F.col("c") >= 2).cast("int")).alias("n_dup"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = docs.join(per_doc, "doc_id", "left")
+    n_pos = F.sum(F.coalesce("n_pos", F.lit(0)))
+    n_dup = F.sum(F.coalesce("n_dup", F.lit(0)))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.coalesce("n_dup", F.lit(0)) > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_docs_with_dup"),
+        n_pos.cast("bigint").alias("n_positions"),
+        n_dup.cast("bigint").alias("n_dup_positions"),
+        F.when(n_pos == 0, F.lit(0.0))
+        .otherwise(n_dup / n_pos)
+        .alias("dup_position_frac"),
+    )
+
+
+_register(
+    dup_ngram_exposure,
+    f"""
+WITH {_EXSUB_OCC_CTE},
+freq AS (SELECT h, COUNT(*) AS c FROM occ GROUP BY h),
+per_doc AS (
+  SELECT o.doc_id, COUNT(*) AS n_pos,
+         SUM(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM occ o JOIN freq f ON o.h = f.h
+  GROUP BY o.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(p.n_dup, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_with_dup,
+       CAST(SUM(COALESCE(p.n_pos, 0)) AS BIGINT) AS n_positions,
+       CAST(SUM(COALESCE(p.n_dup, 0)) AS BIGINT) AS n_dup_positions,
+       CASE WHEN SUM(COALESCE(p.n_pos, 0)) = 0 THEN 0.0
+            ELSE SUM(COALESCE(p.n_dup, 0)) * 1.0
+                 / SUM(COALESCE(p.n_pos, 0)) END AS dup_position_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source
 """,
 )
