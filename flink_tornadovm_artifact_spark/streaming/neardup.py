@@ -86,7 +86,18 @@ def neardup_verdicts(emissions: DataFrame, docs: DataFrame) -> DataFrame:
     evicted_by, n_stale_bands). ``emissions`` is a BATCH frame of
     drained BAND_EMIT_SCHEMA rows; ``docs`` the (doc_id, source) corpus
     (docs too short to shingle carry no emissions and are admitted
-    trivially, as in the twin)."""
+    trivially, as in the twin).
+
+    Replay-safe as a MECHANISM: an at-least-once feed re-delivers a
+    doc, producing a second emission per (doc_id, band_id) — possibly
+    with a smaller first_doc if an earlier doc reached the bucket in
+    between — so the fold first min-reduces per band (idempotent under
+    redelivery; a no-op on an exactly-once feed) before counting stale
+    bands, exactly as the event-dedup leg's exactly-once view absorbs
+    its injected duplicates."""
+    emissions = emissions.groupBy("doc_id", "band_id").agg(
+        F.min("first_doc").alias("first_doc")
+    )
     stale = F.col("first_doc") < F.col("doc_id")
     coll = emissions.groupBy("doc_id").agg(
         F.min(F.when(stale, F.col("first_doc"))).alias("evicted_by"),
