@@ -92,6 +92,9 @@ NESTED_LOOP_ALLOWLIST = {
     "perplexity_decontaminate": "1-row bigram-type-count broadcast (the lm_kn_bigram Pcont normalizer shape)",
     "quality_calibration_panel": "inherits the classifier's 1-row moments broadcast + a 1-row ECE broadcast onto the 10-bin table",
     "decontaminate_verdict_panel": "inherits perplexity_decontaminate's 1-row type-count broadcast",
+    # round-12
+    "epoch_repetition_budget": "1-row corpus-total + weight-normalizer broadcasts onto the #sources-row table (the corpus_mixture_weights shape, re-derived on the deduped mass)",
+    "mixture_epoch_schedule": "inherits epoch_repetition_budget's 1-row total/normalizer broadcasts (composes it, <=ceil(epochs) fan-out per source)",
 }
 
 #: Queries EXPECTED to plan a Window over a SinglePartition exchange,
