@@ -434,6 +434,7 @@ def main() -> None:
     # other-sf run still prints its stats line but leaves the file
     # alone.
     write_stats = True
+    prev = None
     try:
         with open(stats_path) as f:
             prev = json.load(f)
@@ -464,20 +465,24 @@ def main() -> None:
     # above) when one exists at this sf. A reader of the contract line
     # alone should trust the _snap_ field for round-over-round claims
     # and use baseline20_sec only as this run's smoke total.
+    # Read the snapshot from `prev` — the file contents BEFORE this
+    # run's clobber-guarded write — never from the file on disk: when
+    # THIS run (re)wrote the file (a full re-record, or a rebase after
+    # deleting it), a post-write read would quietly return this run's
+    # own load-sensitive stats as the "standing snapshot", which is
+    # exactly the estimator the field exists to escape.
     base = {name: times[name] for name in BASELINE_20 if name in times}
     snap_base = None
     try:
-        with open(stats_path) as f:
-            snap = json.load(f)
-        if snap.get("sf") == sf:
+        if prev is not None and prev.get("sf") == sf:
             vals = [
-                snap["stats"][q]["best"]
+                prev["stats"][q]["best"]
                 for q in BASELINE_20
-                if q in snap.get("stats", {})
+                if q in prev.get("stats", {})
             ]
             if len(vals) == len(BASELINE_20):
                 snap_base = round(sum(vals), 3)
-    except (OSError, ValueError, KeyError):
+    except (ValueError, KeyError, TypeError):
         pass
     out = {
         "metric": f"headline_query_seconds_sf{sf}",

@@ -7789,6 +7789,12 @@ GROUP BY source, lang
 # TTL-able by watermark exactly like the event dedup's.
 # ---------------------------------------------------------------------------
 def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the admission rule itself lives in streaming/neardup.py
+    # (fold_verdicts) — ONE home shared with the streaming drain fold,
+    # the `_lsh_bands` discipline; lazy import mirrors that module's
+    # function-level imports of the signature pipeline
+    from ..streaming.neardup import fold_verdicts
+
     sig = _minhash_sig(_shingled(spark, sf_dir))
     bands = _lsh_bands(sig)
     buckets = bands.groupBy("band_id", "band_key").agg(
@@ -7798,21 +7804,8 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("ids").alias("first_doc"),
         F.explode("ids").alias("doc_id"),
     )
-    stale = F.col("first_doc") < F.col("doc_id")
-    coll = ex.groupBy("doc_id").agg(
-        F.min(F.when(stale, F.col("first_doc"))).alias("evicted_by"),
-        F.sum(stale.cast("int")).cast("int").alias("n_stale_bands"),
-    )
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    return docs.join(coll, "doc_id", "left").select(
-        "doc_id",
-        "source",
-        F.col("evicted_by").isNull().alias("admitted"),
-        "evicted_by",
-        F.coalesce("n_stale_bands", F.lit(0)).cast("int").alias(
-            "n_stale_bands"
-        ),
-    )
+    return fold_verdicts(ex, docs)
 
 
 _register(

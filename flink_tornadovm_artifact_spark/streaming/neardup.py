@@ -92,14 +92,28 @@ def neardup_verdicts(emissions: DataFrame, docs: DataFrame) -> DataFrame:
     doc, producing a second emission per (doc_id, band_id) — possibly
     with a smaller first_doc if an earlier doc reached the bucket in
     between — so the fold first min-reduces per band (idempotent under
-    redelivery; a no-op on an exactly-once feed) before counting stale
-    bands, exactly as the event-dedup leg's exactly-once view absorbs
-    its injected duplicates."""
-    emissions = emissions.groupBy("doc_id", "band_id").agg(
-        F.min("first_doc").alias("first_doc")
+    redelivery; a no-op on an exactly-once feed) before applying the
+    shared admission rule, exactly as the event-dedup leg's
+    exactly-once view absorbs its injected duplicates."""
+    return fold_verdicts(
+        emissions.groupBy("doc_id", "band_id").agg(
+            F.min("first_doc").alias("first_doc")
+        ),
+        docs,
     )
+
+
+def fold_verdicts(per_band: DataFrame, docs: DataFrame) -> DataFrame:
+    """The admission rule's ONE home (the `_lsh_bands` discipline —
+    the batch twin ``queries.llm.stream_neardup_ingest`` and the
+    streaming drain fold above both call this, so the rule cannot
+    drift between the legs): ``per_band`` carries (doc_id, first_doc)
+    with ONE row per band the doc occupies, ``docs`` the (doc_id,
+    source) corpus row set. A doc is ADMITTED iff no band's bucket min
+    is a strictly earlier doc; otherwise it is evicted by the earliest
+    colliding document, with the stale-band count kept for audit."""
     stale = F.col("first_doc") < F.col("doc_id")
-    coll = emissions.groupBy("doc_id").agg(
+    coll = per_band.groupBy("doc_id").agg(
         F.min(F.when(stale, F.col("first_doc"))).alias("evicted_by"),
         F.sum(stale.cast("int")).cast("int").alias("n_stale_bands"),
     )
