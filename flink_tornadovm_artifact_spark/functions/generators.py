@@ -33,8 +33,26 @@ from pyspark.sql import functions as F
 from .gelly_graph import Graph
 
 
+#: Rows per range partition (round 12, guide §2.2/§6): ``spark.range``
+#: defaults to ``defaultParallelism`` partitions regardless of row
+#: count, so a 2^10-vertex generator scheduled 32 near-empty tasks per
+#: union branch (GridGraph: 20 branches -> ~640 tasks of ~32 rows,
+#: pure scheduler overhead — measured on generator_hypercube_degrees).
+#: Sizing the partition count from the row count keeps small generators
+#: at a handful of tasks while a 2^30-vertex graph still fans out to
+#: thousands — the scale-adaptive rule, derived from data not cluster.
+_RANGE_ROWS_PER_PARTITION = 1 << 18
+
+
+def _range(spark: SparkSession, start: int, end: int | None = None):
+    if end is None:
+        start, end = 0, start
+    n_parts = max(1, -(-(end - start) // _RANGE_ROWS_PER_PARTITION))
+    return spark.range(start, end, numPartitions=n_parts)
+
+
 def _vertices(spark: SparkSession, n: int) -> DataFrame:
-    return spark.range(n).select(F.col("id"))
+    return _range(spark, n).select(F.col("id"))
 
 
 def _empty_edges(spark: SparkSession) -> DataFrame:
@@ -69,15 +87,15 @@ def circulant_graph(
     # closure); each range expands to offsets at scan parallelism via
     # spark.range, so complete_graph(2^30) never materializes a
     # 2^30-element list driver-side
-    off_df = spark.range(ranges[0][0], ranges[0][0] + ranges[0][1]).select(
+    off_df = _range(spark, ranges[0][0], ranges[0][0] + ranges[0][1]).select(
         F.col("id").alias("off")
     )
     for off, length in ranges[1:]:
         off_df = off_df.unionAll(
-            spark.range(off, off + length).select(F.col("id").alias("off"))
+            _range(spark, off, off + length).select(F.col("id").alias("off"))
         )
     edges = (
-        spark.range(vertex_count)
+        _range(spark, vertex_count)
         .select(F.col("id").alias("src"))
         .crossJoin(F.broadcast(off_df))
         .select(
@@ -132,7 +150,7 @@ def grid_graph(
             raise ValueError("dimension size must be greater than 1")
         dims.append((size, wrap and size > 2))
         vertex_count *= size
-    base = spark.range(vertex_count).select(F.col("id").alias("src"))
+    base = _range(spark, vertex_count).select(F.col("id").alias("src"))
     parts = []
     increment = vertex_count
     for size, wrap in dims:
@@ -193,7 +211,7 @@ def star_graph(spark: SparkSession, vertex_count: int) -> Graph:
     directions (LinkVertexToCenter emits center→leaf and leaf→center)."""
     if vertex_count < 2:
         raise ValueError("vertex count must be at least 2")
-    leaves = spark.range(1, vertex_count).select(F.col("id").alias("leaf"))
+    leaves = _range(spark, 1, vertex_count).select(F.col("id").alias("leaf"))
     edges = leaves.select(
         F.lit(0).cast("long").alias("src"), F.col("leaf").alias("dst")
     ).unionAll(
@@ -218,7 +236,7 @@ def singleton_edge_graph(
     if vertex_pair_count < 1:
         raise ValueError("vertex pair count must be at least 1")
     n = 2 * vertex_pair_count
-    edges = spark.range(n).select(
+    edges = _range(spark, n).select(
         F.col("id").alias("src"),
         F.when(F.col("id") % 2 == 0, F.col("id") + 1)
         .otherwise(F.col("id") - 1)
@@ -246,7 +264,7 @@ def rmat_graph(
         raise ValueError("scale and edge count must be at least 1")
     if min(a, b, c) < 0 or a + b + c > 1:
         raise ValueError("quadrant probabilities must be a valid simplex")
-    base = spark.range(edge_count).select(F.col("id").alias("edge_id"))
+    base = _range(spark, edge_count).select(F.col("id").alias("edge_id"))
     src = F.lit(0).cast("long")
     dst = F.lit(0).cast("long")
     for bit in range(scale):

@@ -41,11 +41,15 @@ def pagerank(
         out_deg = (
             edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
         )
+        # Round 12 (guide §2.4): attach the out-degree to the edge list
+        # ONCE before the loop — the r1-r11 shape re-joined out_deg
+        # inside every one of the ``iterations`` supersteps, paying an
+        # extra src-keyed join per round for a value that never changes.
+        edges_deg = edges.join(out_deg, "src").persist()
         ranks = vertices.withColumn("rank", F.lit(1.0 / n))
         for _ in range(iterations):
             contribs = (
-                edges.join(ranks, edges.src == ranks.vertex)
-                .join(out_deg, "src")
+                edges_deg.join(ranks, edges_deg.src == ranks.vertex)
                 .select(
                     F.col("dst").alias("vertex"),
                     (F.col("rank") / F.col("deg")).alias("c"),
@@ -66,6 +70,7 @@ def pagerank(
             )
         vertices.unpersist()
         out_deg.unpersist()
+        edges_deg.unpersist()
         return ranks
 
 
@@ -103,21 +108,26 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
                 .groupBy("vertex")
                 .agg(F.min("cand").alias("cand"))
             )
+            # Round 12 (guide §1.2): ONE checkpoint carries both the new
+            # solution and the changed flag — the r1-r11 shape
+            # checkpointed the solution, then re-joined it against the
+            # old solution and checkpointed AGAIN just to derive the
+            # workset (2 actions + 1 extra vertex-key join per
+            # superstep). ``changed`` ⟺ cand < old component ⟺ the
+            # strict improvement the old join+filter computed.
             joined = solution.join(candidates, "vertex", "left")
-            new_solution = joined.select(
+            merged = joined.select(
                 "vertex",
                 F.least(
                     F.col("component"), F.coalesce("cand", F.col("component"))
                 ).alias("component"),
+                (
+                    F.col("cand").isNotNull()
+                    & (F.col("cand") < F.col("component"))
+                ).alias("changed"),
             ).localCheckpoint(eager=True)
-            workset = (
-                new_solution.alias("n")
-                .join(solution.alias("o"), "vertex")
-                .filter(F.col("n.component") < F.col("o.component"))
-                .select("vertex", F.col("n.component").alias("component"))
-                .localCheckpoint(eager=True)
-            )
-            solution = new_solution
+            solution = merged.select("vertex", "component")
+            workset = merged.filter("changed").select("vertex", "component")
             if workset.isEmpty():
                 break
         und.unpersist()
@@ -165,25 +175,34 @@ def sssp(
                 .groupBy("vertex")
                 .agg(F.min("cand").alias("cand"))
             )
-            improved = (
-                candidates.join(solution, "vertex", "left")
-                .filter(
-                    F.col("distance").isNull()
-                    | (F.col("cand") < F.col("distance"))
+            # Round 12 (guide §1.2): ONE full-outer merge + checkpoint
+            # replaces the r1-r11 two-checkpoint shape (improved
+            # checkpoint, then union+groupBy-min solution checkpoint):
+            # solution-only rows pass through, candidate-only rows are
+            # new frontier, both-sides rows keep the min — exactly the
+            # old union+min — and ``changed`` marks the same strict
+            # improvements the old filter kept (F.least skips nulls).
+            merged = (
+                solution.join(candidates, "vertex", "full")
+                .select(
+                    "vertex",
+                    F.least("distance", "cand").alias("dist"),
+                    (
+                        F.col("cand").isNotNull()
+                        & (
+                            F.col("distance").isNull()
+                            | (F.col("cand") < F.col("distance"))
+                        )
+                    ).alias("changed"),
                 )
-                .select("vertex", F.col("cand").alias("distance"))
                 .localCheckpoint(eager=True)
             )
-            if improved.isEmpty():
+            solution = merged.select("vertex", F.col("dist").alias("distance"))
+            workset = merged.filter("changed").select(
+                "vertex", F.col("dist").alias("distance")
+            )
+            if workset.isEmpty():
                 break
-            # solution-set update: keep the min distance per vertex
-            solution = (
-                solution.unionByName(improved)
-                .groupBy("vertex")
-                .agg(F.min("distance").alias("distance"))
-                .localCheckpoint(eager=True)
-            )
-            workset = improved
         e.unpersist()
         return solution
 
@@ -263,9 +282,18 @@ class UndirectedGraphBase:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        #: Round 12 (guide §5): the enumerated triangle set, persisted —
+        #: five undirected analytics (triangle_enum, local/global/average
+        #: clustering, triadic census) each ran the full wedge join +
+        #: closing semi-join per query; CacheManager plan-dedup now
+        #: shares ONE enumeration per session per edge frame. persist()
+        #: is lazy — consumers that never read triangles pay nothing.
+        self.tri = _triangles_from_undirected_oriented(self.oriented).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     def unpersist(self, blocking: bool = False) -> None:
-        for df in (self.oriented, self.degrees, self.und):
+        for df in (self.tri, self.oriented, self.degrees, self.und):
             df.unpersist(blocking)
 
 
@@ -311,10 +339,12 @@ def triangles(
     Σ out-deg², and degree orientation caps out-degree at O(√E) for any
     skew, so a celebrity hub never becomes a quadratic apex. Three
     shuffles total (degree agg, triad build, closing-edge join), all on
-    vertex/edge keys, off the shared persisted ``UndirectedGraphBase``.
+    vertex/edge keys, off the shared persisted ``UndirectedGraphBase``
+    (round 12: served from the base's persisted ``tri`` frame, so
+    consecutive analytics over the same edge frame enumerate once).
     """
     base = _resolve_base(edges, base, undirected_graph_base)
-    return _triangles_from_undirected_oriented(base.oriented)
+    return base.tri
 
 
 def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
@@ -331,31 +361,36 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     cut, so the unrolled SQL oracle steps in lockstep).
 
     One shuffle per superstep (message groupBy) plus the final argmax
-    groupBy; labels checkpoint per round to truncate lineage.
+    groupBy; labels checkpoint per round to truncate lineage. Round 12:
+    supersteps run under ``sized_shuffle`` like the other iterative
+    pipelines — the per-round checkpoint otherwise materializes at the
+    session shuffle width (scheduling overhead at test scale, see
+    sizing.py).
     """
-    labels = (
-        edges.select(F.col("src").alias("vertex"))
-        .union(edges.select(F.col("dst").alias("vertex")))
-        .distinct()
-        .withColumn("label", F.col("vertex"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(iterations):
-        msgs = edges.join(labels, edges.src == labels.vertex).select(
-            F.col("dst").alias("vertex"), "label"
-        )
-        counts = msgs.groupBy("vertex", "label").agg(
-            F.count(F.lit(1)).alias("freq")
-        )
-        own = labels.withColumn("freq", F.lit(1).cast("long"))
+    with _sized_shuffle(edges):
         labels = (
-            counts.unionByName(own)
-            .groupBy("vertex")
-            .agg(F.max(F.struct("freq", "label")).alias("m"))
-            .select("vertex", F.col("m.label").alias("label"))
+            edges.select(F.col("src").alias("vertex"))
+            .union(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .withColumn("label", F.col("vertex"))
             .localCheckpoint(eager=True)
         )
-    return labels
+        for _ in range(iterations):
+            msgs = edges.join(labels, edges.src == labels.vertex).select(
+                F.col("dst").alias("vertex"), "label"
+            )
+            counts = msgs.groupBy("vertex", "label").agg(
+                F.count(F.lit(1)).alias("freq")
+            )
+            own = labels.withColumn("freq", F.lit(1).cast("long"))
+            labels = (
+                counts.unionByName(own)
+                .groupBy("vertex")
+                .agg(F.max(F.struct("freq", "label")).alias("m"))
+                .select("vertex", F.col("m.label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+        return labels
 
 
 def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
@@ -372,48 +407,65 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     Two key-shuffles per iteration plus two scalar aggregates; the
     scalar normalizers come back via one-row crossJoin broadcast, so
     nothing vertex-sized ever reaches the driver.
+
+    Round 12 (guide §1.2/§5): each leg (h_all, a_all) is
+    localCheckpointed as soon as it exists — the r1-r11 shape
+    checkpointed only the final normalized scores, so the h-leg's
+    join+agg subtree re-executed ~4x per iteration (once under the
+    h-norm broadcast build, once inside the a-leg, and twice more
+    under the final scores checkpoint; measured 4.74 s best at sf0.1,
+    now ~each-subtree-once). The two scalar normalizers ride one fused
+    1-row broadcast, and the final normalized projection stays LAZY —
+    the next iteration's join (or the caller's action) computes it
+    from the two materialized legs, saving a third action per round.
     """
-    vertices = (
-        edges.select(F.col("src").alias("vertex"))
-        .union(edges.select(F.col("dst").alias("vertex")))
-        .distinct()
-        .persist()
-    )
-    scores = vertices.select(
-        "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    )
-    for _ in range(iterations):
-        h_raw = (
-            edges.join(scores, edges.dst == scores.vertex)
-            .groupBy(F.col("src").alias("vertex"))
-            .agg(F.sum("auth").alias("h"))
+    with _sized_shuffle(edges):
+        vertices = (
+            edges.select(F.col("src").alias("vertex"))
+            .union(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .persist()
         )
-        h_all = vertices.join(h_raw, "vertex", "left").select(
-            "vertex", F.coalesce("h", F.lit(0.0)).alias("h")
+        scores = vertices.select(
+            "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
         )
-        a_raw = (
-            edges.join(h_all, edges.src == h_all.vertex)
-            .groupBy(F.col("dst").alias("vertex"))
-            .agg(F.sum("h").alias("a"))
-        )
-        a_all = vertices.join(a_raw, "vertex", "left").select(
-            "vertex", F.coalesce("a", F.lit(0.0)).alias("a")
-        )
-        h_norm = h_all.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("hn"))
-        a_norm = a_all.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("an"))
-        scores = (
-            h_all.join(a_all, "vertex")
-            .crossJoin(F.broadcast(h_norm))
-            .crossJoin(F.broadcast(a_norm))
-            .select(
-                "vertex",
-                (F.col("h") / F.col("hn")).alias("hub"),
-                (F.col("a") / F.col("an")).alias("auth"),
+        for _ in range(iterations):
+            h_raw = (
+                edges.join(scores, edges.dst == scores.vertex)
+                .groupBy(F.col("src").alias("vertex"))
+                .agg(F.sum("auth").alias("h"))
             )
-            .localCheckpoint(eager=True)
-        )
-    vertices.unpersist()
-    return scores
+            h_all = (
+                vertices.join(h_raw, "vertex", "left")
+                .select("vertex", F.coalesce("h", F.lit(0.0)).alias("h"))
+                .localCheckpoint(eager=True)
+            )
+            a_raw = (
+                edges.join(h_all, edges.src == h_all.vertex)
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum("h").alias("a"))
+            )
+            a_all = (
+                vertices.join(a_raw, "vertex", "left")
+                .select("vertex", F.coalesce("a", F.lit(0.0)).alias("a"))
+                .localCheckpoint(eager=True)
+            )
+            norms = h_all.agg(
+                F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("hn")
+            ).crossJoin(
+                a_all.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("an"))
+            )
+            scores = (
+                h_all.join(a_all, "vertex")
+                .crossJoin(F.broadcast(norms))
+                .select(
+                    "vertex",
+                    (F.col("h") / F.col("hn")).alias("hub"),
+                    (F.col("a") / F.col("an")).alias("auth"),
+                )
+            )
+        vertices.unpersist()
+        return scores
 
 
 #: Spoke-pair group size for the salted wedge join below — the Spark
@@ -1052,9 +1104,17 @@ class DirectedGraphBase:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        #: Round 12 (guide §5): the masked triangle listing, persisted —
+        #: the five directed clustering/census analytics each re-ran the
+        #: wedge join + closing join per query; plan-dedup now shares
+        #: ONE listing per session per edge frame (lazy persist, free
+        #: for consumers that never read it).
+        self.tri = _triangle_listing_from_oriented(self.oriented).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     def unpersist(self, blocking: bool = False) -> None:
-        for df in (self.oriented, self.degrees, self.pm):
+        for df in (self.tri, self.oriented, self.degrees, self.pm):
             df.unpersist(blocking)
 
 
@@ -1156,7 +1216,9 @@ def triangle_listing_directed(
     saturated sf0.1 graph.
     """
     base = _resolve_base(edges, base, directed_graph_base)
-    return _triangle_listing_from_oriented(base.oriented)
+    # round 12: served from the base's persisted ``tri`` frame — one
+    # enumeration per session per edge frame across the directed family
+    return base.tri
 
 
 def _pair_masks(edges: DataFrame) -> DataFrame:

@@ -914,11 +914,30 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").alias("n_baskets")
     )
     items = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("n_item"))
-    a = baskets.select("k", F.col("i").alias("ia"))
-    b = baskets.select("k", F.col("i").alias("ib"))
+    # Round 12 (guide §2.4/§3, the dedup_minhash_lsh bucket idiom): the
+    # a⋈b self-join on k read the baskets subtree twice and emitted both
+    # orientations before the ia<ib filter; grouping each basket's
+    # distinct items once and emitting i<j pairs from the sorted array
+    # is one pass, one k-keyed shuffle, half the emitted rows. Baskets
+    # are distinct by construction, so set semantics are identical.
+    buckets = (
+        baskets.groupBy("k")
+        .agg(F.sort_array(F.collect_set("i")).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    # NB: 2-ary transform lambda — PySpark passes the element index
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + 2, F.size("items")),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("ia") < F.col("ib"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.ia", "p.ib")
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )

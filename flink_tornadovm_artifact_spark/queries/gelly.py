@@ -984,6 +984,13 @@ def bipartite_projection_suppliers(
 ) -> DataFrame:
     from ..functions.bipartite import BipartiteGraph
 
+    # Round 12 (guide §5): the projection self-join references the
+    # distinct edge set on BOTH sides (one under a BroadcastExchange,
+    # so ReuseExchange cannot dedup them) — localCheckpoint
+    # materializes the lineitem scan + distinct once; both join sides
+    # read the cached partitions. (A bucket/pair-array rewrite was
+    # tried first and measured 71% SLOWER than the codegen'd join
+    # probe — struct-array construction per bucket dominates.)
     e = (
         load(spark, sf_dir, "lineitem")
         .select(
@@ -991,6 +998,7 @@ def bipartite_projection_suppliers(
             F.col("l_partkey").alias("bottom_id"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     g = BipartiteGraph.from_edges(e).projection_top_simple(canonical=True)
     return g.edges.select(

@@ -227,20 +227,65 @@ _SIMHASH_BITS = 16
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 12 (guide §2.3 "shuffle keys/metadata instead of payloads",
+    # §1.2): each bit's predicate substring(md5(token || '#k'), 1, 1)
+    # >= '8' depends on the TOKEN alone, yet the r1-r11 array form
+    # evaluated it per OCCURRENCE — 16 salted md5s x Σ|doc| tokens
+    # (sf0.1: 16 x 270k = 4.3M md5s, all inside the single-split scan
+    # task). Computing the 16-bit vote vector once per DISTINCT token
+    # (Heaps' law: types ≪ occurrences at any scale) and broadcast-
+    # joining it back onto the exploded token stream turns the md5 cost
+    # corpus-size-independent; the majority votes become one map-side-
+    # combined per-doc SUM of 16 small ints. Bit definition unchanged ⇒
+    # identical simhash strings.
     docs = load(spark, sf_dir, "documents")
-    df = docs.select("doc_id", F.split("text", " ").alias("toks"))
-
-    def _bit_pred(k: int):
-        salt = F.lit(f"#{k}")
-        return lambda t: F.substring(F.md5(F.concat(t, salt)), 1, 1) >= "8"
-
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # localCheckpoint PINS the per-type evaluation: without it Catalyst
+    # collapses the bit projection back ABOVE the join (it may even
+    # broadcast the token stream and probe with the type table), and
+    # the md5s run per joined row again — the exact pessimization this
+    # rewrite removes. The materialized table is the distinct-token
+    # vocabulary, the thing this algorithm is built around being small
+    # relative to the corpus.
+    bits = (
+        tok.select("t")
+        .distinct()
+        .select(
+            "t",
+            *[
+                (
+                    F.substring(F.md5(F.concat("t", F.lit(f"#{k}"))), 1, 1)
+                    >= "8"
+                )
+                .cast("int")
+                .alias(f"b{k}")
+                for k in range(_SIMHASH_BITS)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    # NB: no pinned broadcast hint — the type table is corpus-dependent
+    # (SMALL_DIMS discipline); AQE broadcasts it when it fits and falls
+    # back to a token-keyed shuffle join when it does not.
+    votes = (
+        tok.join(bits, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"b{k}").alias(f"s{k}") for k in range(_SIMHASH_BITS)],
+        )
+    )
     bit = lambda k: F.when(
-        2 * F.size(F.filter("toks", _bit_pred(k))) - F.size("toks") >= 0, "1"
+        2 * F.col(f"s{k}") - F.col("n") >= 0, "1"
     ).otherwise("0")
-    return df.select(
+    sim = votes.select(
         "doc_id",
         F.concat(*[bit(k) for k in range(_SIMHASH_BITS)]).alias("simhash"),
     )
+    # split() never yields an empty array (an empty text still gives
+    # [""]), so every doc_id survives the explode+join — same row set
+    # as the array form.
+    return sim
 
 
 _bit_sql = " ||\n       ".join(
@@ -272,22 +317,42 @@ _JACCARD_THRESHOLD = 0.02
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 12 (guide §2.4/§3): the r1-r11 form was a crossJoin of the
+    # %97 sample against the corpus with an array_intersect per pair —
+    # N/97 x N array intersections (sf0.1: ~52 x 5000 pairs over ~100-
+    # element shingle sets; measured 5.58 s, the registry's #1). A pair
+    # with ZERO shared shingles has jaccard 0 < threshold, so the exact
+    # same result set falls out of a shingle-key equi-join: explode the
+    # distinct-shingle sets once, join sample x corpus on the shingle
+    # string, count shared shingles per (doc_a, doc_b), and attach the
+    # two set sizes for the union term. Pairs are candidate-sparse
+    # (random-token fixture: almost no cross-doc trigram collisions),
+    # so the join output is orders of magnitude below the cross
+    # product, and every shuffle is on an equi-key. The nested-loop
+    # allowlist row for this query is retired.
     sh = _shingled(spark, sf_dir).select(
         "doc_id", F.array_distinct("shingles").alias("sset")
     )
-    a = sh.filter(F.col("doc_id") % 97 == 0).alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
-    union = F.size(F.col("a.sset")) + F.size(F.col("b.sset")) - inter
-    jac = inter / union
-    return (
-        a.crossJoin(b)
+    sizes = sh.select("doc_id", F.size("sset").alias("nsh"))
+    ex = sh.select("doc_id", F.explode("sset").alias("s"))
+    a = ex.filter(F.col("doc_id") % 97 == 0).alias("a")
+    b = ex.alias("b")
+    inter_counts = (
+        a.join(b, "s")
         .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter_counts.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
 
@@ -1204,7 +1269,17 @@ def multimodal_phash_neardup(
     once per surviving pair side."""
     bits = _phash_band_bits(_corpus_count(spark, sf_dir, "documents"))
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
-    sig = docs.select("doc_id", F.expr(_phash_bands_expr(bits)).alias("bands"))
+    # Round 12 (guide §5 / §1.2): the signature table is TINY (one row
+    # of band ints per doc) but its pixel-sampling expression is the
+    # query's heaviest scan work, and the plan references it four times
+    # (both self-join sides + both band-array re-attach joins) with no
+    # common exchange for ReuseExchange to dedup. localCheckpoint
+    # materializes it once; every downstream read is a cached-partition
+    # scan (ContextCleaner reclaims the blocks when the frame is
+    # dropped — same lifetime discipline as the iterative pipelines).
+    sig = docs.select(
+        "doc_id", F.expr(_phash_bands_expr(bits)).alias("bands")
+    ).localCheckpoint(eager=True)
     flat = sig.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "bval")
     )
@@ -1422,6 +1497,27 @@ def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe keys are ALL ints (doc_id, shingle ordinal si): shuffling
     # the shingle STRINGS through the per-shingle verdict groupBy was
     # the dominant local cost (~2x)
+    #
+    # Round 12 (guide §4 / the _phash_bands_expr let-bind idiom): the
+    # r11 form evaluated positions(s) — BLOOM_K salted md5s — TWICE per
+    # shingle (once under size() for n_pos, once under the explode);
+    # CollapseProject inlines the array into both references. Binding
+    # the array as a transform lambda variable and emitting
+    # (n_pos, pos) structs from ONE generator halves the md5 work and
+    # yields the identical row set.
+    pos_structs = F.explode(
+        F.flatten(
+            F.transform(
+                F.array(positions(F.col("s"))),
+                lambda parr: F.transform(
+                    parr,
+                    lambda p: F.struct(
+                        F.size(parr).alias("n_pos"), p.alias("pos")
+                    ),
+                ),
+            )
+        )
+    )
     probe = (
         sh.filter(F.col("doc_id") % _DECON_MOD != 0)
         .select(
@@ -1429,12 +1525,13 @@ def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sset").cast("bigint").alias("n_shingles"),
             F.posexplode("sset").alias("si", "s"),
         )
+        .select("doc_id", "n_shingles", "si", pos_structs.alias("x"))
         .select(
             "doc_id",
             "n_shingles",
             "si",
-            F.size(positions(F.col("s"))).alias("n_pos"),
-            F.explode(positions(F.col("s"))).alias("pos"),
+            F.col("x.n_pos").alias("n_pos"),
+            F.col("x.pos").alias("pos"),
         )
     )
     hits = (
@@ -3246,13 +3343,19 @@ def text_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "h"),
     )
-    dup_h = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # Round 12 (guide §2.4): the r1-r11 shape aggregated window-hash
+    # counts and joined the >=2 set back onto the SAME shingle subtree
+    # — two full md5-window passes (the agg side and the join side feed
+    # different exchanges, so ReuseExchange cannot dedup them). A
+    # partition-only count window over h marks duplicates in ONE pass:
+    # same h-keyed shuffle the join needed anyway, no second scan. The
+    # window is hash-bucket-bounded (rows per h = the duplicate
+    # multiplicity), never a global window.
+    marked = (
+        sh.withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("h")))
         .filter(F.col("cnt") >= 2)
-        .select("h")
+        .select("doc_id", "source", "lang", "pos")
     )
-    marked = sh.join(dup_h, "h").select("doc_id", "source", "lang", "pos")
     w = W.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + PASSAGE_K - 1).over(
         w.rowsBetween(W.unboundedPreceding, -1)
@@ -3973,38 +4076,77 @@ FROM per, tot
 # ICLR 2018) start from: the dim x dim covariance matrix plus each
 # dimension's share of total variance (embedding spaces with one
 # dominant direction hurt cosine retrieval — this panel is how you
-# catch that before building the ANN index). Plan: one posexplode to
-# the upper-triangle pair products (d(d+1)/2 rows per vector,
-# map-side-combined to <= d^2 rows per task before the shuffle — the
-# shuffle is dimension-bounded, never corpus-bounded) + a 64-row
-# per-dim mean/variance table riding as a broadcast. Products are
-# cast to double BEFORE multiplying on both engines so the only
-# cross-engine difference is summation order (ulp-level).
+# catch that before building the ANN index).
+# Plan (round 12, guide §4.2): per-partition X^T X / column-sum
+# partials via ONE vectorized numpy gemm inside mapInPandas — each
+# task emits d(d+1)/2 upper-triangle rows + its row count and column
+# sums, so the shuffle is dimension-bounded (partitions x d^2/2 rows),
+# never corpus-bounded, and the per-row pair-product work runs as one
+# native BLAS call per batch instead of a d^2/2-wide exploded
+# expression per vector (the r1-r11 shape: 4.16M exploded struct rows
+# at sf0.1, measured 2.66 s; the gemm partial pass replaces the
+# explode AND the separate posexplode means scan). Products are
+# accumulated in float64 on both engines so the only cross-engine
+# difference is summation order (ulp-level, inside the 4dp oracle
+# rounding — same contract as the r1 explode form, whose groupBy
+# summation order was already nondeterministic).
 # ---------------------------------------------------------------------------
+def _cov_gemm_partials(it):
+    """mapInPandas worker: one (i, j, s, n, si) upper-triangle partial
+    frame per task. ``s`` = partial sum of v_i * v_j, ``n`` = partial
+    row count (repeated on every pair row; summed per (i, j) group it
+    re-totals exactly because each task emits each pair once), ``si`` =
+    partial sum of v_i (meaningful on diagonal rows i == j, where it
+    feeds the per-dimension means)."""
+    import numpy as np
+    import pandas as pd
+
+    n = 0
+    xtx = None
+    colsum = None
+    for pdf in it:
+        if not len(pdf):
+            continue
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        if xtx is None:
+            d = X.shape[1]
+            xtx = np.zeros((d, d), dtype=np.float64)
+            colsum = np.zeros(d, dtype=np.float64)
+        xtx += X.T @ X
+        colsum += X.sum(axis=0)
+        n += X.shape[0]
+    if n == 0:
+        return
+    d = xtx.shape[0]
+    iu, ju = np.triu_indices(d)
+    yield pd.DataFrame(
+        {
+            "i": (iu + 1).astype("int32"),
+            "j": (ju + 1).astype("int32"),
+            "s": xtx[iu, ju],
+            "n": np.full(len(iu), n, dtype=np.int64),
+            "si": colsum[iu],
+        }
+    )
+
+
 def embedding_covariance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
     )
-    pairs = emb.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(v)), i ->"
-                " transform(sequence(i, size(v)), j ->"
-                " struct(i AS i, j AS j, v[i-1] * v[j-1] AS p))))"
-            )
-        ).alias("x")
+    partials = emb.mapInPandas(
+        _cov_gemm_partials, "i int, j int, s double, n bigint, si double"
     )
-    raw = (
-        pairs.groupBy(
-            F.col("x.i").cast("int").alias("i"),
-            F.col("x.j").cast("int").alias("j"),
-        )
-        .agg(F.sum("x.p").alias("s"), F.count(F.lit(1)).alias("n"))
+    # ONE (i, j)-keyed exchange feeds every downstream branch (raw,
+    # mu_i, mu_j, the total-variance scalar): identical subtree ==
+    # ReuseExchange, so the scan + Python stage runs once even though
+    # the plan references it four times.
+    stats = partials.groupBy("i", "j").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n"), F.sum("si").alias("si")
     )
-    means = (
-        emb.select(F.posexplode("v").alias("pos", "val"))
-        .groupBy((F.col("pos") + 1).cast("int").alias("i"))
-        .agg(F.avg("val").alias("mu"))
+    raw = stats.select("i", "j", "s", "n")
+    means = stats.filter(F.col("i") == F.col("j")).select(
+        "i", (F.col("si") / F.col("n")).alias("mu")
     )
     mi = means.select(F.col("i"), F.col("mu").alias("mu_i"))
     mj = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
@@ -4332,12 +4474,18 @@ def _corpus_count(spark: SparkSession, sf_dir: str, table: str) -> int:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_norm2(spark, sf_dir)
     planes = _semdedup_planes(_corpus_count(spark, sf_dir, "embeddings"))
+    # Round 12 (guide §5 / the phash idiom): the signature projection is
+    # the query's heaviest per-row work (planes x d md5-derived plane
+    # terms per vector) and the self-join references it on BOTH sides
+    # with no shareable exchange — localCheckpoint materializes the
+    # small (vec_id, v, n2, bucket) table once; each join side is then a
+    # cached-partition scan.
     bucketed = emb.select(
         "vec_id",
         "v",
         "n2",
         F.concat(*[_plane_sign(j) for j in range(planes)]).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = _cos_pre("a", "b")
@@ -4539,12 +4687,17 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "ch")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    with_n = ch.withColumn(
-        "n", F.sum("c").over(W.partitionBy("doc_id")).cast("double")
-    )
-    per_doc = with_n.groupBy("doc_id", "source").agg(
+    # Round 12 (guide §2.4): the per-doc total used to ride a window
+    # partitioned by doc_id — a full extra sort+shuffle round over the
+    # char-count table before the per-doc groupBy. The identity
+    # -Σ (c/n)·ln(c/n) = ln n − (Σ c·ln c)/n folds the total into the
+    # SAME aggregation (one keyed shuffle instead of two); FP drift is
+    # ulp-level, inside the 4dp oracle rounding.
+    per_doc = ch.groupBy("doc_id", "source").agg(
         (
-            -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")))
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log("c"))
+            / F.sum("c").cast("double")
         ).alias("entropy")
     )
     return per_doc.groupBy("source").agg(
@@ -5270,8 +5423,16 @@ def sketch_hll_union_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = load(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", " ")).alias("t")
     )
+    # Round 12 (guide §2.3): registers are built from the DISTINCT
+    # (source, token) table the exact side needs anyway — max-of-rho is
+    # duplicate-insensitive, so the result is bit-identical, the two
+    # salted md5s run once per TYPE instead of once per TOKEN, and the
+    # distinct exchange is shared with the exact side via ReuseExchange
+    # (one corpus-tokens shuffle total instead of a register pass over
+    # every token plus a separate distinct).
+    st = tok.distinct()
     regs = (
-        _hll_register_rows(tok, keys=("source",))
+        _hll_register_rows(st, keys=("source",))
         .groupBy("source", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -5319,7 +5480,6 @@ def sketch_hll_union_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_union")
         )
     )
-    st = tok.distinct()
     ex = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     sa, sb = st.alias("sa"), st.alias("sb")
     exi = (

@@ -447,6 +447,11 @@ PROFILE_COLUMNS = (
     "o_orderpriority",
 )
 
+#: The string-typed profile columns — their min/max live in a separate
+#: keyless aggregate so the NDV Expand leg stays hash-aggregable (see
+#: dq_table_profile).
+STRING_PROFILE_COLUMNS = frozenset({"o_orderstatus", "o_orderpriority"})
+
 
 def dq_table_profile(
     spark: SparkSession, sf_dir: str, approx: bool = False
@@ -466,15 +471,36 @@ def dq_table_profile(
         if approx
         else F.countDistinct
     )
+    # Round 12 (guide §1.2/§7.2): min/max over STRING columns have
+    # variable-width aggregation buffers, which disqualifies
+    # HashAggregateExec — with them in the multi-NDV aggregate the WHOLE
+    # plan fell back to SortAggregate, fully sorting the 7x-Expanded
+    # row set (~1M rows at sf0.1, 13 columns wide, one task) on a
+    # 7-part group key. Hiving the two string min/max pairs into their
+    # own KEYLESS aggregate (grouping keys [] ⇒ no Sort at all) lets
+    # the Expand/NDV leg hash-aggregate; the string leg is a plain
+    # columnar scan of the two string columns. One extra (pruned) scan
+    # traded for the sort of the expanded set — measured 3.2 s → see
+    # OPTIMIZATION_r12.md. crossJoin of two 1-row aggregates.
+    str_cols = [c for c in PROFILE_COLUMNS if c in STRING_PROFILE_COLUMNS]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in PROFILE_COLUMNS:
         aggs += [
             F.count(c).alias(f"nn_{c}"),
             nd(c).alias(f"nd_{c}"),
+        ]
+        if c not in STRING_PROFILE_COLUMNS:
+            aggs += [
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            ]
+    str_aggs = []
+    for c in str_cols:
+        str_aggs += [
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]
-    one = orders.agg(*aggs)
+    one = orders.agg(*aggs).crossJoin(orders.agg(*str_aggs))
     stack = ", ".join(
         f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in PROFILE_COLUMNS
     )

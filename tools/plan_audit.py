@@ -26,9 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: node, with the reason. Anything else with one is a regression — the
 #: audit (and tests/test_plan_audit.py) flags it by name.
 NESTED_LOOP_ALLOWLIST = {
-    # documented bounded all-pairs demos (modulo-sampled side)
+    # documented bounded all-pairs demo (modulo-sampled side).
+    # dedup_ngram_jaccard left this list in round 12: its crossJoin
+    # form was rewritten as a shingle-key equi-join (queries/llm.py).
     "dedup_embedding_cosine": "bounded all-pairs demo",
-    "dedup_ngram_jaccard": "bounded all-pairs demo",
     "q09_cross": "the cross/crossWithTiny operator itself",
     "similarity_topk": "broadcast query side (small Q by design)",
     # 1-row scalar-aggregate crossJoins (vocab size / corpus max /
@@ -93,6 +94,7 @@ NESTED_LOOP_ALLOWLIST = {
     "quality_calibration_panel": "inherits the classifier's 1-row moments broadcast + a 1-row ECE broadcast onto the 10-bin table",
     "decontaminate_verdict_panel": "inherits perplexity_decontaminate's 1-row type-count broadcast",
     # round-12
+    "dq_table_profile": "1-row string-min/max aggregate crossJoined onto the 1-row NDV aggregate (keeps the Expand leg hash-aggregable)",
     "epoch_repetition_budget": "1-row corpus-total + weight-normalizer broadcasts onto the #sources-row table (the corpus_mixture_weights shape, re-derived on the deduped mass)",
     "mixture_epoch_schedule": "inherits epoch_repetition_budget's 1-row total/normalizer broadcasts (composes it, <=ceil(epochs) fan-out per source)",
 }
