@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.sizing import spread_scan
 from ..tables import load
 from ._util import evict_stale_session_entries as _evict_stale_session_entries
 
@@ -87,6 +88,13 @@ def _shingled(
     if docs is None:
         docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # NB (round 12): a spread_scan here was tried and REVERTED — it
+    # parallelized the md5-heavy consumers (bloom probe −27%) but taxed
+    # every cheap consumer of the family's tiny persisted frames with
+    # 32-task scheduling per stage (text_decontaminate 0.33→0.83 s,
+    # overlap_runs 0.52→1.18 s); net negative across the 12-query
+    # family. Heavy consumers spread their OWN probe branch instead
+    # (see bloom_decontaminate_screen).
     df = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingle = lambda i: F.concat_ws(
         " ", F.get("toks", i), F.get("toks", i + 1), F.get("toks", i + 2)
@@ -96,6 +104,24 @@ def _shingled(
         F.transform(F.sequence(F.lit(0), F.size("toks") - 3), shingle).alias(
             "shingles"
         ),
+    )
+
+
+def _decon_sset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted distinct-shingle frame ``(doc_id, sset)`` — ONE
+    plan shared (via CacheManager plan-dedup) by text_decontaminate,
+    bloom_decontaminate_screen, dedup_containment, dedup_recall_panel
+    and dedup_ngram_jaccard, so a session builds the shingle transform
+    once for the whole family (round 12; previously each re-declared
+    the identical frame and the non-persisting consumers re-ran it per
+    reference). Counts against the documented decontaminate memo
+    inventory (tests/test_memo_occupancy.py)."""
+    from pyspark import StorageLevel
+
+    return (
+        _shingled(spark, sf_dir)
+        .select("doc_id", F.array_distinct("shingles").alias("sset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -330,9 +356,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the join output is orders of magnitude below the cross
     # product, and every shuffle is on an equi-key. The nested-loop
     # allowlist row for this query is retired.
-    sh = _shingled(spark, sf_dir).select(
-        "doc_id", F.array_distinct("shingles").alias("sset")
-    )
+    sh = _decon_sset(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("sset").alias("nsh"))
     ex = sh.select("doc_id", F.explode("sset").alias("s"))
     a = ex.filter(F.col("doc_id") % 97 == 0).alias("a")
@@ -1379,13 +1403,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # onto bloom_decontaminate_screen's persisted twin of this exact
     # frame; standalone (and under perplexity_decontaminate, which
     # composes this query) nothing was cached.
-    from pyspark import StorageLevel
-
-    sh = (
-        _shingled(spark, sf_dir)
-        .select("doc_id", F.array_distinct("shingles").alias("sset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sh = _decon_sset(spark, sf_dir)
     bench = (
         sh.filter(F.col("doc_id") % _DECON_MOD == 0)
         .select(F.explode("sset").alias("s"))
@@ -1476,13 +1494,7 @@ def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicates push below the projection and inline the whole
     # shingle transform into a Filter re-evaluated several times per
     # corpus row on BOTH branches (measured 10.5 s -> 6.5 s at sf0.1).
-    from pyspark import StorageLevel
-
-    sh = (
-        _shingled(spark, sf_dir)
-        .select("doc_id", F.array_distinct("shingles").alias("sset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sh = _decon_sset(spark, sf_dir)
     bench = (
         sh.filter(F.col("doc_id") % _DECON_MOD == 0)
         .select(F.explode("sset").alias("s"))
@@ -1518,8 +1530,15 @@ def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Round 12 (guide §2.5): the K-md5 probe is the screen's dominant
+    # work and ran inside the persisted frame's single cached
+    # partition; spread the corpus branch across the session's cores
+    # BEFORE the per-shingle hashing (no-op when the frame already has
+    # >= cores partitions). Applied to this probe branch only — a
+    # family-wide spread inside _shingled measured net-negative (see
+    # the note there).
     probe = (
-        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+        spread_scan(sh.filter(F.col("doc_id") % _DECON_MOD != 0))
         .select(
             "doc_id",
             F.size("sset").cast("bigint").alias("n_shingles"),
@@ -1735,7 +1754,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(grams2).alias("bg"),
     ).withColumn("w1", F.split("bg", " ")[0])
     lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    fc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    # Round 12 (guide §2.4): c(w1 ·) = Σ c(w1 w2) — the first-word
+    # counts fold out of the ALREADY-AGGREGATED bigram-type table
+    # (vocabulary-sized) instead of re-running the corpus bigram
+    # explode + a second corpus-sized shuffle.
+    fc = (
+        lm.groupBy(F.split("bg", " ")[0].alias("w1"))
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
     vocab = (
         docs.select(F.explode(toks).alias("tok"))
         .agg(F.countDistinct("tok").alias("vocab"))
@@ -2630,10 +2656,17 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(CMS_DEPTH)
         ]
     )
+    # Round 12 (guide §2.3): the DEPTH salted md5s depend on the token
+    # alone — count occurrences per TYPE first (one keyed aggregate,
+    # map-side combined), then hash each type once and SUM the type
+    # counts into the buckets. Identical sketch table (bucket counts
+    # are sums over the same multiset), md5 work now
+    # vocabulary-bounded, not corpus-bounded.
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        tok.select(F.posexplode(buckets).alias("row_id", "bucket"))
+        tf.select("cnt", F.posexplode(buckets).alias("row_id", "bucket"))
         .groupBy("row_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 
@@ -3242,6 +3275,12 @@ def _hll_register_rows(tok: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
 
 def sketch_hyperloglog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # NB (round 12): a distinct-first variant (the
+    # sketch_hll_union_matrix move) was tried and REVERTED here — with
+    # no exact side to share the distinct exchange with, the extra
+    # shuffle round cost more than the saved per-occurrence md5s
+    # (1.48 → 1.72 s measured); the register groupBy's map-side max
+    # already collapses duplicates.
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
     return (
         _hll_register_rows(tok)
@@ -3482,8 +3521,10 @@ OVERLAP_MAX_SOURCES = 16
 
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    base = docs.select(
-        "source", F.split("text", " ").alias("toks")
+    # Round 12 (guide §2.5): the passage-window md5 pass dominates and
+    # ran in the single-split scan task; spread first (no-op at scale).
+    base = spread_scan(
+        docs.select("source", F.split("text", " ").alias("toks"))
     ).withColumn("n_toks", F.size("toks"))
     sh = base.filter(F.col("n_toks") >= PASSAGE_K).select(
         "source",
@@ -4671,7 +4712,14 @@ ENTROPY_LOW = 2.5
 
 
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # Round 12 (guide §2.5): the char explode is the query's dominant
+    # work (corpus-char rows built per doc) and ran entirely inside the
+    # single-split scan task; spread_scan distributes the docs across
+    # the session's cores first (no-op when the source already supplies
+    # enough splits).
+    docs = spread_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     ch = (
         docs.select(
             "doc_id",
@@ -4982,9 +5030,9 @@ CONTAIN_THRESHOLD = 0.5
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate stage shared with dedup_recall_panel (identical plan)
     pairs = _rare_shingle_pairs(spark, sf_dir)
-    sset = _shingled(spark, sf_dir).select(
-        "doc_id", F.array_distinct("shingles").alias("sset")
-    )
+    # round 12: the shared persisted family frame (see _decon_sset) —
+    # both pair sides previously re-ran the shingle transform
+    sset = _decon_sset(spark, sf_dir)
     a, b = sset.alias("a"), sset.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
     c_ab = inter / F.size(F.col("a.sset"))
@@ -5304,9 +5352,8 @@ def dedup_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_sh", F.lit(0)).alias("in_sh"),
         )
     )
-    sset = _shingled(spark, sf_dir).select(
-        "doc_id", F.array_distinct("shingles").alias("sset")
-    )
+    # round 12: the shared persisted family frame (see _decon_sset)
+    sset = _decon_sset(spark, sf_dir)
     a, b = sset.alias("a"), sset.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
     union = F.size(F.col("a.sset")) + F.size(F.col("b.sset")) - inter
@@ -6850,6 +6897,9 @@ FROM n
 # broadcast-joins + keyed counts; never all-pairs.
 # ---------------------------------------------------------------------------
 def ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB (round 12): a localCheckpoint on the 4x-referenced exact table
+    # was tried and measured dead-neutral (ReuseExchange already shares
+    # the brute-force subtree's exchanges) — not kept.
     exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
     n_ex = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
@@ -7129,6 +7179,11 @@ def minhash_estimate_error_panel(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     shd = _shingled(spark, sf_dir)
+    # NB (round 12): a localCheckpoint on this doubly-referenced
+    # feature table was tried and REVERTED — ReuseExchange already
+    # dedups the identical signature/sset sub-exchanges across the two
+    # pair sides, so the eager materialization only added a barrier
+    # (3.33 → 3.65 s measured).
     feats = _minhash_sig(shd).join(
         shd.select("doc_id", F.array_distinct("shingles").alias("sset")),
         "doc_id",

@@ -42,6 +42,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.sizing import spread_scan
 from ..tables import load
 from .llm import lm_kn_bigram
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.sizing import spread_scan
 from ..tables import load
 from ._util import DEC, dsum, dsum_sql
 
@@ -533,7 +534,22 @@ HAVING {dsum_sql('l_extendedprice')} >
 # dims ⋈ broadcast nation, grouped on derived year) is the original's.
 # ---------------------------------------------------------------------------
 def q51_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # Round 12 (guide §2.5 + §2.3): with every dimension broadcast the
+    # whole 4-join probe chain + decimal profit arithmetic runs inside
+    # the fact scan stage — one task on a single-split file; spread the
+    # fact side first (no-op when the scan already supplies >= cores
+    # splits, i.e. at any real scale), projected to the 6 needed
+    # columns so the spread moves no dead bytes.
+    li = spread_scan(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     # TPC-H Q9's own filter is `p_name LIKE '%green%'`; the fixture part
