@@ -291,9 +291,44 @@ class UndirectedGraphBase:
         self.tri = _triangles_from_undirected_oriented(self.oriented).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        #: Round 12 (guide §5, the ``tri`` sharing applied to the
+        #: similarity family): the wedge-pair aggregate
+        #: (u, v, shared, aa) — jaccard and adamic-adar each ran the
+        #: full hub-skew-safe ``_wedge_pairs`` enumeration per query
+        #: over the same edge frame; one persisted aggregate now
+        #: serves both. ``aa`` (Σ 1/ln d over wedge centers) rides in
+        #: the same keyed aggregate for free — it is a per-center
+        #: constant, so jaccard consumers simply ignore the column.
+        #: persist() is lazy: consumers that never read it pay nothing.
+        deg_x = self.degrees.select(
+            F.col("vertex").alias("x"), F.col("degree").alias("d")
+        )
+        both = self.und.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        ).unionAll(
+            self.und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        wb = both.join(deg_x, "x").select(
+            "x", "y", F.try_divide(F.lit(1.0), F.log(F.col("d"))).alias("w")
+        )
+        self.wedge_agg = (
+            _wedge_pairs(wb, self.degrees, slim=both)
+            .groupBy("u", "v")
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.sum("w").alias("aa"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
     def unpersist(self, blocking: bool = False) -> None:
-        for df in (self.tri, self.oriented, self.degrees, self.und):
+        for df in (
+            self.wedge_agg,
+            self.tri,
+            self.oriented,
+            self.degrees,
+            self.und,
+        ):
             df.unpersist(blocking)
 
 
@@ -650,11 +685,13 @@ def jaccard_index(
     else the internal base is CacheManager plan-deduped as usual.
     """
     base = _resolve_base(edges, base, undirected_graph_base)
-    und = base.und
     deg = base.degrees.select(
         F.col("vertex").alias("x"), F.col("degree").alias("d")
     )
-    pairs = _shared_neighbors(und=und, degrees=base.degrees).filter(
+    # round 12: served from the base's persisted wedge aggregate (one
+    # pair enumeration per session per edge frame, shared with
+    # adamic_adar); the extra ``aa`` column is simply not selected
+    pairs = base.wedge_agg.select("u", "v", "shared").filter(
         F.col("shared") >= min_shared
     )
     return (
@@ -705,31 +742,42 @@ def adamic_adar(
     cleanup (``base.unpersist()`` after the action).
     """
     base = _resolve_base(edges, base, undirected_graph_base)
-    und = base.und
-    deg = base.degrees.select(
-        F.col("vertex").alias("x"), F.col("degree").alias("d")
-    )
-    both = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
-        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
-    )
-    # annotate each wedge center with its inverse-log-degree weight;
-    # try_divide because ln(1) = 0 for degree-1 centers — such centers
-    # can never appear in the wedge join's output (a wedge needs two
-    # incident edges), but under ANSI mode (Spark 4 default) a plain
-    # division would crash if a plan change ever materialized this
-    # projection before the join filters them out
-    wb = both.join(deg, "x").select(
-        "x", "y", F.try_divide(F.lit(1.0), F.log(F.col("d"))).alias("w")
-    )
-    scored = (
-        _wedge_pairs(wb, base.degrees, cap=cap, slim=both)
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.sum("w").alias("aa"),
+    # round 12: at the default cap the (u, v, shared, aa) aggregate is
+    # served from the base's persisted wedge frame — one pair
+    # enumeration per session per edge frame, shared with
+    # jaccard_index. (The weight/try_divide construction lives in the
+    # base; see the wedge_agg note there.) A caller probing a
+    # non-default cap still gets its own enumeration.
+    if cap == WEDGE_GROUP_SIZE:
+        scored = base.wedge_agg.filter(F.col("shared") >= min_shared)
+    else:
+        und = base.und
+        deg = base.degrees.select(
+            F.col("vertex").alias("x"), F.col("degree").alias("d")
         )
-        .filter(F.col("shared") >= min_shared)
-    )
+        both = und.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        ).unionAll(
+            und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        # annotate each wedge center with its inverse-log-degree
+        # weight; try_divide because ln(1) = 0 for degree-1 centers —
+        # such centers can never appear in the wedge join's output (a
+        # wedge needs two incident edges), but under ANSI mode (Spark 4
+        # default) a plain division would crash if a plan change ever
+        # materialized this projection before the join filters them out
+        wb = both.join(deg, "x").select(
+            "x", "y", F.try_divide(F.lit(1.0), F.log(F.col("d"))).alias("w")
+        )
+        scored = (
+            _wedge_pairs(wb, base.degrees, cap=cap, slim=both)
+            .groupBy("u", "v")
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.sum("w").alias("aa"),
+            )
+            .filter(F.col("shared") >= min_shared)
+        )
     if min_ratio > 0.0:
         # mean pair score from the degree table alone: each center of
         # degree d contributes C(d,2) pairs, each carrying 1/ln(d)

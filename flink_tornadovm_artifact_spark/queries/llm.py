@@ -125,6 +125,31 @@ def _decon_sset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_counts_sw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted whitespace-token count table ``(source, w, c)`` —
+    ONE corpus explode + one keyed shuffle shared (via CacheManager
+    plan-dedup, the ``_decon_sset`` idiom) by the tokenizer/sketch
+    family: wordpiece_fertility_panel, tokenizer_roundtrip_qa,
+    unigram_viterbi_panel, the BPE pair (train + fertility), the
+    count-min pair, and sketch_hll_union_matrix (whose distinct
+    (source, token) table is this frame's key set). Empty-string
+    tokens are KEPT — each consumer applies its own filter (only the
+    BPE word table drops them), so every derived table is identical to
+    the explode it replaces. Type-level derivations (per-token totals,
+    distinct types) are one cheap aggregate over this Heaps-law-bounded
+    table instead of a fresh corpus pass. Counts against the documented
+    memo inventory (tests/test_memo_occupancy.py)."""
+    from pyspark import StorageLevel
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def _chunk(j: int):
     # NB: higher-order-function lambdas must take exactly one argument —
     # PySpark passes the array index to 2-ary lambdas, so closing over j
@@ -2639,8 +2664,6 @@ CMS_DEPTH, CMS_WIDTH = 4, 256
 
 
 def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
     buckets = F.array(
         *[
             (
@@ -2661,7 +2684,15 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side combined), then hash each type once and SUM the type
     # counts into the buckets. Identical sketch table (bucket counts
     # are sums over the same multiset), md5 work now
-    # vocabulary-bounded, not corpus-bounded.
+    # vocabulary-bounded, not corpus-bounded. NB: deriving the type
+    # counts from the shared _word_counts_sw frame instead was tried
+    # and REVERTED (0.31 → 0.38 s matched A/B): the sketch's own
+    # explode + map-side combine already collapses to type size in one
+    # stage, and the extra cache-read stage is pure scheduling tax on
+    # this cheap consumer (the batch-3 _shingled lesson).
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
     tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         tf.select("cnt", F.posexplode(buckets).alias("row_id", "bucket"))
@@ -3274,14 +3305,15 @@ def _hll_register_rows(tok: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
 
 
 def sketch_hyperloglog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    # NB (round 12): a distinct-first variant (the
-    # sketch_hll_union_matrix move) was tried and REVERTED here — with
-    # no exact side to share the distinct exchange with, the extra
-    # shuffle round cost more than the saved per-occurrence md5s
-    # (1.48 → 1.72 s measured); the register groupBy's map-side max
-    # already collapses duplicates.
-    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    # Round 12 (guide §5): register rows off the shared persisted
+    # word-count frame's key set — max-of-rho is duplicate-insensitive,
+    # so hashing each (source, type) pair once yields the identical
+    # register table without a corpus-occurrence pass. (An earlier
+    # distinct-first variant was reverted at 1.48 → 1.72 s, but it
+    # predates the shared frame: it paid a fresh corpus explode PLUS a
+    # distinct shuffle; the cache needs neither — no distinct at all,
+    # duplicates across sources collapse in the same map-side max.)
+    tok = _word_counts_sw(spark, sf_dir).select(F.col("w").alias("t"))
     return (
         _hll_register_rows(tok)
         .groupBy("bucket")
@@ -3791,18 +3823,38 @@ def _bpe_select_batch(cands, max_m: int):
     return batch
 
 
+#: (session applicationId, sf_dir) -> (merge list, post-merge word-type
+#: DataFrame, round count). Same discipline as pipeline.py's _QC_CACHE
+#: (session-scoped key, eviction via evict_stale_session_entries): the
+#: merge table is a pure function of the corpus and the BPE_* constants,
+#: and BOTH bpe_merge_table and bpe_encode_fertility re-ran the whole
+#: training loop (per-round type-table jobs + candidate collects +
+#: localCheckpoints) before the memo. The words frame is a
+#: localCheckpoint — session-lifetime by construction; eviction keeps
+#: the dict itself from leaking across sessions (round 12, guide §5).
+_BPE_CACHE: dict[tuple[str, str], tuple[list, DataFrame, int]] = {}
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the merge-learning loop; returns (merge list, word-type
     DataFrame with the post-merge ``syms`` encoding, round count).
-    The corpus-sized work is the one word-frequency groupBy; every
-    round after runs on the vocabulary-sized type table and applies
-    up to BPE_BATCH_M merges in one job (batching rule above)."""
-    docs = load(spark, sf_dir, "documents")
+    The corpus-sized work is the one word-frequency groupBy — round 12:
+    folded out of the shared persisted word-count frame (guide §5);
+    every round after runs on the vocabulary-sized type table and
+    applies up to BPE_BATCH_M merges in one job (batching rule above).
+    Memoized per (session, corpus) — see _BPE_CACHE."""
+    from ._util import evict_stale_session_entries
+
+    evict_stale_session_entries(_BPE_CACHE, spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
     words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        _word_counts_sw(spark, sf_dir)
         .filter(F.length("w") > 0)
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        .agg(F.sum("c").alias("freq"))
         .withColumn(
             "syms",
             F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
@@ -3848,6 +3900,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         for a, b, _ in batch:
             col = _bpe_merge_fold(col, a, b)
         words = words.withColumn("syms", col).localCheckpoint(eager=True)
+    _BPE_CACHE[memo_key] = (merges, words, rounds)
     return merges, words, rounds
 
 
@@ -3924,15 +3977,9 @@ _register(bpe_merge_table, _bpe_oracle_sql(BPE_N_MERGES))
 def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, words, _ = _bpe_train(spark, sf_dir)
     enc = words.select("w", F.size("syms").alias("n_sub"))
-    docs = load(spark, sf_dir, "documents")
-    per = (
-        docs.select(
-            "source", F.explode(F.split("text", " ")).alias("w")
-        )
-        .filter(F.length("w") > 0)
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # round 12: the (source, word, count) table IS the shared persisted
+    # word-count frame (guide §5), filtered to non-empty words
+    per = _word_counts_sw(spark, sf_dir).filter(F.length("w") > 0)
     return (
         per.join(enc, "w")
         .groupBy("source")
@@ -5467,17 +5514,15 @@ _HLL_MM = float(HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS)  # one double literal for
 
 
 def sketch_hll_union_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = load(spark, sf_dir, "documents").select(
-        "source", F.explode(F.split("text", " ")).alias("t")
-    )
     # Round 12 (guide §2.3): registers are built from the DISTINCT
     # (source, token) table the exact side needs anyway — max-of-rho is
-    # duplicate-insensitive, so the result is bit-identical, the two
-    # salted md5s run once per TYPE instead of once per TOKEN, and the
-    # distinct exchange is shared with the exact side via ReuseExchange
-    # (one corpus-tokens shuffle total instead of a register pass over
-    # every token plus a separate distinct).
-    st = tok.distinct()
+    # duplicate-insensitive, so the result is bit-identical and the two
+    # salted md5s run once per TYPE instead of once per TOKEN. The
+    # distinct pairs are the KEY SET of the shared persisted word-count
+    # frame (guide §5): the three references below (registers, exact
+    # per-source counts, exact intersection self-join) all read the
+    # cache instead of re-shuffling the corpus explode.
+    st = _word_counts_sw(spark, sf_dir).select("source", F.col("w").alias("t"))
     regs = (
         _hll_register_rows(st, keys=("source",))
         .groupBy("source", "bucket")
@@ -5751,10 +5796,8 @@ WORDPIECE_MAX_STEPS = 10  # oracle unroll depth; >= max fixture word length
 
 
 def wordpiece_fertility_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = load(spark, sf_dir, "documents").select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    )
-    occ_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # round 12: the shared persisted word-count frame (guide §5)
+    occ_sw = _word_counts_sw(spark, sf_dir)
     occ = occ_sw.groupBy("w").agg(F.sum("c").alias("c"))
     subs = occ.select(
         F.explode(
@@ -5914,10 +5957,8 @@ _register(wordpiece_fertility_panel, _wordpiece_oracle())
 # a sources-sized keyed aggregate.
 # ---------------------------------------------------------------------------
 def tokenizer_roundtrip_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = load(spark, sf_dir, "documents").select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    )
-    occ_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # round 12: the shared persisted word-count frame (guide §5)
+    occ_sw = _word_counts_sw(spark, sf_dir)
     occ = occ_sw.groupBy("w").agg(F.sum("c").alias("c"))
     subs = occ.select(
         F.explode(
@@ -6091,10 +6132,8 @@ _register(tokenizer_roundtrip_qa, _roundtrip_oracle())
 def unigram_viterbi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
 
-    tok = load(spark, sf_dir, "documents").select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    )
-    occ_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # round 12: the shared persisted word-count frame (guide §5)
+    occ_sw = _word_counts_sw(spark, sf_dir)
     occ = occ_sw.groupBy("w").agg(F.sum("c").alias("c"))
     subs = occ.select(
         F.explode(
@@ -6291,6 +6330,9 @@ def _cms_buckets(col: Column) -> Column:
 
 
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB (round 12): the shared _word_counts_sw frame was tried and
+    # REVERTED here too (0.63 → 0.83 s matched A/B, same scheduling-tax
+    # shape as the count-min base — see its note)
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
     exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_exact"))

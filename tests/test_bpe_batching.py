@@ -131,7 +131,12 @@ def test_select_batch_head_always_kept():
 # End-to-end round-count and equality pins
 # ---------------------------------------------------------------------------
 def _write_docs(spark, tmp_path, texts):
-    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    # a source column because the trainer's word table now folds out of
+    # the shared (source, w, c) frame (round 12); constant value — the
+    # trainer aggregates it away
+    df = spark.createDataFrame(
+        [("syn", t) for t in texts], "source string, text string"
+    )
     path = str(tmp_path / "documents.parquet")
     df.coalesce(1).write.mode("overwrite").parquet(path)
     return str(tmp_path)

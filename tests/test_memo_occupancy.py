@@ -49,17 +49,30 @@ MEMO_INVENTORY = {
     "exact_substring": 1,
     # PMI bigram counts (persist=True leg)
     "pmi": 1,
+    # round 12: the shared (source, w, c) word-count frame consumed by
+    # the tokenizer/sketch family (wordpiece/viterbi/roundtrip, BPE,
+    # count-min, HLL)
+    "word_counts": 1,
+    # round 12: the BPE train memo (_BPE_CACHE) — the words frame is a
+    # localCheckpoint chain (initial + one per merge round, bounded by
+    # BPE_N_MERGES but ~2 on real data); the memo pins ONE chain per
+    # (session, corpus) where the un-memoized loop re-checkpointed per
+    # consumer invocation
+    "bpe": 4,
 }
 
 #: consumers, in sweep order (each returns a DataFrame; .count() is
 #: enough to materialize every persist on its path)
 def _sweep(spark):
     from flink_tornadovm_artifact_spark.queries.llm import (
+        bpe_encode_fertility,
+        bpe_merge_table,
         dedup_cluster_representatives,
         dedup_impact_panel,
         dup_ngram_exposure,
         exact_substring_removal,
         perplexity_decontaminate,
+        sketch_hll_union_matrix,
         text_decontaminate,
         text_pmi_bigrams,
         winnowing_fingerprint_panel,
@@ -80,6 +93,9 @@ def _sweep(spark):
         exact_substring_removal,
         dup_ngram_exposure,
         text_pmi_bigrams,
+        bpe_merge_table,
+        bpe_encode_fertility,
+        sketch_hll_union_matrix,
     ):
         q(spark, SF_SMOKE).count()
 
