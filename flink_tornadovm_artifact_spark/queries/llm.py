@@ -194,10 +194,31 @@ def _lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_key")
 
 
+def _mh_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (doc_id, mh0..mh7) MinHash signature table — ONE
+    shingle → md5 → chunk-min pass shared (via CacheManager
+    plan-dedup, the ``_decon_sset`` idiom) by dedup_minhash_lsh, the
+    estimator-error panel, and the streaming near-dup batch twin
+    (round 12; each previously re-ran the full signature pipeline).
+    Counts against the documented memo inventory
+    (tests/test_memo_occupancy.py)."""
+    from pyspark import StorageLevel
+
+    return _minhash_sig(_shingled(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
-    sig = _minhash_sig(_shingled(spark, sf_dir, docs))
+    # the shared persisted signature frame serves the corpus path; an
+    # explicit docs frame (differential callers) gets its own pipeline
+    sig = (
+        _mh_sig_frame(spark, sf_dir)
+        if docs is None
+        else _minhash_sig(_shingled(spark, sf_dir, docs))
+    )
     bands = _lsh_bands(sig)
     # Group docs per (band_id, band_key) bucket and emit i<j pairs from
     # each bucket array — ONE pass over the signatures (a band self-join
@@ -445,8 +466,14 @@ def dedup_lsh_verified(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir, docs)
-    sh = _shingled(spark, sf_dir, docs).select(
-        "doc_id", F.array_distinct("shingles").alias("sset")
+    # round 12: the corpus path's sset table IS the shared persisted
+    # _decon_sset frame; differential callers keep their own build
+    sh = (
+        _decon_sset(spark, sf_dir)
+        if docs is None
+        else _shingled(spark, sf_dir, docs).select(
+            "doc_id", F.array_distinct("shingles").alias("sset")
+        )
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
@@ -2219,12 +2246,20 @@ GROUP BY source, lang
 # ---------------------------------------------------------------------------
 def _datasheet_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document datasheet signal frame shared by v2/v3 (batch
-    loader wrapper around :func:`datasheet_signals`)."""
+    loader wrapper around :func:`datasheet_signals`). Round 12
+    (guide §5): persisted — v2 and v3 each scanned the corpus through
+    the full signal-expression chain (regexp + token filters + 2-gram
+    zip_with per doc), and the exact-dup copy counts now fold out of
+    this frame's ``h`` column instead of re-hashing the corpus. Slim
+    projection (9 scalar columns), MEMORY_AND_DISK; counts against the
+    documented memo inventory (tests/test_memo_occupancy.py)."""
+    from pyspark import StorageLevel
+
     return datasheet_signals(
         load(spark, sf_dir, "documents").select(
             "doc_id", "source", "lang", "text"
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def datasheet_signals(docs: DataFrame) -> DataFrame:
@@ -2296,10 +2331,13 @@ def datasheet_signals(docs: DataFrame) -> DataFrame:
 
 
 def _datasheet_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide md5 copy counts (the exact-dup-rate shuffle)."""
+    """Corpus-wide md5 copy counts (the exact-dup-rate shuffle) —
+    round 12: one keyed aggregate over the persisted per-doc frame's
+    already-computed ``h`` column (was: a second corpus scan + md5
+    pass per datasheet)."""
     return (
-        load(spark, sf_dir, "documents")
-        .groupBy(F.md5("text").alias("h"))
+        _datasheet_per_doc(spark, sf_dir)
+        .groupBy("h")
         .agg(F.count(F.lit(1)).alias("copies"))
     )
 
@@ -5528,18 +5566,45 @@ def sketch_hll_union_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
-    srcs = regs.select("source").distinct()
-    grid = srcs.crossJoin(
-        F.broadcast(
-            spark.range(HLL_BUCKETS).select(
-                F.col("id").cast("int").alias("bucket")
-            )
+    # Round 12 (guide §2.2/§5, second pass): the register grid is ≤
+    # sources × HLL_BUCKETS cells, yet the row-form computed it through
+    # a grid crossJoin + dense zero-fill + a bucket-keyed SELF-JOIN +
+    # two keyed aggregations — four shuffling stages of scheduling
+    # floor on a table this small. Folding each source's registers into
+    # ONE dense array row collapses the whole chain: per-source
+    # estimates become an expression fold, and the pairwise union
+    # matrix is a sources-row broadcast crossJoin with an elementwise
+    # zip_with(greatest). Identical arithmetic (max-merge then Σ2^-rho,
+    # zero-count, same small-range correction); the double-sum order
+    # differs only at ulp level — far inside the oracle's 4dp rounding.
+    from pyspark import StorageLevel
+
+    # persist, not localCheckpoint: the plan is identical across
+    # invocations, so CacheManager dedups repeat calls into ONE cache
+    # entry (a per-call checkpoint would register a new RDD every
+    # execution — the growth signature test_memo_occupancy pins)
+    arr = (
+        regs.groupBy("source")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "rho"))
+            ).alias("m")
         )
+        .select(
+            "source",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(HLL_BUCKETS - 1)),
+                lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0)),
+            ).alias("rhos"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dense = grid.join(regs, ["source", "bucket"], "left").select(
-        "source", "bucket", F.coalesce("rho", F.lit(0)).alias("rho")
-    )
-    def _est(denom, zeros):
+
+    def _est_arr(rhos):
+        denom = F.aggregate(
+            rhos, F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r)
+        )
+        zeros = F.size(F.filter(rhos, lambda r: r == F.lit(0)))
         raw = F.lit(_HLL_MM) / denom
         lin = F.lit(float(HLL_BUCKETS)) * F.log(
             F.lit(float(HLL_BUCKETS)) / zeros
@@ -5548,28 +5613,22 @@ def sketch_hll_union_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (raw <= 2.5 * HLL_BUCKETS) & (zeros > 0), lin
         ).otherwise(raw)
 
-    den = dense.groupBy("source").agg(
-        _est(
-            F.sum(F.pow(F.lit(2.0), -F.col("rho"))),
-            F.sum((F.col("rho") == 0).cast("int")),
-        ).alias("est")
-    )
-    a = dense.alias("a")
-    b = dense.alias("b")
+    den = arr.select("source", _est_arr(F.col("rhos")).alias("est"))
+    a = arr.alias("a")
+    b = arr.alias("b")
     pden = (
-        a.join(b, "bucket")
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
+        .select(
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
-        )
-        .agg(
-            _est(
-                F.sum(F.pow(F.lit(2.0), -F.greatest("a.rho", "b.rho"))),
-                F.sum(
-                    (F.greatest("a.rho", "b.rho") == 0).cast("int")
-                ),
-            ).alias("est_union")
+            _est_arr(
+                F.zip_with(
+                    F.col("a.rhos"),
+                    F.col("b.rhos"),
+                    lambda x, y: F.greatest(x, y),
+                )
+            ).alias("est_union"),
         )
     )
     ex = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
@@ -7220,15 +7279,14 @@ FROM frames
 def minhash_estimate_error_panel(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    shd = _shingled(spark, sf_dir)
-    # NB (round 12): a localCheckpoint on this doubly-referenced
-    # feature table was tried and REVERTED — ReuseExchange already
-    # dedups the identical signature/sset sub-exchanges across the two
-    # pair sides, so the eager materialization only added a barrier
-    # (3.33 → 3.65 s measured).
-    feats = _minhash_sig(shd).join(
-        shd.select("doc_id", F.array_distinct("shingles").alias("sset")),
-        "doc_id",
+    # Round 12 (guide §5): both feature legs are the session's shared
+    # persisted frames — the signature table (_mh_sig_frame) and the
+    # distinct-shingle sets (_decon_sset, whose definition IS the
+    # array_distinct this panel previously recomputed). The earlier
+    # localCheckpoint experiment on the recomputed feature table
+    # (3.33 → 3.65 s, reverted) predates the shared frames.
+    feats = _mh_sig_frame(spark, sf_dir).join(
+        _decon_sset(spark, sf_dir), "doc_id"
     )
     pairs = dedup_minhash_lsh(spark, sf_dir)
     fa = feats.select([F.col(c).alias(f"a_{c}") for c in feats.columns])
@@ -8052,7 +8110,7 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # function-level imports of the signature pipeline
     from ..streaming.neardup import fold_verdicts
 
-    sig = _minhash_sig(_shingled(spark, sf_dir))
+    sig = _mh_sig_frame(spark, sf_dir)
     bands = _lsh_bands(sig)
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.collect_list("doc_id").alias("ids")

@@ -53,6 +53,17 @@ MEMO_INVENTORY = {
     # the tokenizer/sketch family (wordpiece/viterbi/roundtrip, BPE,
     # count-min, HLL)
     "word_counts": 1,
+    # round 12: the (doc_id, mh0..mh7) MinHash signature frame shared
+    # by dedup_minhash_lsh / lsh_verified / estimate-error panel /
+    # stream_neardup_ingest batch twin
+    "minhash_sig": 1,
+    # round 12: the per-doc datasheet signal frame shared by
+    # corpus_datasheet_v2/v3 (copy counts fold out of its h column)
+    "datasheet_per_doc": 1,
+    # round 12: the HLL union matrix's per-source register-array frame
+    # (three references inside the one query; plan-deduped across
+    # invocations)
+    "hll_register_arrays": 1,
     # round 12: the BPE train memo (_BPE_CACHE) — the words frame is a
     # localCheckpoint chain (initial + one per merge round, bounded by
     # BPE_N_MERGES but ~2 on real data); the memo pins ONE chain per
