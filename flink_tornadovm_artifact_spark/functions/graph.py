@@ -403,15 +403,21 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     sizing.py).
     """
     with _sized_shuffle(edges):
+        # Round 12 (guide §5): the edge topology is loop-INVARIANT but
+        # was re-planned per superstep — for the registered pipeline
+        # that subtree is a parquet scan + distinct (a full shuffle)
+        # re-executed in all ``iterations`` message joins. Persist once,
+        # unpersist after the final checkpoint owns the result.
+        e = edges.persist(StorageLevel.MEMORY_AND_DISK)
         labels = (
-            edges.select(F.col("src").alias("vertex"))
-            .union(edges.select(F.col("dst").alias("vertex")))
+            e.select(F.col("src").alias("vertex"))
+            .union(e.select(F.col("dst").alias("vertex")))
             .distinct()
             .withColumn("label", F.col("vertex"))
             .localCheckpoint(eager=True)
         )
         for _ in range(iterations):
-            msgs = edges.join(labels, edges.src == labels.vertex).select(
+            msgs = e.join(labels, e.src == labels.vertex).select(
                 F.col("dst").alias("vertex"), "label"
             )
             counts = msgs.groupBy("vertex", "label").agg(
@@ -425,6 +431,7 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
                 .select("vertex", F.col("m.label").alias("label"))
                 .localCheckpoint(eager=True)
             )
+        e.unpersist()
         return labels
 
 
@@ -455,9 +462,12 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     from the two materialized legs, saving a third action per round.
     """
     with _sized_shuffle(edges):
+        # Round 12 (guide §5): the edge list is loop-invariant but was
+        # re-planned in both per-iteration joins (2 x iterations scans).
+        e = edges.persist(StorageLevel.MEMORY_AND_DISK)
         vertices = (
-            edges.select(F.col("src").alias("vertex"))
-            .union(edges.select(F.col("dst").alias("vertex")))
+            e.select(F.col("src").alias("vertex"))
+            .union(e.select(F.col("dst").alias("vertex")))
             .distinct()
             .persist()
         )
@@ -466,7 +476,7 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
         )
         for _ in range(iterations):
             h_raw = (
-                edges.join(scores, edges.dst == scores.vertex)
+                e.join(scores, e.dst == scores.vertex)
                 .groupBy(F.col("src").alias("vertex"))
                 .agg(F.sum("auth").alias("h"))
             )
@@ -476,7 +486,7 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
             a_raw = (
-                edges.join(h_all, edges.src == h_all.vertex)
+                e.join(h_all, e.src == h_all.vertex)
                 .groupBy(F.col("dst").alias("vertex"))
                 .agg(F.sum("h").alias("a"))
             )
@@ -500,6 +510,7 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 )
             )
         vertices.unpersist()
+        e.unpersist()
         return scores
 
 
@@ -955,54 +966,67 @@ def community_detection(
     makes the SQL oracle sound. One message shuffle + one argmax groupBy
     per superstep, state checkpointed per round.
     """
-    und = _undirect(edges)
-    both = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    state = (
-        both.select(F.col("src").alias("vertex"))
-        .distinct()
-        .select(
-            "vertex",
-            F.col("vertex").alias("label"),
-            F.lit(1.0).alias("score"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    for step in range(1, iterations + 1):
-        msgs = both.join(state, both.src == state.vertex).select(
-            F.col("dst").alias("vertex"), "label", F.col("score").alias("ms")
-        )
-        agg = msgs.groupBy("vertex", "label").agg(
-            F.sum("ms").alias("total"), F.max("ms").alias("best")
-        )
-        # argmax over summed score, ties to the lowest label: max of
-        # (total, -label) lexicographically — exact for dyadic scores
-        pick = (
-            agg.groupBy("vertex")
-            .agg(F.max(F.struct("total", (-F.col("label")).alias("nl"), "best")).alias("m"))
-            .select(
-                "vertex",
-                (-F.col("m.nl")).alias("new_label"),
-                F.col("m.best").alias("new_best"),
-            )
+    # Round 12 (guide §5/§2.2): the bidirectional topology is
+    # loop-invariant but embeds a distinct (full shuffle) that was
+    # re-executed per superstep; persist once. Supersteps run under
+    # sized_shuffle like the other iterative pipelines (the per-round
+    # checkpoint otherwise materializes at the session shuffle width).
+    with _sized_shuffle(edges):
+        und = _undirect(edges)
+        both = (
+            und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         state = (
-            state.join(pick, "vertex", "left")
+            both.select(F.col("src").alias("vertex"))
+            .distinct()
             .select(
                 "vertex",
-                F.coalesce("new_label", "label").alias("label"),
-                F.when(F.col("new_label").isNull(), F.col("score"))
-                .when(
-                    F.col("new_label") != F.col("label"),
-                    F.col("new_best") - F.lit(delta) / step,
-                )
-                .otherwise(F.col("new_best"))
-                .alias("score"),
+                F.col("vertex").alias("label"),
+                F.lit(1.0).alias("score"),
             )
             .localCheckpoint(eager=True)
         )
-    return state.select("vertex", "label")
+        for step in range(1, iterations + 1):
+            msgs = both.join(state, both.src == state.vertex).select(
+                F.col("dst").alias("vertex"), "label", F.col("score").alias("ms")
+            )
+            agg = msgs.groupBy("vertex", "label").agg(
+                F.sum("ms").alias("total"), F.max("ms").alias("best")
+            )
+            # argmax over summed score, ties to the lowest label: max of
+            # (total, -label) lexicographically — exact for dyadic scores
+            pick = (
+                agg.groupBy("vertex")
+                .agg(
+                    F.max(
+                        F.struct("total", (-F.col("label")).alias("nl"), "best")
+                    ).alias("m")
+                )
+                .select(
+                    "vertex",
+                    (-F.col("m.nl")).alias("new_label"),
+                    F.col("m.best").alias("new_best"),
+                )
+            )
+            state = (
+                state.join(pick, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.coalesce("new_label", "label").alias("label"),
+                    F.when(F.col("new_label").isNull(), F.col("score"))
+                    .when(
+                        F.col("new_label") != F.col("label"),
+                        F.col("new_best") - F.lit(delta) / step,
+                    )
+                    .otherwise(F.col("new_best"))
+                    .alias("score"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        both.unpersist()
+        return state.select("vertex", "label")
 
 
 def edge_metrics(

@@ -4256,20 +4256,41 @@ def _cov_gemm_partials(it):
     )
 
 
-def embedding_covariance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (i, j, s, n, si) covariance-moment table — ONE
+    embeddings scan + gemm-partial pass shared (via CacheManager
+    plan-dedup, the ``_decon_sset`` idiom) by embedding_covariance_panel,
+    embedding_principal_direction (which previously re-built the whole
+    covariance just to collect it) and embedding_abtt_residuals (whose
+    per-dimension means are this table's diagonal si / n — previously a
+    separate corpus-sized posexplode scan). d(d+1)/2 rows — dimension-
+    bounded, never corpus-bounded. Counts against the documented memo
+    inventory (tests/test_memo_occupancy.py)."""
+    from pyspark import StorageLevel
+
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
     )
     partials = emb.mapInPandas(
         _cov_gemm_partials, "i int, j int, s double, n bigint, si double"
     )
-    # ONE (i, j)-keyed exchange feeds every downstream branch (raw,
-    # mu_i, mu_j, the total-variance scalar): identical subtree ==
-    # ReuseExchange, so the scan + Python stage runs once even though
-    # the plan references it four times.
-    stats = partials.groupBy("i", "j").agg(
-        F.sum("s").alias("s"), F.sum("n").alias("n"), F.sum("si").alias("si")
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("n").alias("n"),
+            F.sum("si").alias("si"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def embedding_covariance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 12: the shared persisted moment table (see _cov_stats) —
+    # every downstream branch (raw, mu_i, mu_j, the total-variance
+    # scalar) reads the d(d+1)/2-row cache instead of sharing one
+    # exchange per query invocation.
+    stats = _cov_stats(spark, sf_dir)
     raw = stats.select("i", "j", "s", "n")
     means = stats.filter(F.col("i") == F.col("j")).select(
         "i", (F.col("si") / F.col("n")).alias("mu")
@@ -5312,13 +5333,19 @@ def embedding_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    # round 12: mu is the shared covariance-moment table's diagonal
+    # si / n (see _cov_stats) — the r1-r11 shape re-scanned and
+    # posexploded the whole embeddings table (corpus x d rows) just to
+    # average each dimension, a quantity the gemm partials already
+    # carry. Summation-order drift vs the old explode-avg is ulp-level,
+    # inside the 4dp oracle rounding (the gemm-rewrite precedent).
     mu_rows = (
-        emb.select(F.posexplode("v").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.avg("val").alias("mu"))
+        _cov_stats(spark, sf_dir)
+        .filter(F.col("i") == F.col("j"))
+        .select("i", (F.col("si") / F.col("n")).alias("mu"))
         .collect()
     )  # d rows
-    mu = [float(r.mu) for r in sorted(mu_rows, key=lambda r: r.pos)]
+    mu = [float(r.mu) for r in sorted(mu_rows, key=lambda r: r.i)]
     mu_arr = F.array(*[F.lit(x) for x in mu])
     v_arr = F.array(*[F.lit(x) for x in v])
     ec = F.zip_with("v", mu_arr, lambda x, y: x - y)

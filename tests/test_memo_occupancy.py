@@ -70,6 +70,10 @@ MEMO_INVENTORY = {
     # (session, corpus) where the un-memoized loop re-checkpointed per
     # consumer invocation
     "bpe": 4,
+    # round 12 (opt batch 6): the (i, j, s, n, si) covariance-moment
+    # table — d(d+1)/2 rows — shared by embedding_covariance_panel /
+    # embedding_principal_direction / embedding_abtt_residuals
+    "cov_stats": 1,
 }
 
 #: consumers, in sweep order (each returns a DataFrame; .count() is
@@ -79,6 +83,7 @@ def _sweep(spark):
         bpe_encode_fertility,
         bpe_merge_table,
         dedup_cluster_representatives,
+        embedding_abtt_residuals,
         dedup_impact_panel,
         dup_ngram_exposure,
         exact_substring_removal,
@@ -107,6 +112,7 @@ def _sweep(spark):
         bpe_merge_table,
         bpe_encode_fertility,
         sketch_hll_union_matrix,
+        embedding_abtt_residuals,
     ):
         q(spark, SF_SMOKE).count()
 
