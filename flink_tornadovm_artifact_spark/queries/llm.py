@@ -1582,37 +1582,40 @@ def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # Round 12 (guide §2.5): the K-md5 probe is the screen's dominant
-    # work and ran inside the persisted frame's single cached
-    # partition; spread the corpus branch across the session's cores
-    # BEFORE the per-shingle hashing (no-op when the frame already has
-    # >= cores partitions). Applied to this probe branch only — a
-    # family-wide spread inside _shingled measured net-negative (see
-    # the note there).
-    probe = (
-        spread_scan(sh.filter(F.col("doc_id") % _DECON_MOD != 0))
-        .select(
-            "doc_id",
-            F.size("sset").cast("bigint").alias("n_shingles"),
-            F.posexplode("sset").alias("si", "s"),
-        )
-        .select("doc_id", "n_shingles", "si", pos_structs.alias("x"))
-        .select(
-            "doc_id",
-            "n_shingles",
-            "si",
-            F.col("x.n_pos").alias("n_pos"),
-            F.col("x.pos").alias("pos"),
-        )
+    # Round 12 (opt batch 7, guide §2.3 — the dedup_simhash /
+    # count-min per-TYPE precedent): the K-md5 probe ran per shingle
+    # OCCURRENCE — 9.2x the distinct-type count at sf0.1 (249k
+    # occurrences vs 27k types, measured) and unboundedly more on a
+    # duplicated crawl. The verdict (all k positions set) depends only
+    # on the shingle STRING, so: hash each distinct corpus type once,
+    # keep the Bloom-POSITIVE types (a benchmark-plus-fp-sized set —
+    # the same broadcast argument as the exact screen's bench side),
+    # and count each doc's sset members against that broadcast set.
+    # sset entries are distinct per doc (array_distinct), so the
+    # occurrence join counts exactly the old per-(doc, si) verdicts.
+    # This also supersedes the batch-3 spread of the probe branch: the
+    # occurrence branch no longer does per-row md5 work, and the
+    # 9x-smaller type branch is position-join-bounded.
+    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+    types = corpus.select(F.explode("sset").alias("s")).distinct()
+    tpos = types.select("s", pos_structs.alias("x")).select(
+        "s", F.col("x.n_pos").alias("n_pos"), F.col("x.pos").alias("pos")
     )
-    hits = (
-        probe.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id", "n_shingles", "si", "n_pos")
+    tflag = (
+        tpos.join(F.broadcast(bits), "pos")
+        .groupBy("s", "n_pos")
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .filter(F.col("n_hit") == F.col("n_pos"))  # all k bits set
+        .select("s")
+    )
+    occ = corpus.select(
+        "doc_id",
+        F.size("sset").cast("bigint").alias("n_shingles"),
+        F.explode("sset").alias("s"),
     )
     return (
-        hits.groupBy("doc_id", "n_shingles")
+        occ.join(F.broadcast(tflag), "s")
+        .groupBy("doc_id", "n_shingles")
         .agg(F.count(F.lit(1)).alias("bloom_hits"))
         .select(
             "doc_id",
@@ -5422,8 +5425,12 @@ FROM per GROUP BY 1
 def _rare_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_containment's candidate stage: i<j doc pairs sharing at
     least one rare shingle (document frequency in [2, CONTAIN_DF_MAX])."""
-    sh = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    # round 12 (opt batch 7): explode(array_distinct(shingles)) IS the
+    # shared persisted _decon_sset frame's definition — read the cache
+    # instead of re-running the distinct per candidate-stage consumer
+    # (dedup_containment + dedup_recall_panel)
+    sh = _decon_sset(spark, sf_dir).select(
+        "doc_id", F.explode("sset").alias("s")
     )
     rare_keys = (
         sh.groupBy("s")
