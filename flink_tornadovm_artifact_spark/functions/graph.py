@@ -31,21 +31,37 @@ def pagerank(
     """PageRank over an edge list (src long, dst long). Returns
     (vertex, rank). Dangling vertices keep the teleport mass."""
     with _sized_shuffle(edges):
+        # Round 12 (guide §2.4): both loop-invariant tables are
+        # pre-partitioned on their per-superstep join keys — edges_deg
+        # on src (the contribution join's key) and vertices on vertex
+        # (the rank-merge join's key, which ALSO matches the contrib
+        # groupBy's output partitioning, so the merge join plans with
+        # no exchange on either side). Locally neutral (2.03 -> 1.96 s
+        # matched A/B — the frames are tiny); at scale it removes
+        # iterations x |E| shuffle bytes, the same argument as sssp.
+        width = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
         vertices = (
             edges.select(F.col("src").alias("vertex"))
             .union(edges.select(F.col("dst").alias("vertex")))
             .distinct()
-            .persist()
+            .repartition(width, "vertex")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n = vertices.count()
         out_deg = (
             edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
         )
-        # Round 12 (guide §2.4): attach the out-degree to the edge list
+        # Guide §2.4: attach the out-degree to the edge list
         # ONCE before the loop — the r1-r11 shape re-joined out_deg
         # inside every one of the ``iterations`` supersteps, paying an
         # extra src-keyed join per round for a value that never changes.
-        edges_deg = edges.join(out_deg, "src").persist()
+        edges_deg = (
+            edges.join(out_deg, "src")
+            .repartition(width, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         ranks = vertices.withColumn("rank", F.lit(1.0 / n))
         for _ in range(iterations):
             contribs = (
@@ -80,6 +96,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     changed last round. Terminates when the workset empties. Returns
     (vertex, component) with component = min vertex id in the component."""
     with _sized_shuffle(edges):
+        # Round 12 (guide §2.4): like sssp, the undirected edge table is
+        # loop-invariant but was re-shuffled on src in every superstep's
+        # candidate join; one repartition behind the persist pins
+        # hashpartitioning(src, width) so each round shuffles only the
+        # (shrinking) workset. Matched A/B at sf0.1: 2.22 -> 2.02 s.
+        width = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
         und = (
             edges.select("src", "dst")
             .union(
@@ -88,7 +112,8 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
                 )
             )
             .distinct()
-            .persist()
+            .repartition(width, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         solution = (
             und.select(F.col("src").alias("vertex"))
@@ -157,7 +182,23 @@ def sssp(
     truncated per round with localCheckpoint.
     """
     with _sized_shuffle(edges):
-        e = edges.select("src", "dst", "weight").persist()
+        # Round 12 (guide §2.4): pre-partition the loop-invariant edge
+        # table on the per-superstep join key ONCE — the r1-r11 shape
+        # re-shuffled the FULL edge list in every superstep's
+        # frontier join (the workset side shrinks as the frontier
+        # converges; the edge side never does). The persisted
+        # hashpartitioning(src, width) satisfies the join's
+        # distribution requirement, so each round shuffles only the
+        # workset. Matched A/B at sf0.1: 4.05 -> 3.29 s best-of-5;
+        # at scale this is iterations x |E| shuffle bytes removed.
+        width = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        e = (
+            edges.select("src", "dst", "weight")
+            .repartition(width, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         solution = (
             e.sparkSession.createDataFrame(
                 [(source, 0)], "vertex long, distance long"
@@ -407,8 +448,15 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
         # was re-planned per superstep — for the registered pipeline
         # that subtree is a parquet scan + distinct (a full shuffle)
         # re-executed in all ``iterations`` message joins. Persist once,
-        # unpersist after the final checkpoint owns the result.
-        e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        # unpersist after the final checkpoint owns the result;
+        # pre-partitioned on src (guide §2.4, the sssp precedent) so
+        # each message join shuffles only the label frame.
+        width = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        e = edges.repartition(width, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         labels = (
             e.select(F.col("src").alias("vertex"))
             .union(e.select(F.col("dst").alias("vertex")))
@@ -464,12 +512,27 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     with _sized_shuffle(edges):
         # Round 12 (guide §5): the edge list is loop-invariant but was
         # re-planned in both per-iteration joins (2 x iterations scans).
-        e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        # Guide §2.4 (the sssp precedent), round-12 second pass: the
+        # h-leg joins on dst and the a-leg on src — TWO pre-partitioned
+        # copies remove the edge-side shuffle from both; the 2x edge
+        # storage buys iterations x 2 x |E| shuffle bytes at scale.
+        # vertices is partitioned on vertex, which also matches both
+        # legs' groupBy output, so the coalesce joins plan exchange-free.
+        width = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        e = edges.repartition(width, "dst").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        e_src = edges.repartition(width, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         vertices = (
             e.select(F.col("src").alias("vertex"))
             .union(e.select(F.col("dst").alias("vertex")))
             .distinct()
-            .persist()
+            .repartition(width, "vertex")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         scores = vertices.select(
             "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
@@ -486,7 +549,7 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
             a_raw = (
-                e.join(h_all, e.src == h_all.vertex)
+                e_src.join(h_all, e_src.src == h_all.vertex)
                 .groupBy(F.col("dst").alias("vertex"))
                 .agg(F.sum("h").alias("a"))
             )
@@ -511,6 +574,7 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
             )
         vertices.unpersist()
         e.unpersist()
+        e_src.unpersist()
         return scores
 
 
@@ -973,9 +1037,16 @@ def community_detection(
     # checkpoint otherwise materializes at the session shuffle width).
     with _sized_shuffle(edges):
         und = _undirect(edges)
+        width = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
         both = (
             und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
             .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+            # guide §2.4 (the sssp precedent): partitioned on the
+            # per-superstep message-join key once, so each round
+            # shuffles only the state frame
+            .repartition(width, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         state = (

@@ -22,6 +22,7 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
 import math
 from collections.abc import Callable
 
@@ -535,6 +536,28 @@ def _emb_with_norm2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.withColumn("n2", _dot("v", "v"))
 
 
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding width for the plan-time hyperplane-sign fold
+    (_plane_sign(j, dim)): a one-row probe of the raw embeddings table,
+    memoized per sf_dir like _CORPUS_N_CACHE. The fixture generator
+    emits a constant width per corpus (the oracle sweep pins the
+    signatures at every SF, so a mixed-width table would surface as a
+    red oracle row, not a silent drift)."""
+    d = _EMB_DIM_CACHE.get(sf_dir)
+    if d is None:
+        row = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
+        d = int(row["d"])
+        _EMB_DIM_CACHE[sf_dir] = d
+    return d
+
+
 def _cos_pre(a: str, b: str) -> Column:
     """Cosine between pre-normed sides (aliases a/b from _emb_with_norm2)."""
     return (
@@ -619,16 +642,41 @@ WHERE rn <= 5
 )
 
 
-def _plane_sign(j: int) -> Column:
+def _plane_sign(j: int, dim: int | None = None) -> Column:
     """Sign bit of hyperplane j over the ``v`` array column: plane j has
     components +1/-1 by md5 bit of (j, dim). Deterministic, so the LSH
     bucketing is oracle-checkable (shared by similarity_lsh_bucketed and
-    dedup_semantic; SQL twin: _plane_bit_sql)."""
-    signed = F.expr(
-        "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, d) ->"
-        f" if(substr(md5(concat('p{j}#', d)), 1, 1) >= '8', x, -x)),"
-        " 0.0d, (acc, x) -> acc + x)"
-    )
+    dedup_semantic; SQL twin: _plane_bit_sql).
+
+    Round 12 (guide §1.2 — row-invariant work out of the row loop): the
+    plane-component signs depend only on (j, d), never on the row, yet
+    the runtime form re-derives them from planes x dim md5+substr evals
+    PER ROW (8 x 64 = 512 per vector, ~1M md5s per query at sf0.1).
+    When the embedding width is known at plan-build time (``dim``, from
+    the one-row ``_emb_dim`` probe) the signs fold to a literal ±1
+    array built with hashlib.md5 — byte-identical input strings, and
+    ``x * 1.0D`` / ``x * -1.0D`` are IEEE-exact ``x`` / ``-x`` with the
+    fold order unchanged, so the signature is bit-identical to the
+    runtime-md5 form the DuckDB twin mirrors (pinned by
+    tests/test_semdedup_bound.py::test_plane_sign_literal_fold_matches).
+    Callers that don't know the width keep the runtime form."""
+    if dim is not None:
+        signs = ",".join(
+            "1.0D"
+            if hashlib.md5(f"p{j}#{d}".encode()).hexdigest()[0] >= "8"
+            else "-1.0D"
+            for d in range(dim)
+        )
+        signed = F.expr(
+            f"aggregate(zip_with(v, array({signs}), (x, s) -> x * s),"
+            " 0.0d, (acc, x) -> acc + x)"
+        )
+    else:
+        signed = F.expr(
+            "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, d) ->"
+            f" if(substr(md5(concat('p{j}#', d)), 1, 1) >= '8', x, -x)),"
+            " 0.0d, (acc, x) -> acc + x)"
+        )
     return F.when(signed >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
@@ -649,9 +697,10 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vectors back by id for the exact-cosine rerank. At scale this is
     # the materialize-candidates-then-fetch-vectors pipeline; the heavy
     # hyperplane folds never run twice.
+    dim = _emb_dim(spark, sf_dir)
     bucketed = emb.select(
         "vec_id",
-        F.concat(*[_plane_sign(j) for j in range(8)]).alias("bucket"),
+        F.concat(*[_plane_sign(j, dim) for j in range(8)]).alias("bucket"),
     )
     buckets = (
         bucketed.groupBy("bucket")
@@ -1700,7 +1749,13 @@ GROUP BY doc_id, n_shingles
 # length, vectorized inside whole-stage codegen.
 # ---------------------------------------------------------------------------
 def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # Round 12 (guide §2.5): every metric here is per-row array math
+    # (an O(n log n) sort-fold per doc) with NO shuffle after it — the
+    # whole query ran inside the single-split scan task; spread_scan
+    # distributes the docs across the session's cores first.
+    docs = spread_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.split("text", " ")
     types = F.array_distinct(toks)
     n_tok = F.size(toks)
@@ -2047,7 +2102,12 @@ BOILERPLATE_N, BOILERPLATE_MIN_DOCS = 5, 3
 
 
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # Round 12 (guide §2.5): the chained 5-gram zip_with build is the
+    # dominant per-row work and ran in the single-split scan task
+    # before the ngram shuffle; spread_scan distributes the docs first.
+    docs = spread_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.split("text", " ")
     grams = toks
     for k in range(1, BOILERPLATE_N):
@@ -4634,7 +4694,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "v",
         "n2",
-        F.concat(*[_plane_sign(j) for j in range(planes)]).alias("bucket"),
+        F.concat(
+            *[_plane_sign(j, _emb_dim(spark, sf_dir)) for j in range(planes)]
+        ).alias("bucket"),
     ).localCheckpoint(eager=True)
     a = bucketed.alias("a")
     b = bucketed.alias("b")

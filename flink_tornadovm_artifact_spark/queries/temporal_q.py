@@ -169,29 +169,43 @@ def hypertable_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     hourly = ev.groupBy("user_id", "h").agg(F.avg("value").alias("hv"))
-    span = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = span.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
-    )
-    filled = grid.join(hourly, ["user_id", "h"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    locf = filled.select(
+    # Round 12 (guide §2.4 — don't materialize what an identity can
+    # fold): the r1-r11 shape exploded the full h0..h1 hour grid,
+    # LEFT-joined the observations back and ran a LOCF running window
+    # over every grid row. But LOCF over a gap just repeats the last
+    # observed value until the next observation, so each observed hour
+    # contributes hv x (next_h - h) to the grid sum (the last one
+    # h1 + 1 - h), and every grid aggregate collapses onto the
+    # observation table: span = h1 - h0 + 1, gaps = span - observed,
+    # locf_avg = sum(hv * w) / span. One lead window over OBSERVED
+    # hours replaces grid explode + (user, h) join + grid-sized window;
+    # the only drift is float summation order (hv * w vs w repeated
+    # adds), inside the oracle's round-4 contract (the gemm precedent).
+    # The fold assumes hv is never NULL (events.value is non-null at
+    # every SF — an all-NULL hour would be a LOCF pass-through, not a
+    # weighted observation; the oracle sweep at both SFs pins this).
+    w_lead = Window.partitionBy("user_id").orderBy("h")
+    w_user = Window.partitionBy("user_id")
+    weighted = hourly.select(
         "user_id",
         "hv",
-        F.last("hv", ignorenulls=True).over(w).alias("fv"),
+        (
+            F.coalesce(F.lead("h").over(w_lead), F.max("h").over(w_user) + 1)
+            - F.col("h")
+        ).alias("w"),
+        F.col("h"),
     )
-    return locf.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_hours_span"),
+    return weighted.groupBy("user_id").agg(
+        (F.max("h") - F.min("h") + 1).alias("n_hours_span"),
         F.count("hv").alias("n_observed"),
-        (F.count(F.lit(1)) - F.count("hv")).cast("bigint").alias("n_gaps"),
+        (F.max("h") - F.min("h") + 1 - F.count("hv"))
+        .cast("bigint")
+        .alias("n_gaps"),
         F.avg("hv").alias("observed_avg"),
-        F.avg("fv").alias("locf_avg"),
+        (
+            F.sum(F.col("hv") * F.col("w"))
+            / (F.max("h") - F.min("h") + 1)
+        ).alias("locf_avg"),
     )
 
 

@@ -87,6 +87,39 @@ def test_query_uses_derived_width(spark):
     assert [r.w for r in lengths] == [planes]
 
 
+def test_plane_sign_literal_fold_matches(spark):
+    """Round-12 optimization pin: the plan-time literal-sign fold
+    (_plane_sign(j, dim)) is bit-identical to the runtime-md5 form for
+    every plane the queries use — same md5 bytes (hashlib vs Spark md5
+    over 'p{j}#{d}'), same fold order, x*±1.0D == ±x exactly."""
+    from flink_tornadovm_artifact_spark.queries.llm import _emb_with_norm2
+
+    emb = _emb_with_norm2(spark, SF001)
+    both = emb.select(
+        F.concat(*[_plane_sign(j) for j in range(12)]).alias("runtime"),
+        F.concat(*[_plane_sign(j, 64) for j in range(12)]).alias("literal"),
+    ).collect()
+    assert both and all(r.runtime == r.literal for r in both)
+
+
+def test_emb_dim_probe(spark):
+    """_emb_dim reads the fixture's constant embedding width and
+    memoizes it (one probe job per sf_dir)."""
+    from flink_tornadovm_artifact_spark.queries.llm import (
+        _EMB_DIM_CACHE,
+        _emb_dim,
+    )
+
+    _EMB_DIM_CACHE.pop(SF001, None)
+    d = _emb_dim(spark, SF001)
+    assert d == 64
+    assert _EMB_DIM_CACHE[SF001] == 64
+    # memo hit: no re-read (poison the cache and observe it is served)
+    _EMB_DIM_CACHE[SF001] = 12345
+    assert _emb_dim(spark, SF001) == 12345
+    _EMB_DIM_CACHE[SF001] = d
+
+
 def test_widened_signature_is_prefix_extension(spark):
     """Widening appends plane bits; it never reshuffles the existing
     prefix — so a wider signature only ever SPLITS a cell, preserving
