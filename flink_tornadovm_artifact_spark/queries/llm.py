@@ -1393,7 +1393,14 @@ def multimodal_phash_neardup(
     measured 230 s pathology) — and the arrays rejoin AFTER the dedup,
     once per surviving pair side."""
     bits = _phash_band_bits(_corpus_count(spark, sf_dir, "documents"))
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # Round 12 batch 9 (guide §2.5): the signature expression is the
+    # query's heaviest scan work and the checkpoint materialized it in
+    # the single-split scan task; spread_scan distributes the docs
+    # across the session's cores first (no-op when the source already
+    # supplies enough splits).
+    docs = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    )
     # Round 12 (guide §5 / §1.2): the signature table is TINY (one row
     # of band ints per doc) but its pixel-sampling expression is the
     # query's heaviest scan work, and the plan references it four times
@@ -1493,6 +1500,18 @@ WHERE list_sum(list_transform(range(0, {PHASH_BANDS}), k ->
 _DECON_MOD = 23
 
 
+def _decon_bench_set(sh: DataFrame) -> DataFrame:
+    """Distinct benchmark shingle set off the shared sset frame — the
+    exact screen's build side, also the Bloom bitmap's insert set and
+    the fused verdict panel's exact-flag side (round-12 batch 9: one
+    definition so the fused panel cannot drift from the screens)."""
+    return (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode("sset").alias("s"))
+        .distinct()
+    )
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PERSISTED (round 11; the bloom-screen discipline, measured there
     # 10.5 s → 6.5 s and here 8.5 s → ~1 s standalone at sf0.1): the
@@ -1505,11 +1524,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame; standalone (and under perplexity_decontaminate, which
     # composes this query) nothing was cached.
     sh = _decon_sset(spark, sf_dir)
-    bench = (
-        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .select(F.explode("sset").alias("s"))
-        .distinct()
-    )
+    bench = _decon_bench_set(sh)
     corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
         "doc_id", F.explode("sset").alias("s")
     )
@@ -1588,7 +1603,6 @@ def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per corpus doc with >= 1 Bloom-flagged shingle: (doc_id,
     n_shingles, bloom_hits, bloom_containment) — the Bloom-approximate
     superset of ``text_decontaminate``'s exact contamination join."""
-    m = 1 << _bloom_m_exp(_corpus_count(spark, sf_dir, "documents"))
     # The distinct-shingle frame is PERSISTED (MEMORY_AND_DISK, the
     # graph-base discipline — CacheManager plan-dedupes repeated
     # builds): without it, the explode's implied size/isnotnull
@@ -1596,11 +1610,37 @@ def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle transform into a Filter re-evaluated several times per
     # corpus row on BOTH branches (measured 10.5 s -> 6.5 s at sf0.1).
     sh = _decon_sset(spark, sf_dir)
-    bench = (
-        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .select(F.explode("sset").alias("s"))
-        .distinct()
+    tflag = _bloom_type_flags(spark, sf_dir, sh)
+    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+    occ = corpus.select(
+        "doc_id",
+        F.size("sset").cast("bigint").alias("n_shingles"),
+        F.explode("sset").alias("s"),
     )
+    return (
+        occ.join(F.broadcast(tflag), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            (F.col("bloom_hits") / F.col("n_shingles")).alias(
+                "bloom_containment"
+            ),
+        )
+    )
+
+
+def _bloom_type_flags(
+    spark: SparkSession, sf_dir: str, sh: DataFrame
+) -> DataFrame:
+    """The Bloom screen's per-TYPE verdict frame: the distinct corpus
+    shingle types whose K md5 positions are all set in the
+    benchmark-built bitmap (round-12 batch 9: extracted so the fused
+    verdict panel reuses the screen's own construction verbatim)."""
+    m = 1 << _bloom_m_exp(_corpus_count(spark, sf_dir, "documents"))
+    bench = _decon_bench_set(sh)
     positions = lambda col: F.array_distinct(
         F.array(*[_md5_bucket(col, f"#bf{j}", m) for j in range(BLOOM_K)])
     )
@@ -1650,30 +1690,12 @@ def bloom_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tpos = types.select("s", pos_structs.alias("x")).select(
         "s", F.col("x.n_pos").alias("n_pos"), F.col("x.pos").alias("pos")
     )
-    tflag = (
+    return (
         tpos.join(F.broadcast(bits), "pos")
         .groupBy("s", "n_pos")
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .filter(F.col("n_hit") == F.col("n_pos"))  # all k bits set
         .select("s")
-    )
-    occ = corpus.select(
-        "doc_id",
-        F.size("sset").cast("bigint").alias("n_shingles"),
-        F.explode("sset").alias("s"),
-    )
-    return (
-        occ.join(F.broadcast(tflag), "s")
-        .groupBy("doc_id", "n_shingles")
-        .agg(F.count(F.lit(1)).alias("bloom_hits"))
-        .select(
-            "doc_id",
-            "n_shingles",
-            "bloom_hits",
-            (F.col("bloom_hits") / F.col("n_shingles")).alias(
-                "bloom_containment"
-            ),
-        )
     )
 
 
@@ -3495,7 +3517,10 @@ PASSAGE_K = 8
 
 
 def text_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Round 12 batch 9 (guide §2.5): the per-doc md5-window posexplode
+    # is the heaviest scan work and ran in the single-split scan task
+    # before the h shuffle; spread_scan distributes the docs first.
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         "source",
@@ -6284,10 +6309,23 @@ _register(tokenizer_roundtrip_qa, _roundtrip_oracle())
 # vocab collect bounded at <= 1/ratio entries, DP = one expression
 # fold per word TYPE carrying the best-score/piece-count arrays.
 # ---------------------------------------------------------------------------
-def unigram_viterbi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _math
+#: Round-12 batch 9: unigram_viterbi_panel's vocab is TRAINED (a
+#: substring-frequency aggregate + driver collect) on every invocation;
+#: the (probs, unk_p) pair is corpus-determined, so it memoizes under
+#: the same session-scoped discipline as _BPE_CACHE / _QC_W_CACHE
+#: ((applicationId, sf_dir) key, stale-session eviction). Plain Python
+#: floats — no Spark resources to unpersist on eviction.
+_UNIGRAM_VOCAB_CACHE: dict[tuple[str, str], tuple[dict, float]] = {}
 
-    # round 12: the shared persisted word-count frame (guide §5)
+
+def _unigram_vocab(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict, float]:
+    _evict_stale_session_entries(_UNIGRAM_VOCAB_CACHE, spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _UNIGRAM_VOCAB_CACHE.get(key)
+    if hit is not None:
+        return hit
     occ_sw = _word_counts_sw(spark, sf_dir)
     occ = occ_sw.groupBy("w").agg(F.sum("c").alias("c"))
     subs = occ.select(
@@ -6308,7 +6346,19 @@ def unigram_viterbi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows
         if r.freq >= WORDPIECE_VOCAB_RATIO * tot
     }
-    unk_p = 1.0 / tot
+    out = (probs, 1.0 / tot)
+    _UNIGRAM_VOCAB_CACHE[key] = out
+    return out
+
+
+def unigram_viterbi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    # round 12: the shared persisted word-count frame (guide §5); the
+    # trained vocab memoizes per (session, corpus) — see _unigram_vocab
+    occ_sw = _word_counts_sw(spark, sf_dir)
+    occ = occ_sw.groupBy("w").agg(F.sum("c").alias("c"))
+    probs, unk_p = _unigram_vocab(spark, sf_dir)
     pmap = F.create_map(
         *[x for p, v in sorted(probs.items()) for x in (F.lit(p), F.lit(v))]
     )
@@ -7499,6 +7549,20 @@ PPL_DECON_MAX = 40.0  # flag candidates at or below this perplexity
 
 
 def perplexity_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # candidates: the exact screen's flagged docs (>= 1 shared shingle)
+    return _ppl_over_flagged(
+        spark, sf_dir, text_decontaminate(spark, sf_dir)
+    )
+
+
+def _ppl_over_flagged(
+    spark: SparkSession, sf_dir: str, flagged: DataFrame
+) -> DataFrame:
+    """KN-bigram perplexity scoring of a (doc_id,
+    n_contaminated_shingles) candidate frame (round-12 batch 9:
+    extracted from perplexity_decontaminate verbatim so the fused
+    verdict panel scores its own candidate frame with the screen's
+    exact construction)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     bench_docs = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
 
@@ -7510,8 +7574,6 @@ def perplexity_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan.
     bc, ctx, pre, types = _kn_model_tables(bench_docs, persist=True)
 
-    # candidates: the exact screen's flagged docs (>= 1 shared shingle)
-    flagged = text_decontaminate(spark, sf_dir)
     cand = docs.join(flagged, "doc_id").select(
         "doc_id", "text", "n_contaminated_shingles"
     )
@@ -7748,32 +7810,67 @@ FROM wins
 # joins on the candidates-sized frames. Nothing corpus² anywhere.
 # ---------------------------------------------------------------------------
 def decontaminate_verdict_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bloom = bloom_decontaminate_screen(spark, sf_dir)
-    exact = text_decontaminate(spark, sf_dir)
-    ppl = perplexity_decontaminate(spark, sf_dir).select("doc_id", "ppl", "flagged")
-    fused = (
-        bloom.join(exact, "doc_id", "left")
-        .join(ppl, "doc_id", "left")
+    # Round 12 batch 9 (guide §2.4 — one corpus pass, not three): the
+    # r11 form composed the three REGISTERED screens, so the corpus
+    # sset frame was exploded + broadcast-joined + doc-aggregated three
+    # times (bloom occurrence count, exact count, and the ppl leg's own
+    # embedded text_decontaminate). The screens' build sides are now
+    # shared helpers (_bloom_type_flags, _decon_bench_set,
+    # _ppl_over_flagged — each the screen's own construction, so the
+    # panel still cannot drift from them), and ONE explode with two
+    # broadcast left joins computes bloom_hits and n_exact in a single
+    # doc aggregate. Equivalences: count(col) skips nulls, so
+    # count(bl)/count(ex) are exactly the inner-join counts; the Bloom
+    # filter has no false negatives (the one-sided-superset pin), so
+    # "n_exact > 0" rows are exactly the exact screen's rows and the
+    # bloom_hits >= 1 filter drops none of them; n_exact is 0, never
+    # NULL, for exact-clean docs — the old COALESCE.
+    sh = _decon_sset(spark, sf_dir)
+    tflag = _bloom_type_flags(spark, sf_dir, sh)
+    bench = _decon_bench_set(sh)
+    occ = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id",
+        F.size("sset").cast("bigint").alias("n_shingles"),
+        F.explode("sset").alias("s"),
+    )
+    # localCheckpoint: the per-doc verdict aggregate is docs-sized and
+    # referenced twice (the panel base AND the ppl leg's candidate
+    # derivation) — uncheckpointed, the whole fused subtree re-plans
+    # under the ppl join
+    per_doc = (
+        occ.join(F.broadcast(tflag.withColumn("bl", F.lit(1))), "s", "left")
+        .join(F.broadcast(bench.withColumn("ex", F.lit(1))), "s", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(
+            F.count("bl").alias("bloom_hits"),
+            F.count("ex").alias("n_exact"),
+        )
+        .filter(F.col("bloom_hits") > 0)
+        .localCheckpoint(eager=True)
+    )
+    flagged = per_doc.filter(F.col("n_exact") > 0).select(
+        "doc_id", F.col("n_exact").alias("n_contaminated_shingles")
+    )
+    ppl = _ppl_over_flagged(spark, sf_dir, flagged).select(
+        "doc_id", "ppl", "flagged"
+    )
+    return (
+        per_doc.join(ppl, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
             "bloom_hits",
-            "bloom_containment",
-            F.coalesce("n_contaminated_shingles", F.lit(0))
-            .cast("bigint")
-            .alias("n_exact_hits"),
+            (F.col("bloom_hits") / F.col("n_shingles")).alias(
+                "bloom_containment"
+            ),
+            F.col("n_exact").cast("bigint").alias("n_exact_hits"),
             "ppl",
-            F.when(
-                F.col("n_contaminated_shingles").isNotNull()
-                & F.col("flagged"),
-                "confirmed",
-            )
-            .when(F.col("n_contaminated_shingles").isNotNull(), "overlap")
+            F.when((F.col("n_exact") > 0) & F.col("flagged"), "confirmed")
+            .when(F.col("n_exact") > 0, "overlap")
             .otherwise("screen_fp")
             .alias("verdict"),
         )
     )
-    return fused
 
 
 _register(
