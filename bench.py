@@ -388,10 +388,15 @@ def main() -> None:
     rep_times: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(reps):
         for name in headline:
+            # Label the jobs (guide §1.5) so an event-log / UI reading of
+            # a bench pass attributes time to queries; one py4j call per
+            # visit, outside the timed region.
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             t = run_once(name)
             if t < MICRO_CUTOFF_S:
                 t = min([t] + [run_once(name) for _ in range(MICRO_REPS - 1)])
             rep_times[name].append(t)
+            spark.sparkContext.setJobDescription(None)
 
     times = {name: round(min(ts), 3) for name, ts in rep_times.items()}
     stats = {

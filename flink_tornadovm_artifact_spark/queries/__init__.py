@@ -261,61 +261,93 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: recently-green entry has an oracle or plan change pending
 #: re-verify (the memo-eviction rework in _util.py touches lookup
 #: hygiene only — same keys, same frames, byte-identical plans).
-WINDOW_KEEP_FRESH: dict[str, str] = {}
+#: Round-13 rotation (optimization round — no debuts; the r12 ledger
+#: fold left the 49-query r8 cohort as the oldest green rows, so it IS
+#: the window, per the staleness guard):
+#: IN — FIRST the rule-1 set: the 3 queries whose PLANS changed with
+#: the round-13 ADVICE fix to `_plane_sign` (the literal hyperplane
+#: fold is now width-guarded — dedup_semantic, similarity_lsh_bucketed,
+#: and ann_recall_panel, which embeds the LSH leg; the first two are
+#: r9-stale anyway, ann_recall_panel is 3 rounds old). THEN 47 of the
+#: 49-query r8-stale cohort — including embedding_principal_direction
+#: and embedding_abtt_residuals, whose ORACLE text changed this round
+#: (CTEs materialized — semantically identical, but the r12
+#: dedup_minhash_lsh precedent says a fresh driver row re-pins them),
+#: and hypertable_gapfill_locf, whose plan gained the ADVICE r12
+#: not-null guard. Queries optimized later this round join rule 1 as
+#: their plans change (see WINDOW_KEEP_FRESH below for any that are
+#: ≤2-round green).
+#: DEFERRED to the r14 queue (the cohort is 49 and rule 1 claims 3):
+#: bpe_encode_fertility (bpe_merge_table keeps the BPE family's slot —
+#: both run the same memoized trainer, and the encode leg stays under
+#: the full-oracle pytest sweep at both SFs) and markov_stationary_panel
+#: (markov_event_transitions keeps the Markov family; the stationary
+#: panel composes its transition table verbatim).
+#: OUT — the entire r12 window's 50 green rows (all 1-round-fresh;
+#: rule 3 keeps them under the full-oracle pytest sweep at both SFs
+#: every run).
+WINDOW_KEEP_FRESH: dict[str, str] = {
+    # round-13 plan changes on recently-green entries (rule 1); grows
+    # as the round's work log lands.
+    "ann_recall_panel": (
+        "plan changed round 13: its LSH leg embeds _plane_sign, whose "
+        "literal hyperplane fold gained the ADVICE r12 width guard"
+    ),
+}
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — the 6 round-12 debuts
-    "stream_neardup_ingest",
-    "exact_substring_spans",
-    "exact_substring_removal",
-    "dup_ngram_exposure",
-    "epoch_repetition_budget",
-    "mixture_epoch_schedule",
-    # the full 44-query r7-stale cohort (last driver-green round 7)
-    "connected_components_pipeline",
-    "corpus_mixture_weights",
-    "corpus_train_split",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_covariance_panel",
-    "embedding_quantize_int8",
-    "kcore_social",
-    "pagerank_pipeline",
-    "q04_tpch_q3",
-    "q05_outer_join",
-    "q06_broadcast_join",
-    "q07_semi_anti",
-    "q08_cogroup",
-    "q09_cross",
-    "q11_maxby",
-    "q12_topk_per_group",
-    "q13_union_distinct",
-    "q14_rollup",
-    "q15_over_windows",
-    "q17_iot_global_reduce",
-    "q18_iot_window_agg",
-    "q21_session_window",
-    "q22_interval_join",
-    "q25_intersect_except",
-    "q27_sql_api",
-    "q28_pandas_udaf",
-    "q31_tpch_q18",
-    "q35_percentiles",
-    "q37_tpch_q4",
-    "q39_tpch_q12",
-    "q40_tpch_q13",
-    "q47_tpch_q15",
-    "q50_cube_grouping_id",
-    "q52_from_json_struct",
-    "release_shard_manifest",
-    "sample_stratified_lang",
-    "sketch_hyperloglog_tokens",
-    "source_overlap_matrix",
-    "split_leakage_audit",
-    "text_domain_cap",
-    "text_duplicate_passages",
-    "text_pmi_bigrams",
-    "text_vocab_coverage",
+    # rule 1 — plans changed this round (_plane_sign width guard)
+    "dedup_semantic",
+    "similarity_lsh_bucketed",
+    "ann_recall_panel",
+    # the r8-stale cohort (last driver-green round 8), 47 of 49
+    "anomaly_mad_events",
+    "bpe_merge_table",
+    "cohort_retention_weekly",
+    "corpus_drift_js",
+    "corpus_snapshot_delta",
+    "curriculum_length_phases",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_recall_panel",
+    "dft_events",
+    "dq_k_anonymity",
+    "dq_referential_checks",
+    "dq_table_profile",
+    "embedding_abtt_residuals",
+    "embedding_principal_direction",
+    "experiment_ab_ztest",
+    "experiment_cuped_panel",
+    "funnel_conversion_events",
+    "hypertable_gapfill_locf",
+    "langid_confusion_matrix",
+    "lm_kn_bigram",
+    "lm_perplexity_bucket",
+    "market_basket_rules",
+    "markov_event_transitions",
+    "pii_pattern_audit",
+    "pref_bradley_terry",
+    "q34_explode_tokens",
+    "q38_tpch_q6",
+    "quality_gopher_rules",
+    "quality_retention_curve",
+    "release_length_buckets",
+    "release_sequence_packing",
+    "retrieval_bm25_topk",
+    "retrieval_eval_panel",
+    "rfm_segment_panel",
+    "scd2_dimension_build",
+    "session_path_topk",
+    "similarity_hard_negatives",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_union_matrix",
+    "sketch_quantile_doc_length",
+    "survival_km_purchase",
+    "text_char_entropy",
+    "text_ngram_novelty",
+    "unigram_viterbi_panel",
+    "wordpiece_fertility_panel",
+    "zipf_token_panel",
 )
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

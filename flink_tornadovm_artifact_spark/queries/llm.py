@@ -553,6 +553,13 @@ def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
             .select(F.size("embedding").alias("d"))
             .first()
         )
+        if row is None:
+            # ADVICE r12: .first() returns None on an empty table and
+            # row["d"] would raise an opaque TypeError here
+            raise ValueError(
+                f"_emb_dim: embeddings table at {sf_dir!r} is empty — "
+                "cannot probe the embedding width"
+            )
         d = int(row["d"])
         _EMB_DIM_CACHE[sf_dir] = d
     return d
@@ -660,6 +667,11 @@ def _plane_sign(j: int, dim: int | None = None) -> Column:
     runtime-md5 form the DuckDB twin mirrors (pinned by
     tests/test_semdedup_bound.py::test_plane_sign_literal_fold_matches).
     Callers that don't know the width keep the runtime form."""
+    runtime_form = (
+        "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, d) ->"
+        f" if(substr(md5(concat('p{j}#', d)), 1, 1) >= '8', x, -x)),"
+        " 0.0d, (acc, x) -> acc + x)"
+    )
     if dim is not None:
         signs = ",".join(
             "1.0D"
@@ -667,16 +679,19 @@ def _plane_sign(j: int, dim: int | None = None) -> Column:
             else "-1.0D"
             for d in range(dim)
         )
+        # ADVICE r12: zip_with null-pads when a row's width differs from
+        # the probed dim, turning the fold NULL and the sign silently
+        # into '0' — a wrong bucket. Guard with a width check so a
+        # mixed-width row takes the per-row runtime form instead (one
+        # size() comparison per row; the literal fold still runs for
+        # every constant-width row, i.e. all of them on real corpora).
         signed = F.expr(
-            f"aggregate(zip_with(v, array({signs}), (x, s) -> x * s),"
-            " 0.0d, (acc, x) -> acc + x)"
+            f"if(size(v) = {dim},"
+            f" aggregate(zip_with(v, array({signs}), (x, s) -> x * s),"
+            f" 0.0d, (acc, x) -> acc + x), {runtime_form})"
         )
     else:
-        signed = F.expr(
-            "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, d) ->"
-            f" if(substr(md5(concat('p{j}#', d)), 1, 1) >= '8', x, -x)),"
-            " 0.0d, (acc, x) -> acc + x)"
-        )
+        signed = F.expr(runtime_form)
     return F.when(signed >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
@@ -5364,10 +5379,15 @@ _register(
     # the covariance CTE is the embedding_covariance_panel oracle
     # verbatim; the iteration is a generated K-step CTE chain (the
     # same unroll idiom as the BPE islands oracle)
+    # MATERIALIZED is load-bearing (the sssp-oracle precedent): fm is
+    # referenced by every one of the POWER_ITER_K unrolled CTEs, and
+    # without the hint DuckDB inlines the full covariance computation
+    # into each of them — measured 156 s -> ~2 s at sf0.01 (round 13;
+    # the abtt oracle nests this one and fell from 136 s the same way)
     f"""
-WITH covp AS ({{COV_SQL}}),
-ut AS (SELECT i, j, cov FROM covp),
-fm AS (
+WITH covp AS MATERIALIZED ({{COV_SQL}}),
+ut AS MATERIALIZED (SELECT i, j, cov FROM covp),
+fm AS MATERIALIZED (
   SELECT i, j, cov FROM ut
   UNION ALL
   SELECT j AS i, i AS j, cov FROM ut WHERE i < j
@@ -5462,8 +5482,8 @@ _register(
     # pd nests the full principal-direction oracle (itself nesting the
     # covariance oracle) — the audited v IS the shipped one
     """
-WITH pd AS ({PD_SQL}),
-emb0 AS (SELECT label, embedding AS v FROM embeddings),
+WITH pd AS MATERIALIZED ({PD_SQL}),
+emb0 AS MATERIALIZED (SELECT label, embedding AS v FROM embeddings),
 mu0 AS (
   SELECT CAST(u.i AS INTEGER) AS dim, AVG(CAST(v[u.i] AS DOUBLE)) AS mu
   FROM emb0, UNNEST(range(1, len(v) + 1)) AS u(i) GROUP BY 1

@@ -168,7 +168,17 @@ def hypertable_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
         "value",
     )
-    hourly = ev.groupBy("user_id", "h").agg(F.avg("value").alias("hv"))
+    # ADVICE r12: the weighted LOCF fold below assumes hv is never NULL
+    # (an all-NULL hour must be a gap/pass-through, not a zero-weight
+    # observation). events.value is non-null at every SF, so this filter
+    # is a no-op on real data — it enforces the assumption in code: an
+    # all-NULL hour now yields no observed row (a gap), exactly the
+    # oracle's IGNORE NULLS carry-forward semantics.
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "h")
+        .agg(F.avg("value").alias("hv"))
+    )
     # Round 12 (guide §2.4 — don't materialize what an identity can
     # fold): the r1-r11 shape exploded the full h0..h1 hour grid,
     # LEFT-joined the observations back and ran a LOCF running window

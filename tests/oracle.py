@@ -100,10 +100,9 @@ def _type_family(t: str) -> str:
     return t
 
 
-def types_compatible(spark_df, con, sql: str) -> tuple[bool, str]:
+def types_compatible(spark_df, d_schema) -> tuple[bool, str]:
     """Compare Spark dtypes vs DuckDB Arrow schema at the family level."""
     s_types = dict(spark_df.dtypes)
-    d_schema = con.execute(sql).fetch_arrow_table().schema
     bad = []
     for field in d_schema:
         if field.name not in s_types:
@@ -117,14 +116,20 @@ def types_compatible(spark_df, con, sql: str) -> tuple[bool, str]:
 
 
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+    """Round 13: ONE DuckDB execution serves both the type-family check
+    and the row comparison — the r1-r12 shape executed every oracle
+    twice (fetch_arrow_table for the schema, fetchall for rows), which
+    doubled the DuckDB share of the 247-oracle x 2-SF pytest sweep.
+    Arrow-vs-fetchall value equivalence was verified over every oracle
+    at both SFs before the switch (round-13 work log)."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    tbl = con.execute(sql).fetch_arrow_table()
+    d_cols = list(tbl.column_names)
+    d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
-    ok_t, msg_t = types_compatible(spark_df, con, sql)
+    ok_t, msg_t = types_compatible(spark_df, tbl.schema)
     if not ok_t:
         return False, msg_t
     if len(s_rows) != len(d_rows):
