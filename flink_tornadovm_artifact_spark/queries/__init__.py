@@ -277,12 +277,17 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: not-null guard. Queries optimized later this round join rule 1 as
 #: their plans change (see WINDOW_KEEP_FRESH below for any that are
 #: ≤2-round green).
-#: DEFERRED to the r14 queue (the cohort is 49 and rule 1 claims 3):
-#: bpe_encode_fertility (bpe_merge_table keeps the BPE family's slot —
-#: both run the same memoized trainer, and the encode leg stays under
-#: the full-oracle pytest sweep at both SFs) and markov_stationary_panel
-#: (markov_event_transitions keeps the Markov family; the stationary
-#: panel composes its transition table verbatim).
+#: DEFERRED to the r14 queue (the cohort is 49 and rule 1 claims 5:
+#: the three _plane_sign consumers plus sssp_pipeline and
+#: connected_components_pipeline, whose delta iterations now batch two
+#: relaxations per checkpoint): bpe_encode_fertility (bpe_merge_table
+#: keeps the BPE family's slot — both run the same memoized trainer),
+#: markov_stationary_panel (markov_event_transitions keeps the Markov
+#: family; the stationary panel composes its transition table
+#: verbatim), experiment_cuped_panel (experiment_ab_ztest keeps the
+#: experiment family), and dq_k_anonymity (dq_referential_checks +
+#: dq_table_profile keep the DQ family). All four stay under the
+#: full-oracle pytest sweep at both SFs every run.
 #: OUT — the entire r12 window's 50 green rows (all 1-round-fresh;
 #: rule 3 keeps them under the full-oracle pytest sweep at both SFs
 #: every run).
@@ -293,14 +298,22 @@ WINDOW_KEEP_FRESH: dict[str, str] = {
         "plan changed round 13: its LSH leg embeds _plane_sign, whose "
         "literal hyperplane fold gained the ADVICE r12 width guard"
     ),
+    "connected_components_pipeline": (
+        "plan changed round 13: the delta iteration batches TWO label "
+        "propagations per localCheckpoint (functions/graph.py) — "
+        "identical fixpoint, re-pinned by a fresh driver row"
+    ),
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # rule 1 — plans changed this round (_plane_sign width guard)
+    # rule 1 — plans changed this round (_plane_sign width guard; the
+    # batched-relaxation delta iterations)
     "dedup_semantic",
     "similarity_lsh_bucketed",
     "ann_recall_panel",
-    # the r8-stale cohort (last driver-green round 8), 47 of 49
+    "sssp_pipeline",
+    "connected_components_pipeline",
+    # the r8-stale cohort (last driver-green round 8), 45 of 49
     "anomaly_mad_events",
     "bpe_merge_table",
     "cohort_retention_weekly",
@@ -311,13 +324,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_recall_panel",
     "dft_events",
-    "dq_k_anonymity",
     "dq_referential_checks",
     "dq_table_profile",
     "embedding_abtt_residuals",
     "embedding_principal_direction",
     "experiment_ab_ztest",
-    "experiment_cuped_panel",
     "funnel_conversion_events",
     "hypertable_gapfill_locf",
     "langid_confusion_matrix",

@@ -4868,10 +4868,28 @@ def _kn_seen_prob_sql(
     )
 
 
+#: (session applicationId, sf_dir) -> the persisted corpus KN model
+#: frame (w1, w2, pair_count, p_kn) — bigram-TYPE-bounded, never
+#: corpus-sized. Round 13 (guide §5, the _decon_sset idiom): both
+#: lm_kn_bigram and lm_perplexity_bucket (which embeds the model as its
+#: scoring join's build side) re-ran the full corpus bigram explode +
+#: three marginal aggregations per invocation; one persisted frame now
+#: serves both. perplexity_decontaminate is NOT a consumer — its model
+#: trains on the benchmark split, a different corpus.
+_KN_MODEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def lm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    _evict_stale_session_entries(_KN_MODEL_CACHE, spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KN_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load(spark, sf_dir, "documents").select("text")
     bc, ctx, pre, types = _kn_model_tables(docs)
-    return (
+    model = (
         bc.filter(F.col("c") >= KN_MIN_COUNT)
         .join(ctx, "w1")
         .join(pre, "w2")
@@ -4882,7 +4900,10 @@ def lm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("bigint").alias("pair_count"),
             _kn_seen_prob().alias("p_kn"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _KN_MODEL_CACHE[key] = model
+    return model
 
 
 _register(
@@ -5326,11 +5347,27 @@ POWER_ITER_K = 60
 _POWER_RENORM_AT = (20, 40)  # renormalize after these steps (underflow guard)
 
 
-def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: (session applicationId, sf_dir) -> the principal-direction rows
+#: (plain Python floats, no RDDs — the _QC_CACHE trained-artifact
+#: discipline). Round 13 ("Not yet optimized" item 1): the K-step
+#: driver power iteration re-ran per invocation, and
+#: embedding_abtt_residuals additionally paid a createDataFrame +
+#: collect round-trip just to read the vector back.
+_PD_CACHE: dict[tuple[str, str], list[tuple]] = {}
+
+
+def _principal_direction_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """(dim, loading, lambda1, var_share) rows off the memoized
+    covariance-moment table; memoized per (session, corpus)."""
     import math as _math
 
     import numpy as _np
 
+    _evict_stale_session_entries(_PD_CACHE, spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PD_CACHE.get(key)
+    if hit is not None:
+        return hit
     ut = embedding_covariance_panel(spark, sf_dir).select("i", "j", "cov")
     rows = ut.collect()  # d(d+1)/2 rows — dimension-bounded by design
     d = max(r.i for r in rows)
@@ -5353,6 +5390,12 @@ def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
     out = [
         (i + 1, sgn * float(x[i]) / nrm, lam, share) for i in range(d)
     ]
+    _PD_CACHE[key] = out
+    return out
+
+
+def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _principal_direction_rows(spark, sf_dir)
     return spark.createDataFrame(
         out, "dim int, loading double, lambda1 double, var_share double"
     )
@@ -5435,11 +5478,14 @@ FROM x{POWER_ITER_K} x, nrm, lam, tr
 # corpus-sized ever collected or shuffled.
 # ---------------------------------------------------------------------------
 def embedding_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 13: read the memoized direction rows directly — the r8-r12
+    # shape collect()ed the principal-direction DataFrame, paying a
+    # createDataFrame + collect round-trip per invocation for a vector
+    # the driver already holds
     pd_rows = sorted(
-        embedding_principal_direction(spark, sf_dir).collect(),
-        key=lambda r: r.dim,
+        _principal_direction_rows(spark, sf_dir), key=lambda r: r[0]
     )
-    v = [float(r.loading) for r in pd_rows]  # d-bounded by design
+    v = [float(r[1]) for r in pd_rows]  # d-bounded by design
     emb = load(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -6371,8 +6417,26 @@ def _unigram_vocab(
     return out
 
 
+#: (session applicationId, sf_dir) -> the BUILT (lazy, un-persisted)
+#: viterbi-panel DataFrame. Round 13: the DP fold is a literal
+#: create_map over the whole trained vocab times a 4-way unrolled
+#: update — a ~10^4-node expression tree whose py4j construction +
+#: Catalyst analysis measured 1.0-1.7 s of DRIVER time per invocation
+#: (event-log gap, zero stage time). The memo caches the PLAN only:
+#: nothing is persisted, every action on it re-executes the full
+#: computation from the shared word-count frame — this is
+#: plan-construction work-sharing, not result caching.
+_VITERBI_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def unigram_viterbi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
+
+    _evict_stale_session_entries(_VITERBI_DF_CACHE, spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _VITERBI_DF_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
 
     # round 12: the shared persisted word-count frame (guide §5); the
     # trained vocab memoizes per (session, corpus) — see _unigram_vocab
@@ -6419,7 +6483,7 @@ def unigram_viterbi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(dp.getField("n"), -1).alias("pieces"),
         F.log(F.element_at(dp.getField("s"), -1)).alias("logprob"),
     )
-    return (
+    out = (
         occ_sw.join(seg, "w")
         .groupBy("source")
         .agg(
@@ -6435,6 +6499,8 @@ def unigram_viterbi_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    _VITERBI_DF_CACHE[memo_key] = out
+    return out
 
 
 def _viterbi_oracle() -> str:

@@ -74,6 +74,11 @@ MEMO_INVENTORY = {
     # table — d(d+1)/2 rows — shared by embedding_covariance_panel /
     # embedding_principal_direction / embedding_abtt_residuals
     "cov_stats": 1,
+    # round 13: the corpus KN model frame (w1, w2, pair_count, p_kn) —
+    # bigram-type-bounded — shared by lm_kn_bigram and
+    # lm_perplexity_bucket (which embeds it as the scoring join's
+    # build side)
+    "kn_corpus_model": 1,
 }
 
 #: consumers, in sweep order (each returns a DataFrame; .count() is
@@ -87,6 +92,7 @@ def _sweep(spark):
         dedup_impact_panel,
         dup_ngram_exposure,
         exact_substring_removal,
+        lm_kn_bigram,
         perplexity_decontaminate,
         sketch_hll_union_matrix,
         text_decontaminate,
@@ -113,6 +119,7 @@ def _sweep(spark):
         bpe_encode_fertility,
         sketch_hll_union_matrix,
         embedding_abtt_residuals,
+        lm_kn_bigram,
     ):
         q(spark, SF_SMOKE).count()
 
