@@ -63,7 +63,14 @@ def pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         ranks = vertices.withColumn("rank", F.lit(1.0 / n))
-        for _ in range(iterations):
+        # Round 13 (guide §1.2): checkpoint every SECOND superstep —
+        # ranks are referenced exactly ONCE per iteration (the contribs
+        # join; the merge side reads vertices), so letting two
+        # supersteps share one checkpoint halves the materializations
+        # with ZERO re-execution (single-reference lineage, depth
+        # bounded at 2). The last iteration always checkpoints so the
+        # returned frame stays lineage-truncated.
+        for i in range(iterations):
             contribs = (
                 edges_deg.join(ranks, edges_deg.src == ranks.vertex)
                 .select(
@@ -73,17 +80,15 @@ def pagerank(
                 .groupBy("vertex")
                 .agg(F.sum("c").alias("inflow"))
             )
-            ranks = (
-                vertices.join(contribs, "vertex", "left")
-                .select(
-                    "vertex",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = vertices.join(contribs, "vertex", "left").select(
+                "vertex",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
             )
+            if i % 2 == 1 or i == iterations - 1:
+                ranks = ranks.localCheckpoint(eager=True)
         vertices.unpersist()
         out_deg.unpersist()
         edges_deg.unpersist()
@@ -499,7 +504,13 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             .withColumn("label", F.col("vertex"))
             .localCheckpoint(eager=True)
         )
-        for _ in range(iterations):
+        # Round 13 (guide §1.2, the sssp batched-superstep shape):
+        # checkpoint every SECOND superstep. The intermediate label
+        # frame is referenced twice by the next round (message join +
+        # own-label seed), re-executed from reused shuffle output —
+        # cheaper than materializing it (measured, see
+        # OPTIMIZATION_r13.md). The final superstep always checkpoints.
+        for i in range(iterations):
             msgs = e.join(labels, e.src == labels.vertex).select(
                 F.col("dst").alias("vertex"), "label"
             )
@@ -512,8 +523,9 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
                 .groupBy("vertex")
                 .agg(F.max(F.struct("freq", "label")).alias("m"))
                 .select("vertex", F.col("m.label").alias("label"))
-                .localCheckpoint(eager=True)
             )
+            if i % 2 == 1 or i == iterations - 1:
+                labels = labels.localCheckpoint(eager=True)
         e.unpersist()
         return labels
 

@@ -285,9 +285,13 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: markov_stationary_panel (markov_event_transitions keeps the Markov
 #: family; the stationary panel composes its transition table
 #: verbatim), experiment_cuped_panel (experiment_ab_ztest keeps the
-#: experiment family), and dq_k_anonymity (dq_referential_checks +
-#: dq_table_profile keep the DQ family). All four stay under the
-#: full-oracle pytest sweep at both SFs every run.
+#: experiment family), dq_k_anonymity (dq_referential_checks +
+#: dq_table_profile keep the DQ family), and — displaced by the
+#: batched-checkpoint rule-1 pair pagerank_pipeline +
+#: label_propagation_communities — cohort_retention_weekly and
+#: scd2_dimension_build (the behavior family still holds five slots:
+#: survival_km, rfm, session_path, ab_ztest, markov_transitions). All
+#: six stay under the full-oracle pytest sweep at both SFs every run.
 #: OUT — the entire r12 window's 50 green rows (all 1-round-fresh;
 #: rule 3 keeps them under the full-oracle pytest sweep at both SFs
 #: every run).
@@ -303,6 +307,11 @@ WINDOW_KEEP_FRESH: dict[str, str] = {
         "propagations per localCheckpoint (functions/graph.py) — "
         "identical fixpoint, re-pinned by a fresh driver row"
     ),
+    "pagerank_pipeline": (
+        "plan changed round 13: ranks checkpoint every SECOND superstep "
+        "(single-reference lineage, zero re-execution) — re-pinned by a "
+        "fresh driver row"
+    ),
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
@@ -313,10 +322,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_recall_panel",
     "sssp_pipeline",
     "connected_components_pipeline",
-    # the r8-stale cohort (last driver-green round 8), 45 of 49
+    "pagerank_pipeline",
+    "label_propagation_communities",
+    # the r8-stale cohort (last driver-green round 8), 43 of 49
     "anomaly_mad_events",
     "bpe_merge_table",
-    "cohort_retention_weekly",
     "corpus_drift_js",
     "corpus_snapshot_delta",
     "curriculum_length_phases",
@@ -347,7 +357,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "retrieval_bm25_topk",
     "retrieval_eval_panel",
     "rfm_segment_panel",
-    "scd2_dimension_build",
     "session_path_topk",
     "similarity_hard_negatives",
     "sketch_cms_heavy_hitters",
