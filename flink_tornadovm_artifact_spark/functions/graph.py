@@ -1804,27 +1804,48 @@ def k_core(
         # ×2 + the semi-join source) and would otherwise re-run the
         # distinct per consumer
         e = _undirect(edges).localCheckpoint(eager=True)
-    prev = -1
+    # Round 13 (guide §1.2 / §2.3 — shuffle metadata, not payloads):
+    # the r6-r12 peel re-CHECKPOINTED the surviving EDGE set every
+    # round (an edge-sized materialization per peel depth). The classic
+    # degree-decrement peel tracks only the vertex-sized degree table:
+    # each round drops the below-k vertices and subtracts their edges
+    # from the survivors' degrees via two broadcast semi-joins against
+    # the (tiny, shrinking) removed set — the loop-invariant edge frame
+    # is only ever SCANNED from its one materialization, never
+    # rewritten. Equivalence: edges between two removed vertices only
+    # decrement rows the anti-join drops; (survivor, removed) edges
+    # decrement exactly once per endpoint orientation; fixpoint when no
+    # vertex falls below k — the same k-core (oracle re-verified at
+    # both SFs; kcore_social 1.90 -> see OPTIMIZATION_r13.md).
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iterations):
-        # checkpoint keep BEFORE counting: it feeds the count AND both
-        # semi-joins, so an un-checkpointed frame would re-run the
-        # degree aggregation per consumer (the sssp-loop discipline)
-        keep = (
-            e.select(F.col("u").alias("x"))
-            .unionAll(e.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= k)
-            .select("x")
-            .localCheckpoint(eager=True)
-        )
-        n = keep.count()
-        if n == prev:
+        removed = deg.filter(F.col("c") < k).select("x")
+        if removed.isEmpty():
             break
-        prev = n
-        e = (
-            e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+        dec = (
+            e.join(removed.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select(F.col("u").alias("x"))
+            .unionAll(
+                e.join(
+                    removed.withColumnRenamed("x", "u"), "u", "left_semi"
+                ).select(F.col("v").alias("x"))
+            )
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        deg = (
+            deg.join(removed, "x", "left_anti")
+            .join(dec, "x", "left")
+            .select(
+                "x",
+                (F.col("c") - F.coalesce("d", F.lit(0))).alias("c"),
+            )
             .localCheckpoint(eager=True)
         )
     else:
@@ -1833,8 +1854,4 @@ def k_core(
             f"k_core did not converge in {max_iterations} rounds — raise "
             "max_iterations (the peel depth exceeds the guard)"
         )
-    return (
-        e.select(F.col("u").alias("vertex"))
-        .unionAll(e.select(F.col("v").alias("vertex")))
-        .distinct()
-    )
+    return deg.select(F.col("x").alias("vertex"))

@@ -290,8 +290,12 @@ _MODULES = (relational, tpch, iot, ml, windows, llm, pipeline, procedural, cep, 
 #: batched-checkpoint rule-1 pair pagerank_pipeline +
 #: label_propagation_communities — cohort_retention_weekly and
 #: scd2_dimension_build (the behavior family still holds five slots:
-#: survival_km, rfm, session_path, ab_ztest, markov_transitions). All
-#: six stay under the full-oracle pytest sweep at both SFs every run.
+#: survival_km, rfm, session_path, ab_ztest, markov_transitions), and
+#: — displaced by the kcore_social degree-decrement rewrite (rule 1)
+#: — langid_confusion_matrix (the text-expression family holds
+#: char_entropy, ngram_novelty, zipf, burstiness-adjacent slots). All
+#: seven stay under the full-oracle pytest sweep at both SFs every
+#: run.
 #: OUT — the entire r12 window's 50 green rows (all 1-round-fresh;
 #: rule 3 keeps them under the full-oracle pytest sweep at both SFs
 #: every run).
@@ -312,6 +316,11 @@ WINDOW_KEEP_FRESH: dict[str, str] = {
         "(single-reference lineage, zero re-execution) — re-pinned by a "
         "fresh driver row"
     ),
+    "kcore_social": (
+        "plan changed round 13: the peel is now the degree-decrement "
+        "form (vertex-sized state, edge frame never rewritten) — "
+        "re-pinned by a fresh driver row"
+    ),
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = (
@@ -324,7 +333,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "connected_components_pipeline",
     "pagerank_pipeline",
     "label_propagation_communities",
-    # the r8-stale cohort (last driver-green round 8), 43 of 49
+    "kcore_social",
+    # the r8-stale cohort (last driver-green round 8), 42 of 49
     "anomaly_mad_events",
     "bpe_merge_table",
     "corpus_drift_js",
@@ -341,7 +351,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "experiment_ab_ztest",
     "funnel_conversion_events",
     "hypertable_gapfill_locf",
-    "langid_confusion_matrix",
     "lm_kn_bigram",
     "lm_perplexity_bucket",
     "market_basket_rules",
