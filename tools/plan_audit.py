@@ -78,6 +78,11 @@ NESTED_LOOP_ALLOWLIST = {
     # round-8 batch 13
     "orders_independence_chi2": "1-row total/dof broadcasts onto the <=35-cell contingency table",
     "lm_good_turing_counts": "1-row token-total broadcast onto the count-of-counts table",
+    # round-12 hits rework (batch 3/6): the final projection is LAZY —
+    # the returned plan carries the two 1-row norm broadcasts
+    # crossJoined onto the checkpointed h/a legs (the committed r12
+    # audit predated this; caught by the round-13 regeneration)
+    "hits_scores": "two 1-row sqrt-norm broadcasts onto the checkpointed h/a legs",
     # round-8 batch 14
     "revenue_concentration_panel": "1-row exact-quantile-thresholds broadcast onto the customer table",
     # round-8 batch 15
