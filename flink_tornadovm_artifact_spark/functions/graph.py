@@ -541,20 +541,26 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     count (HITS(int iterations) constructor). Returns
     (vertex, hub, authority).
 
-    Two key-shuffles per iteration plus two scalar aggregates; the
+    Two key-shuffles per iteration plus one scalar aggregate; the
     scalar normalizers come back via one-row crossJoin broadcast, so
     nothing vertex-sized ever reaches the driver.
 
-    Round 12 (guide §1.2/§5): each leg (h_all, a_all) is
-    localCheckpointed as soon as it exists — the r1-r11 shape
-    checkpointed only the final normalized scores, so the h-leg's
-    join+agg subtree re-executed ~4x per iteration (once under the
-    h-norm broadcast build, once inside the a-leg, and twice more
-    under the final scores checkpoint; measured 4.74 s best at sf0.1,
-    now ~each-subtree-once). The two scalar normalizers ride one fused
-    1-row broadcast, and the final normalized projection stays LAZY —
-    the next iteration's join (or the caller's action) computes it
-    from the two materialized legs, saving a third action per round.
+    Round 13 (guide §1.2 — don't compute what you throw away): the
+    loop carries only the RAW aggregate legs. A vertex absent from a
+    leg has score exactly 0.0, and a 0.0 addend is exact in float
+    summation, so zero-filling inside the loop cannot change any sum
+    (the contribution sums, or the sum-of-squares normalizers) — the
+    r12 shape's two per-half-step ``vertices`` left-joins, the
+    per-iteration h⋈a inner join feeding the next superstep, and the
+    dead intermediate hub normalizers (only ``auth`` is ever consumed
+    by the next iteration) are all folded into ONE final zero-filling
+    projection. Per iteration that leaves exactly: the e⋈auth join +
+    grouped sum (h leg, checkpointed), the e⋈h join + grouped sum
+    (a leg, checkpointed), and the 1-row ``an`` normalizer broadcast
+    into the NEXT superstep's per-edge ``a/an`` division — the same
+    per-row arithmetic, join keys, and checkpoint cadence as r12 on
+    strictly smaller frames. Values are FP-identical: every aggregate
+    consumes the same multiset of nonzero addends as before.
     """
     with _sized_shuffle(edges):
         # Round 12 (guide §5): the edge list is loop-invariant but was
@@ -563,8 +569,6 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
         # h-leg joins on dst and the a-leg on src — TWO pre-partitioned
         # copies remove the edge-side shuffle from both; the 2x edge
         # storage buys iterations x 2 x |E| shuffle bytes at scale.
-        # vertices is partitioned on vertex, which also matches both
-        # legs' groupBy output, so the coalesce joins plan exchange-free.
         width = int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
@@ -574,52 +578,52 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
         e_src = edges.repartition(width, "src").persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        vertices = (
-            e.select(F.col("src").alias("vertex"))
-            .union(e.select(F.col("dst").alias("vertex")))
-            .distinct()
-            .repartition(width, "vertex")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        scores = vertices.select(
-            "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-        )
+        h_raw = a_raw = an_row = None
         for _ in range(iterations):
+            if an_row is None:
+                # First superstep: every vertex's auth is the literal
+                # 1.0, so the scores join degenerates to a per-edge
+                # constant — no join needed at all.
+                h_contrib = e.select("src", F.lit(1.0).alias("c"))
+            else:
+                h_contrib = (
+                    e.join(a_raw, e.dst == a_raw.vertex)
+                    .crossJoin(F.broadcast(an_row))
+                    .select(
+                        "src", (F.col("a") / F.col("an")).alias("c")
+                    )
+                )
             h_raw = (
-                e.join(scores, e.dst == scores.vertex)
-                .groupBy(F.col("src").alias("vertex"))
-                .agg(F.sum("auth").alias("h"))
-            )
-            h_all = (
-                vertices.join(h_raw, "vertex", "left")
-                .select("vertex", F.coalesce("h", F.lit(0.0)).alias("h"))
+                h_contrib.groupBy(F.col("src").alias("vertex"))
+                .agg(F.sum("c").alias("h"))
                 .localCheckpoint(eager=True)
             )
             a_raw = (
-                e_src.join(h_all, e_src.src == h_all.vertex)
+                e_src.join(h_raw, e_src.src == h_raw.vertex)
                 .groupBy(F.col("dst").alias("vertex"))
                 .agg(F.sum("h").alias("a"))
-            )
-            a_all = (
-                vertices.join(a_raw, "vertex", "left")
-                .select("vertex", F.coalesce("a", F.lit(0.0)).alias("a"))
                 .localCheckpoint(eager=True)
             )
-            norms = h_all.agg(
-                F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("hn")
-            ).crossJoin(
-                a_all.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("an"))
+            an_row = a_raw.agg(
+                F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("an")
             )
-            scores = (
-                h_all.join(a_all, "vertex")
-                .crossJoin(F.broadcast(norms))
-                .select(
-                    "vertex",
-                    (F.col("h") / F.col("hn")).alias("hub"),
-                    (F.col("a") / F.col("an")).alias("auth"),
-                )
+        norms = h_raw.agg(
+            F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("hn")
+        ).crossJoin(an_row)
+        # Zero-fill via a full outer join of the two checkpointed legs:
+        # every src is in h_raw (each edge emits a contribution) and
+        # every dst is in a_raw (each edge's src carries an h), so
+        # h_raw.vertex ∪ a_raw.vertex IS the vertex set — no
+        # union-distinct over the edge frame needed.
+        scores = (
+            h_raw.join(a_raw, "vertex", "full")
+            .crossJoin(F.broadcast(norms))
+            .select(
+                "vertex",
+                (F.coalesce("h", F.lit(0.0)) / F.col("hn")).alias("hub"),
+                (F.coalesce("a", F.lit(0.0)) / F.col("an")).alias("auth"),
             )
-        vertices.unpersist()
+        )
         e.unpersist()
         e_src.unpersist()
         return scores
